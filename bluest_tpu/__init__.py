@@ -1,0 +1,12 @@
+"""bluest_tpu: TPU-native multilevel best linear unbiased estimation.
+
+A ground-up JAX/XLA rebuild of the capabilities of croci/bluest: MLBLUE,
+MLMC and MFMC estimators with on-device sample-allocation optimization
+(JAX-native SDP interior point replacing cvxopt/cvxpy), vmapped + sharded
+Monte Carlo sampling replacing MPI, and mask-based covariance semantics
+replacing NaN/inf sentinel graphs.
+"""
+
+from . import config  # noqa: F401  (enables x64 before anything else)
+
+__version__ = "0.1.0"

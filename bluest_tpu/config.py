@@ -1,0 +1,31 @@
+"""Global numerical configuration for bluest_tpu.
+
+The allocation optimization (SDP / Newton solvers) and the estimator assembly
+require float64 to reach the ~1e-8 agreement targets of the reference
+(croci/bluest). TPU executes f64 in software emulation, which is fine here:
+the allocation problems are tiny (L <= a few hundred groups, M <= tens of
+models) and the Monte Carlo hot loop can run the *model* in f32/bf16 while
+accumulating sums in f64.
+
+Importing this module enables jax x64 once, before any arrays are created.
+"""
+
+from __future__ import annotations
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Default dtypes used throughout the library.
+import numpy as np
+
+REAL = np.float64
+INDEX = np.int32
+
+# Threshold below which a correlation is treated as "uncorrelated"
+# (reference: blue_models.py:344, blue_models.py:413).
+UNCORRELATED_RHO_TOL = 1.0e-7
+
+# Eigenvalue clip used when projecting covariances onto the SPD cone
+# (reference: spg_default_params["spd_threshold"], blue_models.py:13).
+SPD_THRESHOLD = 5.0e-14
