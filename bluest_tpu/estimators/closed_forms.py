@@ -1,0 +1,171 @@
+"""Closed-form MLMC and MFMC allocation (reference misc.py:15-130, 416-449).
+
+These are tiny host-side computations (M <= tens of levels); the heavy part
+-- the integer corner search -- lives in solvers/integer.py where it is
+batched on device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..solvers.integer import best_integer_generic
+
+
+def mlmc_allocation(v, w, budget: Optional[float] = None,
+                    eps: Optional[float] = None,
+                    continuous_relaxation: bool = False):
+    """Optimal MLMC level allocation m_l ~ sqrt(v_l / w_l)
+    (reference attempt_mlmc_setup, misc.py:15-46).
+
+    v: per-level variances of the telescoped differences; w: per-level costs.
+    Returns (feasible, data dict) with samples/error/total_cost/variance.
+    """
+    if budget is None and eps is None:
+        raise ValueError("Need to specify either budget or RMSE tolerance")
+    if budget is not None:
+        eps = None
+
+    v = np.asarray(v, dtype=float)
+    w = np.asarray(w, dtype=float)
+    if not np.all(np.isfinite(v)):
+        return False, None
+
+    q = np.sum(np.sqrt(v * w))
+    mu = budget / q if budget is not None else q / eps ** 2
+    m = np.maximum(mu * np.sqrt(v / w), 1.0)
+
+    def variance(mm):
+        mm = np.asarray(mm, dtype=float)
+        pos = mm > 0
+        return float(np.sum(v[pos] / mm[pos]))
+
+    if budget is not None:
+        constraint = lambda mm: mm @ w <= budget and np.all(mm >= 1)
+        obj = variance
+    else:
+        constraint = lambda mm: variance(mm) <= eps ** 2 and np.all(mm >= 1)
+        obj = lambda mm: mm @ w
+
+    if not continuous_relaxation:
+        m, fval = best_integer_generic(m, obj, constraint, len(v))
+        if np.isinf(fval):
+            return False, None
+
+    return True, {"samples": m, "error": float(np.sqrt(variance(m))),
+                  "total_cost": float(m @ w), "variance": variance}
+
+
+def _mfmc_prepare(sigmas, rhos, costs):
+    """Sort models by |rho| descending and compute the feasibility ratios
+    (reference misc.py:52-67, 88-104)."""
+    sigmas = np.asarray(sigmas, dtype=float)
+    rhos = np.asarray(rhos, dtype=float)
+    costs = np.asarray(costs, dtype=float)
+    idx = np.argsort(np.abs(rhos))[::-1]
+    assert idx[0] == 0
+    s = sigmas[idx]
+    rho = np.concatenate([rhos[idx], [0.0]])
+    w = costs[idx]
+    cost_ratio = w[:-1] / w[1:]
+    rho_ratio = (rho[:-2] ** 2 - rho[1:-1] ** 2) / (rho[1:-1] ** 2 - rho[2:] ** 2)
+    feasible = bool(np.all(cost_ratio > rho_ratio))
+    alphas = rho[1:-1] * s[0] / s[1:]
+    return idx, s, rho, w, feasible, alphas
+
+
+def _mfmc_variance(s, rho, alphas):
+    def variance(m):
+        m = np.asarray(m, dtype=float)
+        return float(s[0] ** 2 / m[0] + np.sum(
+            (1.0 / m[:-1] - 1.0 / m[1:])
+            * (alphas ** 2 * s[1:] ** 2 - 2 * alphas * rho[1:-1] * s[0] * s[1:])))
+    return variance
+
+
+def mfmc_check(sigmas, rhos, costs, samples):
+    """Evaluate a user-prescribed MFMC sample schedule
+    (reference compute_mfmc_data, misc.py:48-76)."""
+    if not np.all(np.isfinite(sigmas)):
+        return False, None
+    idx, s, rho, w, feasible, alphas = _mfmc_prepare(sigmas, rhos, costs)
+    if not feasible:
+        return False, None
+    m = np.asarray(samples, dtype=float)[idx]
+    variance = _mfmc_variance(s, rho, alphas)
+    var = variance(m)
+    return True, {"samples": m, "error": float(np.sqrt(var)),
+                  "total_cost": float(m @ w), "alphas": alphas,
+                  "variance": var}
+
+
+def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
+                    eps: Optional[float] = None,
+                    continuous_relaxation: bool = False,
+                    small_budget: bool = False):
+    """Optimal MFMC allocation (reference attempt_mfmc_setup,
+    misc.py:78-130), including the Gruber et al. 2022 low-budget scheme."""
+    if budget is None and eps is None:
+        raise ValueError("Need to specify either budget or RMSE tolerance")
+    if budget is not None:
+        eps = None
+
+    sigmas = np.asarray(sigmas, dtype=float)
+    if not np.all(np.isfinite(sigmas)):
+        return False, None
+
+    idx, s, rho, w, feasible, alphas = _mfmc_prepare(sigmas, rhos, costs)
+    if not feasible:
+        return feasible, None
+
+    r = np.sqrt(w[0] / w * (rho[:-1] ** 2 - rho[1:] ** 2) / (1 - rho[1] ** 2))
+    if budget is not None:
+        m1 = budget / (w @ r)
+    else:
+        m1 = eps ** -2 * (w @ r) * (s[0] ** 2 / w[0]) * (1 - rho[1] ** 2)
+    m = np.maximum(np.concatenate([[m1], m1 * r[1:]]), 1.0)
+
+    variance = _mfmc_variance(s, rho, alphas)
+    if budget is not None:
+        constraint = lambda mm: (mm @ w <= budget and mm[0] >= 1
+                                 and np.all(mm[:-1] <= mm[1:]))
+        obj = variance
+    else:
+        constraint = lambda mm: (variance(mm) <= eps ** 2 and mm[0] >= 1
+                                 and np.all(mm[:-1] <= mm[1:]))
+        obj = lambda mm: mm @ w
+
+    if not continuous_relaxation:
+        if small_budget and budget is not None:
+            m = mfmc_low_budget(np.asarray(rhos, dtype=float)[idx], w, budget)
+        else:
+            m, fval = best_integer_generic(m, obj, constraint, len(sigmas))
+            if np.isinf(fval):
+                return False, None
+
+    return feasible, {"samples": m, "error": float(np.sqrt(variance(m))),
+                      "total_cost": float(m @ w), "alphas": alphas,
+                      "variance": variance}
+
+
+def mfmc_low_budget(rhos, costs, budget):
+    """Low-budget MFMC integer schedule, Gruber et al. 2022
+    (reference mfmc_low_budget_integer_solution, misc.py:416-449)."""
+    rhos = np.asarray(rhos, dtype=float)
+    costs = np.asarray(costs, dtype=float)
+    if rhos.shape[0] == 1:
+        return np.array([np.floor(budget / costs[0])], dtype=np.int64)
+
+    rho = np.concatenate([rhos, [0.0]])
+    denom = rho[0] ** 2 - rho[1] ** 2
+    r = np.sqrt(costs[0] / costs * (rho[:-1] ** 2 - rho[1:] ** 2) / denom)
+    m1 = budget / (costs @ r)
+    m = np.concatenate([[m1], m1 * r[1:]])
+    if m[0] >= 1:
+        return np.floor(m).astype(np.int64)
+    m[0] = 1
+    m_sub = mfmc_low_budget(rhos[1:], costs[1:], budget - costs[0])
+    m[1:] = m_sub
+    return m.astype(np.int64)

@@ -1,0 +1,299 @@
+"""Integer rounding of continuous sample allocations.
+
+Fresh implementation of the reference's corner-search machinery
+(misc.py:134-413): pick the ~1.2*N largest allocation entries, enumerate all
+floor/ceil corners (2^LL of them), and select the best feasible corner by
+batched evaluation.  The batched evaluation -- thousands of (M x M)
+Hermitian pseudo-inverses -- is vmapped on device; everything else is cheap
+host bookkeeping.
+
+Documented divergence from the reference: in the multi-output search the
+reference keeps the *union* of columns satisfying each output's
+"model-0 coverage" constraint and reports infeasibility when no output
+needs filtering (misc.py:257-264); we filter with the *intersection* and
+keep all columns when no filtering is needed, which is the mathematically
+intended constraint (every output needs e_n @ m >= 1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PINV_RCOND = 1.0e-10
+_CHUNK = 8192
+
+
+def feasible_integer_bounds(sol: np.ndarray, N: int, e: np.ndarray | None = None):
+    """Floor/ceil bounds over the entries worth optimizing
+    (reference get_feasible_integer_bounds, misc.py:141-167)."""
+    sol = np.asarray(sol, dtype=float)
+    L = len(sol)
+    idx = np.argsort(sol)[-int(1.2 * N):]
+    idx = np.array([i for i in idx if sol[i] > 1.0e-8], dtype=int)
+
+    if e is not None:
+        e = np.asarray(e, dtype=float)
+        if np.sum(e > 0.99) == 0:
+            val = 1.0 / np.sum(e) / 2
+            while np.sum(e > val) == 0:
+                val /= 2
+        else:
+            val = 0.99
+        idx2 = np.where(e > val)[0]
+        order = np.argsort(sol[e > val])[::-1]
+        idx2 = idx2[order[:N]]
+        idx = np.unique(np.concatenate([idx, idx2])).astype(int)
+
+    lb = np.zeros(L, dtype=np.int64)
+    ub = np.zeros(L, dtype=np.int64)
+    lb[idx] = np.floor(sol[idx]).astype(np.int64)
+    ub[idx] = np.ceil(sol[idx]).astype(np.int64)
+    order = np.argsort(lb[idx])[::-1]
+    idx = idx[order]
+    return lb[idx], ub[idx], idx
+
+
+def corner_matrix(lb: np.ndarray, ub: np.ndarray) -> np.ndarray:
+    """All floor/ceil corners as columns: (LL, 2^LL)
+    (reference unpackbits + fancy indexing, misc.py:169-175, 239-242)."""
+    LL = len(lb)
+    bits = ((np.arange(2 ** LL, dtype=np.int64)[:, None]
+             >> np.arange(LL)[None, :]) & 1).astype(bool)
+    bnds = np.vstack([lb, ub])
+    return bnds[bits.astype(int), np.arange(LL)[None, :]].T
+
+
+def _batched_variance00(phis: np.ndarray) -> np.ndarray:
+    """(B, M, M) -> (B,) of pinv(PHI)[0,0], Hermitian, rcond as reference
+    (misc.py:293-294, 368-369).  Chunked vmapped eigh on device."""
+    B = phis.shape[0]
+    out = np.empty(B)
+
+    @jax.jit
+    def chunk_var(P):
+        w, V = jnp.linalg.eigh(P)
+        cutoff = _PINV_RCOND * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+        inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
+        v0 = V[:, 0, :]  # first row of V
+        return jnp.sum(v0 * inv_w * v0, axis=-1)
+
+    for s in range(0, B, _CHUNK):
+        out[s:s + _CHUNK] = np.asarray(chunk_var(jnp.asarray(phis[s:s + _CHUNK])))
+    return out
+
+
+def best_integer_generic(sol, obj: Callable, constr: Callable, N: int,
+                         e: np.ndarray | None = None):
+    """Generic corner search with Python-callable objective/constraint
+    (reference best_closest_integer_solution, misc.py:384-413).  Used by the
+    MLMC/MFMC closed forms where LL is tiny."""
+    sol = np.asarray(sol, dtype=float)
+    lb, ub, idx = feasible_integer_bounds(sol, N, e=e)
+    LL = len(idx)
+    if LL > 24:
+        raise ValueError("Too many dimensions to brute-force it")
+
+    ms = corner_matrix(lb, ub)  # (LL, 2^LL)
+    val = np.round(sol).astype(np.int64)
+    best_fval = np.inf
+    best = None
+    for i in range(ms.shape[1]):
+        val[idx] = ms[:, i]
+        if constr(val):
+            f = obj(val)
+            if f < best_fval:
+                best_fval = f
+                best = val.copy()
+    if best is None:
+        return None, np.inf
+    return best, best_fval
+
+
+def _apply_max_sample_filter(ms, idx, baseval, max_samples_info):
+    """Columns surviving the per-model max-sample caps
+    (reference misc.py:267-276, 344-353). Returns ms or None."""
+    ES, rhs = max_samples_info
+    if len(ES) == 0:
+        return ms
+    base = [ees @ baseval for ees in ES]
+    if any(b > r for b, r in zip(base, rhs)):
+        return None
+    checks = [b + np.asarray(ees)[idx] @ ms for b, ees in zip(base, ES)]
+    mask = np.all([c <= r for c, r in zip(checks, rhs)], axis=0)
+    keep = np.where(mask)[0]
+    if len(keep) == 0:
+        return None
+    return ms[:, keep]
+
+
+def best_integer_blue(sol, psi: np.ndarray, w: np.ndarray, e: np.ndarray,
+                      budget: Optional[float] = None,
+                      eps: Optional[float] = None,
+                      max_samples_info=((), ())):
+    """Single-output BLUE corner search
+    (reference best_closest_integer_solution_BLUE, misc.py:313-382)."""
+    sol = np.asarray(sol, dtype=float)
+    N = int(round(np.sqrt(psi.shape[0])))
+    lb, ub, idx = feasible_integer_bounds(sol, N, e=e)
+    LL = len(idx)
+    if LL > 24:
+        raise ValueError("Too many dimensions to brute-force it")
+
+    ms = corner_matrix(lb, ub)
+    val = np.round(sol).astype(np.int64)
+    baseval = val.copy(); baseval[idx] = 0
+    basephi = psi @ baseval
+    basecost = w @ baseval
+    basee = e @ baseval
+
+    if basee < 1:
+        keep = np.where(basee + e[idx] @ ms >= 1)[0]
+        if len(keep) == 0:
+            return None, np.inf
+        ms = ms[:, keep]
+
+    ms = _apply_max_sample_filter(ms, idx, baseval, max_samples_info)
+    if ms is None:
+        return None, np.inf
+
+    if budget is not None and basecost > budget:
+        return None, np.inf
+
+    costs = basecost + w[idx] @ ms
+    if budget is not None:
+        keep = np.where(costs <= 1.0001 * budget)[0]
+        if len(keep) == 0:
+            return None, np.inf
+        ms = ms[:, keep][:, ::-1]
+    else:
+        ms = ms[:, np.argsort(costs)[::-1]]
+
+    if ms.size == 0:
+        return None, np.inf
+
+    phis = (basephi[:, None] + psi[:, idx] @ ms).T.reshape(-1, N, N)
+    Vs = _batched_variance00(phis)
+
+    if budget is not None:
+        i = int(np.argmin(Vs))
+    else:
+        ok = np.where(Vs <= 1.0001 * eps ** 2)[0]
+        if len(ok) == 0:
+            return None, np.inf
+        i = int(ok[-1])  # columns are cost-descending: last feasible = cheapest
+
+    val[idx] = ms[:, i]
+    return val, float(Vs[i])
+
+
+def best_integer_blue_multi(sol, psis: Sequence[np.ndarray], w: np.ndarray,
+                            e: np.ndarray, mappings: Sequence[np.ndarray],
+                            budget: Optional[float] = None,
+                            eps=None, max_samples_info=((), ()),
+                            rng: np.random.Generator | None = None,
+                            ll_max: int = 15, n_trials: int = 250):
+    """Multi-output BLUE corner search with randomized fallback for large LL
+    (reference best_closest_integer_solution_BLUE_multi, misc.py:177-311)."""
+    sol = np.asarray(sol, dtype=float)
+    No = len(mappings)
+    N = int(round(np.sqrt(psis[0].shape[0])))
+
+    lb_f, ub_f, idx_f = feasible_integer_bounds(sol, N, e=e)
+    LL = len(idx_f)
+
+    if LL <= ll_max:
+        return _multi_helper(sol, psis, w, e, mappings, budget, eps,
+                             lb_f, ub_f, idx_f, max_samples_info)
+
+    if rng is None:
+        rng = np.random.default_rng(0)
+    best_val, best_fval = None, np.inf
+    for _ in range(n_trials):
+        perm = rng.permutation(LL)
+        bf, rc = perm[:ll_max], perm[ll_max:]
+        r_sol = sol.copy()
+        pick = rng.integers(2, size=len(rc))
+        bnds = np.vstack([lb_f[rc], ub_f[rc]])
+        r_sol[idx_f[rc]] = bnds[pick, np.arange(len(rc))]
+        best_val, best_fval = _multi_helper(
+            r_sol, psis, w, e, mappings, budget, eps,
+            lb_f[bf], ub_f[bf], idx_f[bf], max_samples_info)
+        if best_val is not None:
+            return best_val, best_fval
+    return None, np.inf
+
+
+def _multi_helper(sol, psis, w, e, mappings, budget, eps, lb, ub, idx,
+                  max_samples_info):
+    """(reference ..._BLUE_multi_helper, misc.py:228-311)."""
+    No = len(mappings)
+    N = int(round(np.sqrt(psis[0].shape[0])))
+    ms = corner_matrix(lb, ub)
+    val = np.round(sol).astype(np.int64)
+    baseval = val.copy(); baseval[idx] = 0
+    basephis = [psis[n] @ baseval[mappings[n]] for n in range(No)]
+    basecost = w @ baseval
+    basees = [e[mappings[n]] @ baseval[mappings[n]] for n in range(No)]
+
+    # positions within idx belonging to output n, and the matching local
+    # (psi_n column) indices, both in idx order (reference misc.py:253-255)
+    redmaps, idxs = [], []
+    for n in range(No):
+        mset = set(int(i) for i in mappings[n])
+        red = [i for i in range(len(idx)) if int(idx[i]) in mset]
+        loc = [int(np.where(mappings[n] == int(idx[i]))[0][0]) for i in red]
+        redmaps.append(np.array(red, dtype=int))
+        idxs.append(np.array(loc, dtype=int))
+
+    # intersection of per-output coverage constraints (see module docstring)
+    mask = np.ones(ms.shape[1], dtype=bool)
+    for n in range(No):
+        if basees[n] < 1:
+            mask &= (basees[n] + e[idx][redmaps[n]] @ ms[redmaps[n], :]) >= 1
+    keep = np.where(mask)[0]
+    if len(keep) == 0:
+        return None, np.inf
+    ms = ms[:, keep]
+
+    ms = _apply_max_sample_filter(ms, idx, baseval, max_samples_info)
+    if ms is None:
+        return None, np.inf
+
+    if budget is not None and basecost > budget:
+        return None, np.inf
+
+    costs = basecost + w[idx] @ ms
+    if budget is not None:
+        keep = np.where(costs <= 1.0001 * budget)[0]
+        if len(keep) == 0:
+            return None, np.inf
+        ms = ms[:, keep][:, ::-1]
+    else:
+        ms = ms[:, np.argsort(costs)[::-1]]
+    if ms.size == 0:
+        return None, np.inf
+
+    Vs = []
+    for n in range(No):
+        phis = (basephis[n][:, None]
+                + psis[n][:, idxs[n]] @ ms[redmaps[n], :]).T.reshape(-1, N, N)
+        Vs.append(_batched_variance00(phis))
+    V_max = np.max(np.stack(Vs), axis=0)
+
+    if budget is not None:
+        i = int(np.argmin(V_max))
+    else:
+        eps = np.asarray(eps, dtype=float)
+        ok = np.all(np.stack([Vs[n] <= 1.0001 * eps[n] ** 2
+                              for n in range(No)]), axis=0)
+        ok = np.where(ok)[0]
+        if len(ok) == 0:
+            return None, np.inf
+        i = int(ok[-1])
+
+    val[idx] = ms[:, i]
+    return val, float(V_max[i])

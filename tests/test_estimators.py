@@ -1,0 +1,137 @@
+"""MLMC/MFMC closed forms and the integer corner search."""
+
+import numpy as np
+import pytest
+from itertools import combinations
+
+from bluest_tpu.estimators.closed_forms import (
+    mlmc_allocation, mfmc_allocation, mfmc_check, mfmc_low_budget)
+from bluest_tpu.solvers.integer import (
+    feasible_integer_bounds, corner_matrix, best_integer_generic,
+    best_integer_blue)
+from bluest_tpu.core import GroupStructure, psi as psimod
+
+
+def test_mlmc_continuous_matches_analytic():
+    v = np.array([1.0, 0.25, 0.0625])
+    w = np.array([8.0, 2.0, 0.5])
+    budget = 1000.0
+    ok, data = mlmc_allocation(v, w, budget=budget, continuous_relaxation=True)
+    assert ok
+    q = np.sum(np.sqrt(v * w))
+    m_ref = np.maximum(budget / q * np.sqrt(v / w), 1)
+    np.testing.assert_allclose(data["samples"], m_ref, rtol=1e-12)
+    assert data["total_cost"] <= budget * (1 + 1e-12)
+
+
+def test_mlmc_eps_mode_hits_tolerance():
+    v = np.array([1.0, 0.25])
+    w = np.array([4.0, 1.0])
+    eps = 0.05
+    ok, data = mlmc_allocation(v, w, eps=eps)
+    assert ok
+    assert data["error"] <= eps * (1 + 1e-6)
+
+
+def test_mlmc_infeasible_on_nonfinite():
+    ok, data = mlmc_allocation(np.array([1.0, np.inf]), np.array([1.0, 1.0]),
+                               budget=10.0)
+    assert not ok and data is None
+
+
+def test_mfmc_allocation_budget():
+    sigmas = np.array([1.0, 0.9, 0.8])
+    rhos = np.array([1.0, 0.95, 0.7])
+    costs = np.array([100.0, 10.0, 1.0])
+    ok, data = mfmc_allocation(sigmas, rhos, costs, budget=10000.0)
+    assert ok
+    m = data["samples"]
+    assert np.all(np.diff(m) >= 0) and m[0] >= 1
+    assert data["total_cost"] <= 10000.0 * 1.0001
+    # variance formula sanity: single-model limit (m equal) gives sigma0^2/m0
+    var_eq = data["variance"](np.array([50.0, 50.0, 50.0]))
+    np.testing.assert_allclose(var_eq, sigmas[0] ** 2 / 50.0, rtol=1e-12)
+
+
+def test_mfmc_infeasible_cost_ratio():
+    # equal costs cannot beat the correlation gain ratio between models 1,2
+    sigmas = np.array([1.0, 1.0, 1.0])
+    rhos = np.array([1.0, 0.99, 0.98])
+    costs = np.array([1.0, 1.0, 1.0])
+    ok, data = mfmc_allocation(sigmas, rhos, costs, budget=100.0)
+    assert not ok
+
+
+def test_mfmc_check_prescribed():
+    sigmas = np.array([1.0, 0.9])
+    rhos = np.array([1.0, 0.9])
+    costs = np.array([50.0, 1.0])
+    ok, data = mfmc_check(sigmas, rhos, costs, [10, 100])
+    assert ok
+    assert data["total_cost"] == 10 * 50 + 100 * 1
+
+
+def test_mfmc_low_budget_recursion():
+    rhos = np.array([1.0, 0.95, 0.8])
+    costs = np.array([100.0, 10.0, 1.0])
+    m = mfmc_low_budget(rhos, costs, budget=150.0)
+    assert m[0] >= 1 and np.all(m >= 0)
+    assert m @ costs <= 150.0 + costs[0]
+
+
+def test_feasible_integer_bounds_ordering():
+    sol = np.array([0.3, 7.6, 2.1, 0.0, 5.2])
+    lb, ub, idx = feasible_integer_bounds(sol, N=3)
+    # idx sorted by floor descending
+    assert list(lb) == sorted(lb, reverse=True)
+    for l, u, i in zip(lb, ub, idx):
+        assert l == np.floor(sol[i]) and u == np.ceil(sol[i])
+
+
+def test_corner_matrix_enumerates_all():
+    lb = np.array([1, 3]); ub = np.array([2, 4])
+    ms = corner_matrix(lb, ub)
+    cols = {tuple(ms[:, i]) for i in range(ms.shape[1])}
+    assert cols == {(1, 3), (2, 3), (1, 4), (2, 4)}
+
+
+def test_best_integer_generic_simple():
+    # minimize sum within budget; optimum is the floor everywhere
+    sol = np.array([2.4, 3.6, 1.2])
+    w = np.ones(3)
+    obj = lambda m: float(np.sum((m - sol) ** 2))
+    constr = lambda m: m @ w <= 8
+    best, fval = best_integer_generic(sol, obj, constr, N=3)
+    assert best @ w <= 8
+    np.testing.assert_array_equal(best, np.array([2, 4, 1]))
+
+
+def test_best_integer_blue_vs_bruteforce(rng):
+    M, K = 4, 2
+    A = rng.standard_normal((M, M)); C = A @ A.T + M * np.eye(M)
+    groups = [[list(c) for c in combinations(range(M), k)] for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    data = psimod.GroupData.build(gs)
+    psi = np.asarray(data.psi)
+    w = np.linspace(3, 1, gs.L)
+    sol = rng.uniform(0.2, 6.0, gs.L)
+    budget = float(np.ceil(sol) @ w)  # generous budget
+
+    best, fval = best_integer_blue(sol, psi, w, gs.e, budget=budget)
+    assert best is not None
+    assert best @ w <= 1.0001 * budget
+    assert best @ gs.e >= 1
+    v_best = np.linalg.pinv((psi @ best).reshape(M, M), hermitian=True)[0, 0]
+    np.testing.assert_allclose(v_best, fval, rtol=1e-6)
+
+    # brute force over the same bounds must not beat it
+    lb, ub, idx = feasible_integer_bounds(sol, M, e=gs.e)
+    ms = corner_matrix(lb, ub)
+    val = np.round(sol).astype(int)
+    vals = []
+    for i in range(ms.shape[1]):
+        val2 = val.copy(); val2[idx] = ms[:, i]
+        if val2 @ w <= 1.0001 * budget and val2 @ gs.e >= 1:
+            vals.append(np.linalg.pinv((psi @ val2).reshape(M, M),
+                                       hermitian=True)[0, 0])
+    assert fval <= min(vals) * (1 + 1e-9)
