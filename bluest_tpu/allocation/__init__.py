@@ -1,0 +1,2 @@
+from .sap import SAP
+from .mosap import MOSAP, BLUESTError

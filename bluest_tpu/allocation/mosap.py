@@ -1,0 +1,436 @@
+"""Multi-output sample allocation problem (MOSAP).
+
+Rebuild of the reference MOSAP class (mosap.py:18-673): one SAP per output
+over that output's group sublist, a shared allocation vector over the union
+group list, a joint SDP with one LMI per output, the null-space cleanup
+sparsifier, and the multi-output integer projection with its fallback
+ladder (cleanup -> tolerance increase -> round up/down)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..solvers.sdp import solve_cone_lp
+from ..solvers.integer import best_integer_blue_multi
+from . import cones
+from .sap import SAP, _OK_STATUSES
+
+
+class BLUESTError(RuntimeError):
+    """Raised when the allocation optimization fails (reference mosap.py:15)."""
+
+
+class MOSAP:
+    def __init__(self, C: Sequence[np.ndarray], K: int, Ks: Sequence[int],
+                 groups, multi_groups, costs: np.ndarray,
+                 multi_costs: Sequence[np.ndarray], verbose: bool = False):
+        self.verbose = verbose
+        self.n_outputs = len(C)
+        self.C = [np.asarray(Cn, dtype=float) for Cn in C]
+        self.N = self.C[0].shape[0]
+        self.K = K
+        self.Ks = list(Ks)
+        self.costs = np.asarray(costs, dtype=float)
+        self.multi_groups = multi_groups
+        self.multi_costs = multi_costs
+
+        self.flattened_groups = [list(g) for gk in groups for g in gk]
+        self.groups = [np.array(gk, dtype=np.int64).reshape(len(gk), k + 1)
+                       for k, gk in enumerate(groups)]
+        self.sizes = [0] + [len(gk) for gk in groups]
+        self.cumsizes = np.cumsum(self.sizes)
+        self.L = int(self.cumsizes[-1])
+
+        self.SAPS = [SAP(self.C[n], self.Ks[n], multi_groups[n],
+                         multi_costs[n], verbose=verbose)
+                     for n in range(self.n_outputs)]
+
+        ES = np.zeros((self.N, self.L))
+        for gidx, g in enumerate(self.flattened_groups):
+            ES[np.asarray(g, dtype=int), gidx] = 1.0
+        self.ES = [ES[i] for i in range(self.N)]
+        self.e = self.ES[0]
+
+        # mappings[n]: global group index of output n's local group j
+        # (reference mosap.py:54-67)
+        lookup = {}
+        for k, gk in enumerate(groups):
+            for j, g in enumerate(gk):
+                lookup[tuple(g)] = int(self.cumsizes[k] + j)
+        mappings = []
+        for n in range(self.n_outputs):
+            local = [tuple(g) for gk in multi_groups[n] for g in gk]
+            mappings.append(np.array([lookup[g] for g in local],
+                                     dtype=np.int64))
+        self.mappings = mappings
+
+        self.samples = None
+        self.budget = None
+        self.eps = None
+        self.tot_cost = None
+
+    # ------------------------------------------------------------------ #
+
+    def check_input(self, budget, eps):
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if eps is not None:
+            eps = np.atleast_1d(np.asarray(eps, dtype=float))
+            if eps.shape == (1,):
+                eps = np.repeat(eps, self.n_outputs)
+            if eps.shape != (self.n_outputs,):
+                raise ValueError("eps must be a scalar or one value per output")
+        return budget, eps
+
+    def variances(self, m, delta: float = 0.0):
+        return [self.SAPS[n].variance(m[self.mappings[n]], delta=delta)
+                for n in range(self.n_outputs)]
+
+    def variance_GH(self, m, nohess: bool = False, delta: float = 0.0):
+        out = [self.SAPS[n].variance_GH(m[self.mappings[n]], delta=delta,
+                                        nohess=nohess)
+               for n in range(self.n_outputs)]
+        return ([o[0] for o in out], [o[1] for o in out], [o[2] for o in out])
+
+    def get_cleanup_matrices(self, m, delta: float = 0.0) -> np.ndarray:
+        Xs = []
+        for n in range(self.n_outputs):
+            X = np.zeros((self.N, self.L))
+            X[:, self.mappings[n]] = self.SAPS[n].get_cleanup_matrix(
+                m[self.mappings[n]], delta=delta)
+            Xs.append(X)
+        return np.vstack(Xs)
+
+    def get_max_sample_constraints(self, max_model_samples):
+        if max_model_samples is None:
+            return [], []
+        max_model_samples = np.asarray(max_model_samples)
+        if max_model_samples.shape != (self.N,):
+            raise ValueError("max_model_samples must have one entry per model")
+        if max_model_samples[0] < 1:
+            raise ValueError("The high-fidelity model must be sampled at least once.")
+        es, rhs = [], []
+        for i in range(self.N):
+            if np.isfinite(max_model_samples[i]):
+                es.append(self.ES[i])
+                rhs.append(int(round(max_model_samples[i])))
+        return es, rhs
+
+    def _e_rows(self):
+        rows = []
+        for n in range(self.n_outputs):
+            ee = np.zeros(self.L)
+            ee[self.mappings[n]] = self.e[self.mappings[n]]
+            rows.append(ee)
+        return rows
+
+    # ------------------------------ solve ----------------------------- #
+
+    def solve(self, budget=None, eps=None, solver: str = "sdp", x0=None,
+              continuous_relaxation: bool = False, max_model_samples=None,
+              solver_params: Optional[dict] = None):
+        budget, eps = self.check_input(budget, eps)
+
+        if solver in ("cvxopt", "cvxpy", "sdp"):
+            samples = self.sdp_solve(budget=budget, eps=eps,
+                                     max_model_samples=max_model_samples,
+                                     solver_params=solver_params)
+        elif solver in ("scipy", "ipopt"):
+            samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
+                                       max_model_samples=max_model_samples)
+        else:
+            raise ValueError("solvers available: 'sdp' (default), 'scipy'")
+
+        if samples is None:
+            self.samples = None
+            return None
+
+        if not continuous_relaxation:
+            try:
+                samples = self.integer_projection(
+                    samples, budget=budget, eps=eps,
+                    max_model_samples=max_model_samples)
+            except AssertionError as exc:
+                if self.verbose:
+                    print(str(exc))
+                self.samples = None
+                return None
+
+        self.samples = samples
+        self.budget = budget
+        self.eps = eps
+        self.tot_cost = samples @ self.costs
+        for n in range(self.n_outputs):
+            self.SAPS[n].samples = samples[self.mappings[n]]
+        return samples
+
+    def sdp_solve(self, budget=None, eps=None, max_model_samples=None,
+                  solver_params=None):
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+        params = dict(tol=1e-8, feastol=1e-8, max_iter=120)
+        if solver_params:
+            params.update({k: v for k, v in solver_params.items()
+                           if k in ("tol", "feastol", "max_iter")})
+        psis = [s.psi for s in self.SAPS]
+        e_rows = self._e_rows()
+
+        if budget is not None:
+            c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
+                psis, self.mappings, self.L, self.costs, e_rows,
+                budget, es, rhs)
+            res = solve_cone_lp(c, Gl, hl, As, Hs,
+                                verbose=self.verbose, **params)
+            if res.status not in _OK_STATUSES:
+                return None
+            return np.maximum(res.x[1:], 0) * budget
+
+        # eps mode with the reference's meps rescale (mosap.py:430-434)
+        n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
+        meps = 100.0 / np.sqrt(n_mc)
+        c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
+            psis, self.mappings, self.L, self.costs, e_rows,
+            eps / meps, meps, es, rhs)
+        res = solve_cone_lp(c, Gl, hl, As, Hs, verbose=self.verbose, **params)
+        if res.status not in _OK_STATUSES:
+            return None
+        return np.maximum(res.x, 0) / meps ** 2
+
+    def scipy_solve(self, budget=None, eps=None, x0=None,
+                    max_model_samples=None):
+        """Epigraph NLP (reference mosap.py:562-613)."""
+        from scipy.optimize import minimize, LinearConstraint, \
+            NonlinearConstraint, Bounds
+
+        L = self.L
+        No = self.n_outputs
+        w = self.costs
+        delta = 1.0e-15
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+        e_rows = self._e_rows()
+
+        if budget is not None:
+            bounds = Bounds(np.zeros(L + 1), np.inf * np.ones(L + 1),
+                            keep_feasible=True)
+            cons = [LinearConstraint(np.concatenate([[0], w]), -np.inf, budget)]
+            cons += [LinearConstraint(np.concatenate([[0], ee]), 1, np.inf,
+                                      keep_feasible=True) for ee in e_rows]
+            cons += [LinearConstraint(np.concatenate([[0], ees]), -np.inf, rr)
+                     for ees, rr in zip(es, rhs)]
+
+            def make_epi(nn):
+                mp = self.mappings[nn]
+                sap = self.SAPS[nn]
+
+                def f(x):
+                    return x[0] - sap.variance(x[1:][mp], delta=delta)
+
+                def jac(x):
+                    g = np.zeros(L + 1); g[0] = 1.0
+                    gv = sap.variance_GH(x[1:][mp], nohess=True, delta=delta)[1]
+                    g[1:][mp] = -gv
+                    return g
+
+                return NonlinearConstraint(f, 0, np.inf, jac=jac)
+
+            cons += [make_epi(n) for n in range(No)]
+            if x0 is None:
+                m0 = np.full(L, budget / w.sum())
+                x0 = np.concatenate([[max(self.variances(m0, delta=delta))], m0])
+            eee = np.zeros(L + 1); eee[0] = 1.0
+            r = minimize(lambda x: (x[0], eee), x0, jac=True,
+                         hessp=lambda x, p: np.zeros(L + 1), bounds=bounds,
+                         constraints=cons, method="trust-constr",
+                         options={"maxiter": 5000,
+                                  "verbose": 3 * int(self.verbose)},
+                         tol=1e-7)
+            return r.x[1:]
+
+        bounds = Bounds(np.zeros(L), np.inf * np.ones(L), keep_feasible=True)
+        cons = [LinearConstraint(ee, 1, np.inf, keep_feasible=True)
+                for ee in e_rows]
+        cons += [LinearConstraint(ees, -np.inf, rr) for ees, rr in zip(es, rhs)]
+
+        def make_var(nn):
+            mp = self.mappings[nn]
+            sap = self.SAPS[nn]
+
+            def f(x):
+                return sap.variance(x[mp], delta=delta)
+
+            def jac(x):
+                g = np.zeros(L)
+                g[mp] = sap.variance_GH(x[mp], nohess=True, delta=delta)[1]
+                return g
+
+            return NonlinearConstraint(f, -np.inf, eps[nn] ** 2, jac=jac)
+
+        cons += [make_var(n) for n in range(No)]
+        if x0 is None:
+            x0 = np.ceil(np.linalg.norm(eps) ** -2 * np.ones(L))
+        wn = w / np.linalg.norm(w)
+        r = minimize(lambda x: (wn @ x, wn), x0, jac=True,
+                     hessp=lambda x, p: np.zeros(L), bounds=bounds,
+                     constraints=cons, method="trust-constr",
+                     options={"maxiter": 5000,
+                              "verbose": 3 * int(self.verbose)}, tol=1e-7)
+        return r.x
+
+    # ------------------------ cleanup sparsifier ----------------------- #
+
+    def cleanup_solution(self, m, delta: float = 0.0, tol: float = 0.0):
+        """Null-space walk reducing the number of active groups without
+        worsening the max variance (reference mosap.py:125-210)."""
+        from scipy.linalg import null_space
+
+        m = np.asarray(m, dtype=float).copy()
+        N, L, w, No = self.N, self.L, self.costs, self.n_outputs
+        E = np.vstack(self._e_rows())
+
+        idx = np.where(m > tol)[0]
+        V0 = max(self.variances(m, delta=delta))
+        V = V0
+        it = 0
+        nullsize = -1
+        if self.verbose:
+            print("Solution cleanup started: nnz=%d, variance=%e" % (len(idx), V))
+        while len(idx) > N:
+            idx = np.where(m > tol)[0]
+            m[m < tol] = 0
+            wr = w[idx]
+            Er = E[:, idx]
+            it += 1
+
+            X = self.get_cleanup_matrices(m, delta=delta)[:, idx]
+            NN = null_space(X)
+            vals = wr @ NN
+            signs = np.sign(vals)
+            NN[:, signs > 0] *= -1
+            vals[signs > 0] *= -1
+            NN = NN[:, np.abs(signs) > 0]
+            vals = vals[np.abs(signs) > 0]
+            order = np.argsort(np.abs(vals))[::-1]
+            nullsize = len(vals)
+            if nullsize == 0:
+                break
+            em = Er @ m[idx]
+
+            smax = 0.0
+            for j in range(nullsize):
+                t = NN[:, order[j]]
+                evals = Er @ t
+                neg = np.where(evals < 0)[0]
+                smax1 = np.inf if len(neg) == 0 else \
+                    np.min(np.abs(em[neg] - 1) / np.abs(evals[neg]))
+                neg = np.where(t < 0)[0]
+                smax2 = np.inf if len(neg) == 0 else \
+                    np.min(m[idx][neg] / np.abs(t[neg]))
+                smax = max(min(smax1, smax2), 0.0)
+                if smax > 5 * tol:
+                    tt = np.zeros_like(m)
+                    tt[idx] = t
+                    mnew = m + smax * tt
+                    Vn = max(self.variances(mnew, delta=delta))
+                    if Vn < V0 or abs(Vn - V0) / abs(V0) < 1.0e-4:
+                        m = mnew
+                        V = Vn
+                        break
+                    smax = 0.0
+            if smax <= 5 * tol:
+                break
+
+        m[m < tol] = 0
+        if self.verbose:
+            print("Solution cleanup done: nnz=%d, variance=%e"
+                  % (int(np.sum(m > tol)), max(self.variances(m, delta=delta))))
+        return m
+
+    # ------------------------ integer projection ----------------------- #
+
+    def integer_projection(self, samples, budget=None, eps=None,
+                           max_model_samples=None):
+        """(reference mosap.py:212-289)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if self.verbose:
+            print("Integer projection...")
+
+        ss = np.asarray(samples, dtype=float).copy()
+        ES, rhs = self.get_max_sample_constraints(max_model_samples)
+        psis = [s.psi for s in self.SAPS]
+
+        out, fval = best_integer_blue_multi(
+            ss, psis, self.costs, self.e, self.mappings,
+            budget=budget, eps=eps, max_samples_info=(ES, rhs))
+
+        css = None
+        if np.isinf(fval):
+            if self.verbose:
+                print("Integer projection failed; trying cleanup...")
+            css = self.cleanup_solution(ss.copy())
+            out, fval = best_integer_blue_multi(
+                css, psis, self.costs, self.e, self.mappings,
+                budget=budget, eps=eps, max_samples_info=(ES, rhs))
+
+        if np.isinf(fval):
+            for i in reversed(range(4)):
+                fac = 10.0 ** -i
+                nb = None if budget is None else budget * (1 + fac)
+                ne = None if eps is None else np.sqrt(np.asarray(eps) ** 2 * (1 + fac))
+                if self.verbose:
+                    print("WARNING! Increasing tolerance/budget by %g." % (1 + fac))
+                out, fval = best_integer_blue_multi(
+                    ss, psis, self.costs, self.e, self.mappings,
+                    budget=nb, eps=ne, max_samples_info=(ES, rhs))
+                if np.isinf(fval):
+                    out, fval = best_integer_blue_multi(
+                        css, psis, self.costs, self.e, self.mappings,
+                        budget=nb, eps=ne, max_samples_info=(ES, rhs))
+                if not np.isinf(fval):
+                    break
+
+        if np.isinf(fval):
+            out = self._round_fallback(ss, css, budget, eps, ES, rhs,
+                                       max_model_samples)
+
+        return np.asarray(out, dtype=np.int64)
+
+    def _round_fallback(self, ss, css, budget, eps, ES, rhs,
+                        max_model_samples):
+        """Last-resort rounding (reference mosap.py:249-287)."""
+        if css is None:
+            css = ss
+        ssf, ssc = np.floor(ss), np.ceil(ss)
+        cssf, cssc = np.floor(css), np.ceil(css)
+        var_ss = max(self.variances(ssc))
+        var_css = max(self.variances(cssc))
+        cost_ss = ssc @ self.costs
+        cost_css = cssc @ self.costs
+
+        if max_model_samples is not None:
+            if all(ssc @ ees <= rr for ees, rr in zip(ES, rhs)):
+                return ssc
+            if all(cssc @ ees <= rr for ees, rr in zip(ES, rhs)):
+                return cssc
+            for cand in (ssf, cssf):
+                if all(cand[self.mappings[n]] @ self.e[self.mappings[n]] >= 1
+                       for n in range(self.n_outputs)):
+                    return cand
+        if eps is None:
+            return ssc if cost_ss < cost_css else cssc
+        return ssc if var_ss < var_css else cssc
+
+    # ------------------------ estimator assembly ----------------------- #
+
+    def compute_BLUE_estimators(self, sums, samples):
+        """(mus, Vars) per output (reference mosap.py:113-123)."""
+        samples = np.asarray(samples, dtype=float)
+        mus, Vs = [], []
+        for n in range(self.n_outputs):
+            sums_n = [sums[n][g] for g in self.mappings[n]]
+            mu, v = self.SAPS[n].compute_BLUE_estimator(
+                sums_n, samples=samples[self.mappings[n]])
+            mus.append(mu)
+            Vs.append(v)
+        return mus, np.array(Vs)

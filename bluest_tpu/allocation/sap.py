@@ -1,0 +1,296 @@
+"""Single-output sample allocation problem (SAP).
+
+Rebuild of the reference SAP class (sap.py:52-456): holds the group
+structure and per-group inverse covariance blocks, exposes variance /
+gradient / Hessian closures (jitted, core.psi), solves the continuous
+allocation problem with the JAX interior-point SDP (default) or a scipy
+trust-constr NLP (validation path), then rounds with the corner search.
+
+Divergence from the reference, on purpose: the tolerance-increase rung of
+the integer-projection fallback ladder actually passes the increased
+budget/eps (the reference recomputes them but passes the originals,
+sap.py:170-171 -- a no-op rung)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.groups import GroupStructure
+from ..core import psi as psimod
+from ..solvers.sdp import solve_cone_lp
+from ..solvers.integer import best_integer_blue
+from . import cones
+
+_OK_STATUSES = ("optimal", "inaccurate")
+
+
+class SAP:
+    """Sample Allocation Problem for one output.
+
+    Parameters mirror the reference (sap.py:53): ``C`` is the model
+    covariance, ``groups`` a list of per-size-class group lists, ``costs``
+    the per-group sampling costs.
+    """
+
+    def __init__(self, C: np.ndarray, K: int,
+                 groups: Sequence[Sequence[Sequence[int]]],
+                 costs: np.ndarray, verbose: bool = False):
+        self.verbose = verbose
+        self.C = np.asarray(C, dtype=float)
+        self.N = self.C.shape[0]
+        self.K = K
+        self.costs = np.asarray(costs, dtype=float)
+
+        self.gs = GroupStructure(self.N, groups, C=self.C)
+        self.data = psimod.GroupData.build(self.gs)
+        self.psi = np.asarray(self.data.psi)
+
+        self.sizes = self.gs.sizes
+        self.cumsizes = self.gs.cumsizes
+        self.L = self.gs.L
+        self.flattened_groups = list(self.gs.flat_groups)
+        self.ES = [self.gs.ES[i] for i in range(self.N)]
+        self.e = self.gs.e
+
+        self.samples = None
+        self.budget = None
+        self.eps = None
+        self.tot_cost = None
+
+    # ------------------------- variance closures ---------------------- #
+
+    def variance(self, m, delta: float = 0.0) -> float:
+        m = np.asarray(m, dtype=float)
+        if np.abs(m).max() < 0.05:
+            return np.inf
+        try:
+            return psimod.host_variance(self.gs, self.psi, m, delta=delta)
+        except AssertionError:
+            raise
+        except np.linalg.LinAlgError:
+            return float(psimod.variance(self.data, jnp.asarray(m), delta))
+
+    def variance_GH(self, m, delta: float = 0.0, nohess: bool = False):
+        m = np.asarray(m, dtype=float)
+        if np.abs(m).max() < 0.05:
+            return np.inf, np.inf * np.ones(self.L), None
+        v, g, H = psimod.variance_grad_hess(self.data, jnp.asarray(m),
+                                            delta=delta, nohess=nohess)
+        return (float(v), np.asarray(g),
+                None if H is None else np.asarray(H))
+
+    def get_cleanup_matrix(self, m, delta: float = 0.0) -> np.ndarray:
+        return np.asarray(psimod.cleanup_matrix(self.data, jnp.asarray(
+            np.asarray(m, dtype=float)), delta))
+
+    def get_phi(self, m, delta: float = 0.0) -> np.ndarray:
+        return np.asarray(psimod.phi_of_m(self.data.psi,
+                                          jnp.asarray(np.asarray(m, float)),
+                                          delta))
+
+    # --------------------------- constraints -------------------------- #
+
+    def get_max_sample_constraints(self, max_model_samples):
+        """(reference sap.py:222-240)"""
+        if max_model_samples is None:
+            return [], []
+        max_model_samples = np.asarray(max_model_samples)
+        if max_model_samples.shape != (self.N,):
+            raise ValueError("max_model_samples must have one entry per model")
+        if max_model_samples[0] < 1:
+            raise ValueError("The high-fidelity model must be sampled at least once.")
+        es, rhs = [], []
+        for i in range(self.N):
+            if np.isfinite(max_model_samples[i]):
+                es.append(self.ES[i])
+                rhs.append(int(round(max_model_samples[i])))
+        return es, rhs
+
+    # ----------------------------- solvers ---------------------------- #
+
+    def solve(self, budget: Optional[float] = None, eps: Optional[float] = None,
+              solver: str = "sdp", x0=None, continuous_relaxation: bool = False,
+              max_model_samples=None, solver_params: Optional[dict] = None):
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        # reference solver names map onto ours: its cvxopt/cvxpy SDP paths
+        # are served by the JAX IPM
+        if solver in ("cvxopt", "cvxpy", "sdp"):
+            samples = self.sdp_solve(budget=budget, eps=eps,
+                                     max_model_samples=max_model_samples,
+                                     solver_params=solver_params)
+        elif solver in ("scipy", "ipopt"):
+            samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
+                                       max_model_samples=max_model_samples)
+        else:
+            raise ValueError("solvers available: 'sdp' (default), 'scipy'")
+
+        if samples is None:
+            self.samples = None
+            return None
+
+        if not continuous_relaxation:
+            try:
+                samples = self.integer_projection(
+                    samples, budget=budget, eps=eps,
+                    max_model_samples=max_model_samples)
+            except AssertionError as exc:
+                if self.verbose:
+                    print(str(exc))
+                self.samples = None
+                return None
+
+        self.samples = samples
+        self.budget = budget
+        self.eps = eps
+        self.tot_cost = samples @ self.costs
+        return samples
+
+    def sdp_solve(self, budget=None, eps=None, max_model_samples=None,
+                  solver_params=None):
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+        params = dict(tol=1e-8, feastol=1e-8, max_iter=100)
+        if solver_params:
+            params.update({k: v for k, v in solver_params.items()
+                           if k in ("tol", "feastol", "max_iter")})
+        mapping = [np.arange(self.L)]
+        if budget is not None:
+            c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
+                [self.psi], mapping, self.L, self.costs, [self.e],
+                budget, es, rhs)
+            res = solve_cone_lp(c, Gl, hl, As, Hs,
+                                verbose=self.verbose, **params)
+            if res.status not in _OK_STATUSES:
+                return None
+            return np.maximum(res.x[1:], 0) * budget
+        else:
+            c, Gl, hl, As, Hs, scales = cones.build_eps_sdp(
+                [self.psi], mapping, self.L, self.costs, [self.e],
+                np.array([eps]), 1.0, es, rhs)
+            res = solve_cone_lp(c, Gl, hl, As, Hs,
+                                verbose=self.verbose, **params)
+            if res.status not in _OK_STATUSES:
+                return None
+            return np.maximum(res.x, 0)
+
+    def scipy_solve(self, budget=None, eps=None, x0=None,
+                    max_model_samples=None):
+        """Host NLP path mirroring the reference (sap.py:387-418), with our
+        jitted variance/grad/Hessian."""
+        from scipy.optimize import minimize, LinearConstraint, \
+            NonlinearConstraint, Bounds
+
+        L = self.L
+        w = self.costs
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+        rng = np.random.default_rng(0)
+
+        bounds = Bounds(np.zeros(L), np.inf * np.ones(L), keep_feasible=True)
+        lc_e = LinearConstraint(self.e, 1, np.inf, keep_feasible=True)
+        lc_max = [LinearConstraint(ee, -np.inf, rr) for ee, rr in zip(es, rhs)]
+        if budget is not None:
+            lc_b = LinearConstraint(w, -np.inf, budget)
+            if x0 is None:
+                x0 = np.full(L, budget / w.sum())
+            r = minimize(lambda x: self.variance_GH(x, nohess=True)[:2],
+                         x0, jac=True,
+                         hess=lambda x: self.variance_GH(x)[2],
+                         bounds=bounds,
+                         constraints=[lc_b, lc_e] + lc_max,
+                         method="trust-constr",
+                         options={"maxiter": 1000,
+                                  "verbose": 3 * int(self.verbose)},
+                         tol=1e-8)
+        else:
+            epsq = eps ** 2
+            nl = NonlinearConstraint(
+                lambda x: self.variance(x), epsq, epsq,
+                jac=lambda x: self.variance_GH(x, nohess=True)[1],
+                hess=lambda x, p: self.variance_GH(x)[2] * p)
+            if x0 is None:
+                x0 = np.ceil(eps ** -2 * rng.random(L))
+            wn = w / np.linalg.norm(w)
+            r = minimize(lambda x: (wn @ x, wn), x0, jac=True,
+                         hessp=lambda x, p: np.zeros(L),
+                         bounds=bounds, constraints=[nl, lc_e] + lc_max,
+                         method="trust-constr",
+                         options={"maxiter": 1000,
+                                  "verbose": 3 * int(self.verbose)},
+                         tol=1e-10)
+        return r.x
+
+    # ------------------------ integer projection ---------------------- #
+
+    def integer_projection(self, samples, budget=None, eps=None,
+                           max_model_samples=None):
+        """(reference sap.py:145-187; ladder bug fixed, see module doc)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if self.verbose:
+            print("Integer projection...")
+
+        ss = np.asarray(samples, dtype=float).copy()
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+
+        out, fval = best_integer_blue(ss, self.psi, self.costs, self.e,
+                                      budget=budget, eps=eps,
+                                      max_samples_info=(es, rhs))
+
+        if np.isinf(fval):
+            for i in reversed(range(4)):
+                fac = 10.0 ** -i
+                nb = None if budget is None else budget * (1 + fac)
+                ne = None if eps is None else float(np.sqrt(eps ** 2 * (1 + fac)))
+                if self.verbose:
+                    print("WARNING! No feasible integer solution; increasing "
+                          "tolerance/budget by factor %g." % (1 + fac))
+                out, fval = best_integer_blue(ss, self.psi, self.costs,
+                                              self.e, budget=nb, eps=ne,
+                                              max_samples_info=(es, rhs))
+                if not np.isinf(fval):
+                    break
+
+        if np.isinf(fval):
+            if max_model_samples is not None and not all(
+                    np.ceil(ss) @ ee <= rr for ee, rr in zip(es, rhs)):
+                out = np.floor(ss)
+                if out @ self.e < 1.0:
+                    out = np.ceil(ss)
+                if self.verbose:
+                    print("WARNING! Rounding to satisfy constraints.")
+            else:
+                if self.verbose:
+                    print("WARNING! No feasible integer solution found; "
+                          "rounding up.")
+                out = np.ceil(ss)
+
+        return np.asarray(out, dtype=np.int64)
+
+    # ------------------------- estimator assembly --------------------- #
+
+    def compute_BLUE_estimator(self, sums, samples=None):
+        """(mu, var) from per-group sample sums (reference sap.py:99-119).
+        ``sums[g]`` is the length-|group g| list of model sums; entries may
+        be scalars or arrays (vector-valued outputs)."""
+        if samples is None:
+            samples = self.samples
+        samples = np.asarray(samples, dtype=float)
+
+        y = [0.0 for _ in range(self.N)]
+        gidx = 0
+        for k in range(1, self.K + 1):
+            groups_k = self.gs.groups[k - 1]
+            ics = self.gs.invcovs[k - 1]
+            for i in range(groups_k.shape[0]):
+                s = sums[gidx]
+                for j in range(k):
+                    acc = 0.0
+                    for l in range(k):
+                        acc = acc + ics[i, j, l] * s[l]
+                    y[groups_k[i, j]] = y[groups_k[i, j]] + acc
+                gidx += 1
+
+        return psimod.host_estimator(self.gs, self.psi, samples, y)

@@ -77,9 +77,7 @@ def assemble_psi(M: int, onehots, invcovs) -> jnp.ndarray:
 def phi_of_m(psi: jnp.ndarray, m: jnp.ndarray, delta: float = 0.0) -> jnp.ndarray:
     M = int(round(np.sqrt(psi.shape[0])))
     PHI = (psi @ m).reshape(M, M)
-    if delta:
-        PHI = PHI + delta * jnp.eye(M, dtype=PHI.dtype)
-    return PHI
+    return PHI + delta * jnp.eye(M, dtype=PHI.dtype)
 
 
 def _pinv_h(A: jnp.ndarray, rcond: float = 1.0e-12) -> jnp.ndarray:

@@ -59,25 +59,29 @@ def _sym(A):
     return (A + jnp.swapaxes(A, -1, -2)) / 2
 
 
-def _chol_solve(H, rhs, jitter):
+def _chol_solve(H, rhs, jitter=1e-14):
+    """SPD solve with symmetric diagonal equilibration.
+
+    The IPM normal matrix mixes (W^T W)^{-1} scales spanning ~1/mu^2, so a
+    trace-proportional ridge would wipe out the small-curvature directions
+    (exactly the active-constraint information).  Equilibrating to unit
+    diagonal first makes a ~1e-14 ridge scale-invariant and harmless.
+    """
     n = H.shape[0]
-    L = jnp.linalg.cholesky(H + jitter * jnp.eye(n, dtype=H.dtype))
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-    r = rhs - H @ x  # one step of iterative refinement
-    y = jax.scipy.linalg.solve_triangular(L, r, lower=True)
-    return x + jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    d = jnp.sqrt(jnp.clip(jnp.diag(H), 1e-300, None))
+    Hs = H / d[:, None] / d[None, :]
+    L = jnp.linalg.cholesky(Hs + jitter * jnp.eye(n, dtype=H.dtype))
+
+    def solve(b):
+        bs = b / d
+        y = jax.scipy.linalg.solve_triangular(L, bs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / d
+
+    x = solve(rhs)
+    return x + solve(rhs - H @ x)  # one step of iterative refinement
 
 
 # --------------------- batched PSD cone primitives ----------------------- #
-
-def _psd_sqrt_invsqrt(A):
-    w, V = jnp.linalg.eigh(A)
-    w = jnp.maximum(w, 1e-300)
-    sq = jnp.einsum('bij,bj,bkj->bik', V, jnp.sqrt(w), V)
-    isq = jnp.einsum('bij,bj,bkj->bik', V, 1.0 / jnp.sqrt(w), V)
-    return sq, isq
-
 
 def _psd_inv(A):
     w, V = jnp.linalg.eigh(A)
@@ -86,16 +90,25 @@ def _psd_inv(A):
 
 
 def _nt_scaling(S, Z):
-    """Batched NT scaling: T with T Z T = S, and T^{-1}."""
-    Shalf, Sinvhalf = _psd_sqrt_invsqrt(S)
-    B = _sym(Shalf @ Z @ Shalf)
-    w, V = jnp.linalg.eigh(B)
-    w = jnp.maximum(w, 1e-300)
-    Binvhalf = jnp.einsum('bij,bj,bkj->bik', V, 1.0 / jnp.sqrt(w), V)
-    Bhalf = jnp.einsum('bij,bj,bkj->bik', V, jnp.sqrt(w), V)
-    T = _sym(Shalf @ Binvhalf @ Shalf)
-    Tinv = _sym(Sinvhalf @ Bhalf @ Sinvhalf)
-    return T, Tinv
+    """Batched NT scaling via the Todd-Toh-Tutuncu recipe.
+
+    With L_s = chol(S), L_z = chol(Z) and SVD L_s^T L_z = U Sig V^T, the
+    factor R = L_s U Sig^{-1/2} satisfies R^T Z R = R^{-1} S R^{-T} = Sig
+    (the diagonal scaled point lambda).  Returns (Tinv, R, Rinv, lam) with
+    T = R R^T the metric geometric mean (T Z T = S).
+    """
+    Ls = jnp.linalg.cholesky(S)
+    Lz = jnp.linalg.cholesky(Z)
+    M = jnp.swapaxes(Ls, -1, -2) @ Lz
+    U, sig, Vt = jnp.linalg.svd(M)
+    sig = jnp.maximum(sig, 1e-300)
+    R = (Ls @ U) / jnp.sqrt(sig)[:, None, :]
+    # R^{-1} = Sig^{1/2} U^T L_s^{-1}: compute U^T L_s^{-1} as (L_s^{-T} U)^T
+    LsTinvU = jax.vmap(lambda l, u: jax.scipy.linalg.solve_triangular(
+        l.T, u, lower=False))(Ls, U)
+    Rinv = jnp.sqrt(sig)[:, :, None] * jnp.swapaxes(LsTinvU, -1, -2)
+    Tinv = jnp.swapaxes(Rinv, -1, -2) @ Rinv
+    return _sym(Tinv), R, Rinv, sig
 
 
 def _max_step_psd(S, dS):
@@ -123,6 +136,7 @@ def solve_cone_lp(c: np.ndarray,
                   feastol: float = 1.0e-8,
                   max_iter: int = 100,
                   step_frac: float = 0.99,
+                  equilibrate: bool = False,
                   verbose: bool = False) -> ConeLPResult:
     """Solve  min c^T x  s.t.  Gl x <= hl,  sum_i x_i As[b,i] <= Hs[b].
 
@@ -137,6 +151,13 @@ def solve_cone_lp(c: np.ndarray,
     Gl_np = np.asarray(Gl, dtype=np.float64).reshape(-1, nx)
     hl_np = np.asarray(hl, dtype=np.float64).ravel()
     p = Gl_np.shape[0]
+    if p and equilibrate:
+        # row equilibration: G x <= h is invariant under positive row
+        # scaling; rows with extreme coefficient norms otherwise drive
+        # their dual variables to extreme scales.
+        rownorm = np.maximum(np.abs(Gl_np).max(axis=1), 1e-12)
+        Gl_np = Gl_np / rownorm[:, None]
+        hl_np = hl_np / rownorm
     if As is None:
         As = np.zeros((0, nx, 1, 1))
         Hs = np.zeros((0, 1, 1))
@@ -168,9 +189,8 @@ def solve_cone_lp(c: np.ndarray,
         hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
                                if nb else [hlj], axis=0)
         GtG = Gall.T @ Gall
-        jitter = 1e-12 * (1.0 + jnp.trace(GtG) / nx)
-        x0 = _chol_solve(GtG, Gall.T @ hall, jitter)
-        z_all = Gall @ _chol_solve(GtG, -cj, jitter)
+        x0 = _chol_solve(GtG, Gall.T @ hall)
+        z_all = Gall @ _chol_solve(GtG, -cj)
         s_lp = hlj - Glj @ x0
         S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
         z_lp = z_all[:p]
@@ -190,10 +210,8 @@ def solve_cone_lp(c: np.ndarray,
              .reshape(nb * n * n, nx)], axis=0)
     else:
         _Gall = Gl_np
-    _GtG = _Gall.T @ _Gall
-    _GtG_j = jnp.asarray(_GtG)
+    _GtG_j = jnp.asarray(_Gall.T @ _Gall)
     _Gall_j = jnp.asarray(_Gall)
-    _gtg_jitter = 1e-12 * (1.0 + float(np.trace(_GtG)) / nx)
 
     # shift initial points into the cone interior (cvxopt-style)
     def _shift_lp(v):
@@ -231,7 +249,7 @@ def solve_cone_lp(c: np.ndarray,
 
         d_lp = z_lp / s_lp if p else s_lp
         if nb:
-            T, Tinv = _nt_scaling(S, Z)
+            Tinv, Rnt, Rinv, lam = _nt_scaling(S, Z)
             Zinv = _psd_inv(Z)
             Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
             Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
@@ -239,7 +257,6 @@ def solve_cone_lp(c: np.ndarray,
                 Hmat = Hmat + (Glj.T * d_lp) @ Glj
         else:
             Hmat = (Glj.T * d_lp) @ Glj
-        jitter = 1e-13 * (1.0 + jnp.trace(Hmat) / nx)
 
         def direction(sigma_mu, corr_lp, corr_psd):
             rhs = -rd
@@ -252,7 +269,7 @@ def solve_cone_lp(c: np.ndarray,
                 t_psd = S - sigma_mu * Zinv + corr_psd
                 U = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Rp + t_psd, Tinv))
                 rhs = rhs + jnp.einsum('binm,bnm->i', Aj, U)
-            dx = _chol_solve(Hmat, rhs, jitter)
+            dx = _chol_solve(Hmat, rhs)
             if p:
                 ds_lp = rp_lp - Glj @ dx
                 dz_lp = d_lp * (Glj @ dx - rp_lp - t_lp)
@@ -269,45 +286,65 @@ def solve_cone_lp(c: np.ndarray,
                 dZ = Z
             return dx, ds_lp, dS, dz_lp, dZ
 
-        def max_step(ds_lp, dS, dz_lp, dZ):
-            a = jnp.inf
+        def max_steps(ds_lp, dS, dz_lp, dZ):
+            ap = ad = jnp.asarray(jnp.inf)
             if p:
-                a = jnp.minimum(_max_step_lp(s_lp, ds_lp),
-                                _max_step_lp(z_lp, dz_lp))
+                ap = _max_step_lp(s_lp, ds_lp)
+                ad = _max_step_lp(z_lp, dz_lp)
             if nb:
-                a = jnp.minimum(a, jnp.minimum(_max_step_psd(S, dS),
-                                               _max_step_psd(Z, dZ)))
-            return a
+                ap = jnp.minimum(ap, _max_step_psd(S, dS))
+                ad = jnp.minimum(ad, _max_step_psd(Z, dZ))
+            return ap, ad
 
         # predictor (affine)
         zero_psd = jnp.zeros_like(S) if nb else S
         zero_lp = jnp.zeros_like(s_lp)
         dxa, dsa_lp, dSa, dza_lp, dZa = direction(0.0, zero_lp, zero_psd)
-        a_aff = jnp.minimum(1.0, max_step(dsa_lp, dSa, dza_lp, dZa))
+        ap_a, ad_a = max_steps(dsa_lp, dSa, dza_lp, dZa)
+        ap_a = jnp.minimum(1.0, ap_a)
+        ad_a = jnp.minimum(1.0, ad_a)
 
-        gap_aff = ((s_lp + a_aff * dsa_lp) @ (z_lp + a_aff * dza_lp) if p else 0.0)
+        gap_aff = ((s_lp + ap_a * dsa_lp) @ (z_lp + ad_a * dza_lp) if p else 0.0)
         if nb:
-            gap_aff = gap_aff + jnp.sum((S + a_aff * dSa) * (Z + a_aff * dZa))
-        sigma = jnp.clip((gap_aff / gap) ** 3, 0.0, 1.0)
+            gap_aff = gap_aff + jnp.sum((S + ap_a * dSa) * (Z + ad_a * dZa))
+        sigma = jnp.clip((gap_aff / gap) ** 3, 1e-8, 1.0)
 
-        # corrector
+        # Mehrotra second-order correction, LP cone
         corr_lp = dsa_lp * dza_lp / z_lp if p else zero_lp
-        dx, ds_lp, dS, dz_lp, dZ = direction(sigma * mu, corr_lp, zero_psd)
-        a = jnp.minimum(1.0, step_frac * max_step(ds_lp, dS, dz_lp, dZ))
+        # ... and PSD cones: corr = W^T( lam o^{-1} [(W^-T dS) o (W dZ)] )
+        # with lam diagonal so (lam o X)_{ij} = (lam_i + lam_j)/2 X_{ij}
+        if nb:
+            dSs = Rinv @ dSa @ jnp.swapaxes(Rinv, -1, -2)       # W^{-T} dS
+            dZs = jnp.swapaxes(Rnt, -1, -2) @ dZa @ Rnt         # W dZ
+            Q = _sym(dSs @ dZs)
+            denom = (lam[:, :, None] + lam[:, None, :]) / 2.0
+            X = Q / denom
+            corr_psd = _sym(Rnt @ X @ jnp.swapaxes(Rnt, -1, -2))
+        else:
+            corr_psd = zero_psd
 
-        x_n = x + a * dx
-        s_lp_n = s_lp + a * ds_lp
-        z_lp_n = z_lp + a * dz_lp
-        S_n = _sym(S + a * dS) if nb else S
-        Z_n = _sym(Z + a * dZ) if nb else Z
+        dx, ds_lp, dS, dz_lp, dZ = direction(sigma * mu, corr_lp, corr_psd)
+        ap, ad = max_steps(ds_lp, dS, dz_lp, dZ)
+        ap = jnp.minimum(1.0, step_frac * ap)
+        ad = jnp.minimum(1.0, step_frac * ad)
+        a = jnp.minimum(ap, ad)
+
+        x_n = x + ap * dx
+        s_lp_n = s_lp + ap * ds_lp
+        z_lp_n = z_lp + ad * dz_lp
+        S_n = _sym(S + ap * dS) if nb else S
+        Z_n = _sym(Z + ad * dZ) if nb else Z
 
         # dual cleanup: minimum-norm correction restoring G^T z = -c,
         # applied only when it keeps z strictly inside the cone
         rd_n = cj + (Glj.T @ z_lp_n if p else 0.0)
         if nb:
             rd_n = rd_n + jnp.einsum('binm,bnm->i', Aj, Z_n)
-        delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n, _gtg_jitter))
-        beta = jnp.asarray(1.0)
+        delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n))
+        # polish only once the dual residual is already small relative to
+        # the data -- a large projection mid-run throws the iterate off the
+        # central path and stalls the method
+        beta = jnp.where(jnp.linalg.norm(rd_n) < 1e-4 * cnorm, 1.0, 0.0)
         if p:
             beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp_n, delta[:p]))
         if nb:

@@ -1,0 +1,149 @@
+"""SAP / MOSAP allocation tests, modeled on the reference's SAP self-test
+(sap.py:458-497): solver agreement, constraint satisfaction, budget/eps
+mode consistency."""
+
+import numpy as np
+import pytest
+from itertools import combinations
+
+from bluest_tpu.allocation import SAP, MOSAP
+
+
+def make_sap(M=6, K=3, seed=0, verbose=False):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((M, M))
+    C = A @ A.T + M * np.eye(M)
+    groups = [[list(c) for c in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    L = sum(len(g) for g in groups)
+    costs = 1.0 + 5 * np.arange(L)[::-1].astype(float)
+    return SAP(C, K, groups, costs, verbose=verbose), C, costs
+
+
+def test_sap_budget_sdp_vs_scipy():
+    sap, C, costs = make_sap(M=5, K=2)
+    budget = 100 * costs.sum()
+    m_sdp = sap.solve(budget=budget, solver="sdp", continuous_relaxation=True)
+    m_sci = sap.solve(budget=budget, solver="scipy", continuous_relaxation=True)
+    v_sdp = sap.variance(m_sdp)
+    v_sci = sap.variance(m_sci)
+    assert m_sdp @ costs <= budget * (1 + 1e-6)
+    np.testing.assert_allclose(v_sdp, v_sci, rtol=1e-3)
+    assert v_sdp <= v_sci * (1 + 1e-6)  # SDP should not be worse
+
+
+def test_sap_eps_mode_meets_tolerance():
+    sap, C, costs = make_sap(M=5, K=2)
+    eps = np.sqrt(C[0, 0]) / 50
+    m = sap.solve(eps=eps, solver="sdp")
+    assert m is not None
+    v = sap.variance(m.astype(float))
+    assert v <= (1.001 * eps) ** 2 * 1.0001
+    assert sap.tot_cost == m @ costs
+
+
+def test_sap_budget_integer_projection():
+    sap, C, costs = make_sap(M=5, K=2)
+    budget = 100 * costs.sum()
+    m = sap.solve(budget=budget, solver="sdp")
+    assert m is not None
+    assert m.dtype == np.int64
+    assert m @ costs <= budget * 1.0002
+    assert m @ sap.e >= 1
+
+
+def test_sap_max_model_samples():
+    sap, C, costs = make_sap(M=6, K=3)
+    budget = 100 * costs.sum()
+    mms = np.inf * np.ones(6)
+    mms[-2:] = [10.0, 100.0]
+    m = sap.solve(budget=budget, max_model_samples=mms, solver="sdp")
+    assert m is not None
+    es, rhs = sap.get_max_sample_constraints(mms)
+    for ee, rr in zip(es, rhs):
+        assert m @ ee <= rr
+
+
+def make_mosap(M=5, K=2, No=2, seed=0, verbose=False):
+    rng = np.random.default_rng(seed)
+    Cs = []
+    for n in range(No):
+        A = rng.standard_normal((M, M))
+        Cs.append(A @ A.T + M * np.eye(M))
+    groups = [[list(c) for c in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    multi_groups = [[list(gk) for gk in groups] for n in range(No)]
+    w_model = np.array([2.0 ** (M - i) for i in range(M)])
+    costs = np.array([w_model[list(g)].sum() for gk in groups for g in gk])
+    multi_costs = [costs.copy() for n in range(No)]
+    Ks = [K] * No
+    return (MOSAP(Cs, K, Ks, [list(g) for g in groups], multi_groups,
+                  costs, multi_costs, verbose=verbose), Cs, costs)
+
+
+def test_mosap_mappings_identity_when_same_groups():
+    mosap, Cs, costs = make_mosap()
+    for mp in mosap.mappings:
+        np.testing.assert_array_equal(mp, np.arange(mosap.L))
+
+
+def test_mosap_budget_solve():
+    mosap, Cs, costs = make_mosap()
+    budget = 200 * max(costs)
+    m = mosap.solve(budget=budget, solver="sdp")
+    assert m is not None
+    assert m @ costs <= budget * 1.0002
+    Vs = mosap.variances(m.astype(float))
+    assert all(np.isfinite(Vs))
+    # per-output SAP samples were installed
+    for n in range(mosap.n_outputs):
+        np.testing.assert_array_equal(mosap.SAPS[n].samples,
+                                      m[mosap.mappings[n]])
+
+
+def test_mosap_eps_solve_meets_tolerances():
+    mosap, Cs, costs = make_mosap()
+    eps = [np.sqrt(Cs[n][0, 0]) / 30 for n in range(2)]
+    m = mosap.solve(eps=eps, solver="sdp")
+    assert m is not None
+    Vs = mosap.variances(m.astype(float))
+    for n in range(2):
+        assert Vs[n] <= (eps[n] ** 2) * 1.01
+
+
+def test_mosap_budget_sdp_vs_scipy():
+    mosap, Cs, costs = make_mosap(M=4, K=2)
+    budget = 100 * max(costs)
+    m_sdp = mosap.solve(budget=budget, solver="sdp",
+                        continuous_relaxation=True)
+    v_sdp = max(mosap.variances(m_sdp))
+    m_sci = mosap.solve(budget=budget, solver="scipy",
+                        continuous_relaxation=True)
+    v_sci = max(mosap.variances(m_sci))
+    np.testing.assert_allclose(v_sdp, v_sci, rtol=1e-2)
+    assert v_sdp <= v_sci * (1 + 1e-4)
+
+
+def test_mosap_cleanup_reduces_support():
+    mosap, Cs, costs = make_mosap(M=5, K=2)
+    budget = 500 * max(costs)
+    m = mosap.solve(budget=budget, solver="sdp", continuous_relaxation=True)
+    nnz_before = int(np.sum(m > 1e-9))
+    mc = mosap.cleanup_solution(m.copy())
+    V0 = max(mosap.variances(m))
+    V1 = max(mosap.variances(mc))
+    assert V1 <= V0 * (1 + 2e-4)
+    assert int(np.sum(mc > 1e-9)) <= nnz_before
+
+
+def test_mosap_estimator_assembly():
+    mosap, Cs, costs = make_mosap(M=4, K=2)
+    budget = 100 * max(costs)
+    m = mosap.solve(budget=budget, solver="sdp")
+    rng = np.random.default_rng(3)
+    sums = [[rng.standard_normal(len(g)) * max(int(mi), 1)
+             for g, mi in zip(mosap.flattened_groups, m)]
+            for n in range(2)]
+    mus, Vs = mosap.compute_BLUE_estimators(sums, m)
+    assert len(mus) == 2 and Vs.shape == (2,)
+    assert all(np.isfinite(Vs))
