@@ -9,4 +9,10 @@ replacing NaN/inf sentinel graphs.
 
 from . import config  # noqa: F401  (enables x64 before anything else)
 
+from .sampling.host_engine import blue_fn
+from .allocation import SAP, MOSAP, BLUESTError
+from .problem import BLUEProblem
+
 __version__ = "0.1.0"
+__all__ = ["blue_fn", "SAP", "MOSAP", "BLUESTError", "BLUEProblem",
+           "__version__"]

@@ -143,6 +143,14 @@ class MOSAP:
         else:
             raise ValueError("solvers available: 'sdp' (default), 'scipy'")
 
+        if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
+            # robustness fallback: the host NLP solves instances the IPM
+            # stalls on (and vice versa)
+            if self.verbose:
+                print("SDP solver failed; falling back to scipy NLP...")
+            samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
+                                       max_model_samples=max_model_samples)
+
         if samples is None:
             self.samples = None
             return None

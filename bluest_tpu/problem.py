@@ -1,0 +1,943 @@
+"""BLUEProblem: the user-facing orchestration class.
+
+Keeps the reference API surface (blue_models.py:42-978) -- construction
+runs pilot covariance/cost estimation, ``setup_*`` methods run allocation
+optimization, ``solve*`` methods run the sampling loop and assemble the
+estimators -- with the internals rebuilt TPU-first:
+
+  * model graphs    -> mask-based CovarianceGraph (graph/covariance.py)
+  * networkx        -> bitmask cliques (graph/cliques.py)
+  * cvxopt/cvxpy    -> JAX interior-point SDP (solvers/sdp.py)
+  * spg.py          -> on-device SPG + eigh projection (linalg/)
+  * mpi4py blue_fn  -> vmapped/shard_mapped device engine with psum
+                       (sampling/jax_engine.py), host loop for black-box
+                       models (sampling/host_engine.py)
+
+There is no rank-0/broadcast asymmetry: computation is single-controller
+(JAX) and every process sees the same results by construction.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from time import time
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .allocation import MOSAP, BLUESTError
+from .estimators.closed_forms import (mlmc_allocation, mfmc_allocation,
+                                      mfmc_check)
+from .graph import CovarianceGraph, cliques
+from .linalg.spd import (mark_uncorrelated, project_covariance_full,
+                         project_covariance_masked)
+from .parallel.mesh import sample_mesh
+from .sampling import host_engine, jax_engine
+
+spg_default_params = {
+    "maxit": 10000,
+    "max_fevals": 10000 ** 2,
+    "verbose": False,
+    "spd_threshold": 5.0e-14,
+    "eps": 1.0e-10,
+    "lmbda_min": 10.0 ** -30,
+    "lmbda_max": 10.0 ** 30,
+    "linesearch_history_length": 10,
+}
+
+default_params = {
+    "verbose": True,
+    "comm": None,                      # accepted for API compat; unused
+    "remove_uncorrelated": True,
+    "optimization_solver": "sdp",
+    "covariance_estimation_samples": 100,
+    "sample_batch_size": 1,
+    "samplefile": None,
+    "outputs_to_save": None,
+    "skip_projection": False,
+    "spg_params": spg_default_params,
+    # TPU-native additions
+    "seed": 0,
+    "mesh": None,                      # None | "auto" | jax.sharding.Mesh
+    "device_batch_size": 4096,
+}
+
+
+class BLUEProblem:
+    def __init__(self, M: int, C=None, costs=None, mlmc_variances=None,
+                 datafile: Optional[str] = None, n_outputs: int = 1,
+                 **params):
+        """See reference blue_models.py:43-103.  ``C`` entries: NaN =
+        estimate from pilot samples, inf = models never coupled, 0 = known
+        uncorrelated, finite = known covariance."""
+        self.M = M
+        self.n_outputs = n_outputs
+
+        self.MOSAP = None
+        self.MOSAP_output = None
+
+        self.default_params = default_params
+        self.params = default_params.copy()
+        spg_params = spg_default_params.copy()
+        spg_params.update(params.get("spg_params", {}))
+        params["spg_params"] = spg_params
+        self.params.update(params)
+
+        self.verbose = self.params["verbose"]
+        self.warning = True
+
+        mesh = self.params["mesh"]
+        if mesh == "auto":
+            mesh = sample_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
+        self._engines = {}
+        self._base_key = jax.random.key(self.params["seed"])
+        self._call_counter = 0
+
+        if C is None:
+            C = [np.nan * np.ones((M, M)) for _ in range(n_outputs)]
+        if mlmc_variances is None:
+            dV = [np.nan * np.ones((M, M)) for _ in range(n_outputs)]
+        else:
+            dV = mlmc_variances
+
+        if datafile is not None:
+            self.load_graph_data(datafile, costs)
+            self.check_costs(warning=True)
+        else:
+            if not isinstance(C, (list, tuple)):
+                C = [C]
+            if not isinstance(dV, (list, tuple)):
+                dV = [dV]
+            self.G = [CovarianceGraph(np.array(C[n], dtype=float))
+                      for n in range(n_outputs)]
+            self.SG = [list(range(M)) for _ in range(n_outputs)]
+            self.dV = [np.array(dVn, dtype=float) for dVn in dV]
+            self.costs = (None if costs is None
+                          else np.asarray(costs, dtype=float))
+
+            if self.costs is None:
+                self.estimate_costs()
+            self.check_costs(warning=True)
+
+            self.estimate_missing_covariances(
+                int(self.params["covariance_estimation_samples"]))
+            if not self.params["skip_projection"]:
+                self.project_covariances()
+
+            self.check_graphs(
+                remove_uncorrelated=self.params["remove_uncorrelated"])
+
+        if self.verbose:
+            print("\nBLUE estimator ready.\n")
+
+    # ---------------- functions to be overloaded by the user ----------- #
+
+    def evaluate(self, ls, samples, N=1):
+        """Black-box evaluation: returns Ps[n][i] for output n, model ls[i]
+        (reference blue_models.py:108-110)."""
+        raise NotImplementedError
+
+    def sampler(self, ls, N=1):
+        """Black-box input sampler (reference blue_models.py:113-115)."""
+        raise NotImplementedError
+
+    def sampler_jax(self, key, ls):
+        """JAX-traceable sampler: key -> coupled samples for models ls.
+        Override together with evaluate_jax to enable the device engine."""
+        raise NotImplementedError
+
+    def evaluate_jax(self, ls, samples):
+        """JAX-traceable evaluation: returns an (n_outputs, len(ls)) array."""
+        raise NotImplementedError
+
+    def get_models_inner_products(self):
+        return [lambda a, b: a * b for _ in range(self.n_outputs)]
+
+    def get_comm(self):
+        """MPI compat hook; always None here (distribution is the mesh)."""
+        return None
+
+    # --------------------------- utilities ----------------------------- #
+
+    def _has_jax_model(self) -> bool:
+        cls = type(self)
+        return (cls.evaluate_jax is not BLUEProblem.evaluate_jax
+                and cls.sampler_jax is not BLUEProblem.sampler_jax)
+
+    def get_costs(self) -> np.ndarray:
+        return np.asarray(self.costs, dtype=float)
+
+    def get_group_costs(self, groups):
+        model_costs = self.get_costs()
+        return np.array([model_costs[list(g)].sum()
+                         for gk in groups for g in gk])
+
+    def check_costs(self, warning: bool = True):
+        costs = self.get_costs()
+        worse = []
+        if costs[0] != costs.max():
+            worse = list(np.where(costs > costs[0])[0])
+            msg = ("Model zero is not the most expensive model. The more "
+                   "expensive models are: %s" % worse)
+            if warning:
+                if self.verbose:
+                    print("WARNING! " + msg)
+            else:
+                raise ValueError(msg)
+        return worse
+
+    def get_mlmc_variances(self):
+        return self.dV
+
+    def get_mlmc_variance(self, n=0):
+        return self.dV[n]
+
+    def get_covariances(self):
+        return [self.get_covariance(n) for n in range(self.n_outputs)]
+
+    def get_covariance(self, n=0) -> np.ndarray:
+        return self.G[n].covariance()
+
+    def get_correlations(self):
+        return [self.get_correlation(n) for n in range(self.n_outputs)]
+
+    def get_correlation(self, n=0) -> np.ndarray:
+        return self.G[n].correlation()
+
+    def outer(self, a, b, inner):
+        L = len(a)
+        out = np.zeros((L, L))
+        for i in range(L):
+            for j in range(L):
+                out[i, j] = inner(a[i], b[j])
+        return out
+
+    # ------------------------ graph manipulation ----------------------- #
+
+    def reorder_all_graph_nodes(self, ordering=None):
+        for n in range(self.n_outputs):
+            self.reorder_graph_nodes(n, ordering=ordering)
+
+    def reorder_graph_nodes(self, n=0, ordering=None):
+        M = self.M
+        if ordering is None or (isinstance(ordering, str) and "asc" in ordering):
+            p = np.arange(M)
+        elif isinstance(ordering, str) and "desc" in ordering:
+            p = np.arange(M)[::-1]
+        elif isinstance(ordering, (list, np.ndarray)) and len(ordering) == M:
+            p = np.asarray(ordering, dtype=int)
+        else:
+            raise ValueError("ordering must be None, 'asc', 'desc' or a "
+                             "permutation of the model indices")
+        self.G[n].permute(p)
+        self.dV[n] = self.dV[n][np.ix_(p, p)]
+        if n == 0:
+            self.costs = self.costs[p]
+
+    def save_graph_data(self, filename: str):
+        """Reference-format npz (blue_models.py:265-271)."""
+        C_dict = {"C%d" % n: self.G[n].adjacency()
+                  for n in range(self.n_outputs)}
+        np.savez(filename, M=self.M, n_outputs=self.n_outputs,
+                 costs=self.get_costs(), **C_dict,
+                 SG=np.array(self.SG, dtype=object), dV=np.array(self.dV),
+                 allow_pickle=True)
+
+    def load_graph_data(self, filename: str, costs=None):
+        """(blue_models.py:273-299); loads reference-produced files too."""
+        data = dict(np.load(filename, allow_pickle=True))
+        if self.M != int(data["M"]) or self.n_outputs > int(data["n_outputs"]):
+            raise ValueError("Loaded data model/output count mismatch")
+        self.G = [CovarianceGraph.from_adjacency(data["C%d" % n])
+                  for n in range(self.n_outputs)]
+        self.costs = (np.asarray(costs, dtype=float) if costs is not None
+                      else np.asarray(data["costs"], dtype=float))
+        self.SG = [list(sg) for sg in data["SG"]][:self.n_outputs]
+        dV = data.get("dV", None)
+        if dV is None:
+            self.dV = [np.nan * np.ones((self.M, self.M))
+                       for _ in range(self.n_outputs)]
+        else:
+            self.dV = [np.array(dV[n]) for n in range(self.n_outputs)]
+
+    def check_graphs(self, remove_uncorrelated: bool = False):
+        for n in range(self.n_outputs):
+            self.check_graph(n, remove_uncorrelated=remove_uncorrelated)
+
+    def check_graph(self, n=0, remove_uncorrelated: bool = False):
+        warn = (lambda m: print("WARNING! " + m)) if self.verbose else None
+        self.G[n].check(remove_uncorrelated=remove_uncorrelated, warn=warn)
+        self.SG[n] = self.G[n].component
+
+    def _intersection_adjacency(self) -> np.ndarray:
+        adj = self.G[0].clique_adjacency().copy()
+        for n in range(1, self.n_outputs):
+            adj &= self.G[n].clique_adjacency()
+        return adj
+
+    # ---------------- covariance and cost estimation ------------------- #
+
+    def estimate_missing_covariances(self, N: int):
+        """(blue_models.py:326-346)"""
+        ls = sorted(set().union(*[set(self.G[n].missing_rows())
+                                  for n in range(self.n_outputs)]))
+        if len(ls) == 0:
+            return
+        if self.verbose:
+            print("Covariance estimation with %d samples..." % N)
+        sumse, sumsc, cost, sumsd1, sumsd2 = self.blue_fn(
+            ls, N, compute_mlmc_differences=True)
+        inners = self.get_models_inner_products()
+        C_hat = [np.asarray(sumsc[n]) / N
+                 - self.outer(sumse[n], sumse[n], inners[n]) / N ** 2
+                 for n in range(self.n_outputs)]
+
+        for n in range(self.n_outputs):
+            for a in range(len(ls)):
+                for b in range(a + 1, len(ls)):
+                    i, j = ls[a], ls[b]
+                    if not np.isfinite(self.dV[n][i, j]):
+                        d1 = np.asarray(sumsd1[n][a][b]) / N
+                        self.dV[n][i, j] = (np.asarray(sumsd2[n][a][b]) / N
+                                            - inners[n](d1, d1))
+
+        for n in range(self.n_outputs):
+            g = self.G[n]
+            for a in range(len(ls)):
+                for b in range(a, len(ls)):
+                    i, j = ls[a], ls[b]
+                    if g.edges[i, j] and g.unknown[i, j]:
+                        denom = np.sqrt(C_hat[n][a, a] * C_hat[n][b, b])
+                        rho = C_hat[n][a, b] / denom if denom > 0 else 0.0
+                        g.set_estimated(i, j, C_hat[n][a, b], rho)
+
+    def project_covariances(self, bypass_error_check: bool = False):
+        for n in range(self.n_outputs):
+            self.project_covariance(n, bypass_error_check=bypass_error_check)
+
+    def project_covariance(self, n=0, bypass_error_check: bool = False):
+        """(blue_models.py:348-433).  Divergence: the large-error early
+        return is gated only on ``bypass_error_check`` (the reference also
+        gates it on verbosity, blue_models.py:401)."""
+        spg_params = self.params["spg_params"]
+        spd_eps = spg_params["spd_threshold"]
+        C = self.get_covariance(n)
+
+        if np.isfinite(C).all():
+            C_new, err = project_covariance_full(C, spd_eps)
+            if self.verbose:
+                print("Covariance projected to be SPD, error:", err)
+        else:
+            if self.verbose:
+                print("Running spectral projected gradient for covariance "
+                      "projection...")
+            mask = (~np.isnan(C)).astype(float)
+            C_new, err, res = project_covariance_masked(
+                C, mask, spd_eps=spd_eps, spg_eps=spg_params["eps"],
+                maxit=spg_params["maxit"],
+                max_fevals=spg_params["max_fevals"],
+                lmbda_min=spg_params["lmbda_min"],
+                lmbda_max=spg_params["lmbda_max"],
+                history=spg_params["linesearch_history_length"])
+            if int(res.solver_info) == 0:
+                if self.verbose:
+                    print("Covariance projected, projection error:", err)
+                if err > spg_params["eps"] and not bypass_error_check:
+                    if self.verbose:
+                        print("\nWARNING! Large covariance projection error."
+                              " Model covariance may be singular; consider "
+                              "removing a model. Leaving covariances as "
+                              "they are (bypass with "
+                              "project_covariances(bypass_error_check="
+                              "True)).\n")
+                    return err
+            else:
+                raise RuntimeError("Covariance projection did not converge: "
+                                   "%s" % (res,))
+            C_new = mark_uncorrelated(C_new, keep_nan_mask=np.isnan(C))
+
+        self.G[n].apply_projection(C_new)
+        return err
+
+    def estimate_costs(self, N: int = 1):
+        """Wall-time cost estimation (blue_models.py:435-441)."""
+        if self.verbose:
+            print("Cost estimation via sampling...")
+        self.costs = np.zeros(self.M)
+        for l in range(self.M):
+            self.blue_fn([l], 1, verbose=False)       # warm-up / compile
+            t0 = time()
+            _, _, cost = self.blue_fn([l], N, verbose=False)
+            wall = time() - t0
+            self.costs[l] = (cost if cost > 0 else wall) / N
+
+    # ----------------------------- engine ------------------------------ #
+
+    def blue_fn(self, ls, N, verbose=True, compute_mlmc_differences=False):
+        if self._has_jax_model():
+            return self._blue_fn_device(ls, N, compute_mlmc_differences)
+        return host_engine.blue_fn(
+            ls, N, self, sampler=self.sampler,
+            inners=self.get_models_inner_products(),
+            N1=self.params["sample_batch_size"], No=self.n_outputs,
+            verbose=self.verbose and verbose,
+            compute_mlmc_differences=compute_mlmc_differences,
+            filename=self.params["samplefile"],
+            outputs_to_save=self.params["outputs_to_save"])
+
+    def _blue_fn_device(self, ls, N, compute_mlmc_differences=False):
+        key_ls = tuple(int(l) for l in ls)
+        if key_ls not in self._engines:
+            model_fn = jax_engine.make_model_fn(
+                self.sampler_jax, self.evaluate_jax, key_ls)
+            batch = int(self.params["device_batch_size"])
+            batch = max(1, min(batch, max(1, N)))
+            self._engines[key_ls] = jax_engine.build_group_engine(
+                model_fn, self.n_outputs, len(key_ls),
+                batch_size=batch, mesh=self.mesh)
+        engine = self._engines[key_ls]
+        key = jax.random.fold_in(self._base_key, self._call_counter)
+        self._call_counter += 1
+        t0 = time()
+        sums = engine(key, int(N))
+        se = np.asarray(sums.sumse)
+        sc = np.asarray(sums.sumsc)
+        wall = time() - t0
+        if int(sums.n_failed) > 0 and self.verbose:
+            print("WARNING! %d samples non-finite after retries (dropped)"
+                  % int(sums.n_failed))
+        sumse = [[se[n, i] for i in range(len(key_ls))]
+                 for n in range(self.n_outputs)]
+        sumsc = [sc[n] for n in range(self.n_outputs)]
+        if hasattr(self, "cost"):
+            cost = N * self.cost
+        else:
+            cost = wall
+        if compute_mlmc_differences:
+            d1 = np.asarray(sums.sumsd1)
+            d2 = np.asarray(sums.sumsd2)
+            sumsd1 = [[[d1[n, i, j] for j in range(len(key_ls))]
+                       for i in range(len(key_ls))]
+                      for n in range(self.n_outputs)]
+            sumsd2 = [[[d2[n, i, j] for j in range(len(key_ls))]
+                       for i in range(len(key_ls))]
+                      for n in range(self.n_outputs)]
+            return sumse, sumsc, cost, sumsd1, sumsd2
+        return sumse, sumsc, cost
+
+    # ----------------------------- solvers ----------------------------- #
+
+    def setup_solver(self, K=4, budget=None, eps=None, groups=None,
+                     multi_groups=None, solver=None,
+                     continuous_relaxation=False, max_model_samples=None,
+                     optimization_solver_params=None):
+        """(blue_models.py:448-538)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if budget is not None and eps is not None:
+            eps = None
+        if eps is not None and np.isscalar(eps):
+            eps = [float(eps)] * self.n_outputs
+        if solver is None:
+            solver = self.params["optimization_solver"]
+        if multi_groups is not None and len(multi_groups) != self.n_outputs:
+            raise ValueError("multi_groups must have one grouping per output")
+        if groups is not None and multi_groups is None:
+            multi_groups = [groups for _ in range(self.n_outputs)]
+
+        if multi_groups is None:
+            Ks = []
+            multi_groups = []
+            K = min(K, self.M)
+            for n in range(self.n_outputs):
+                adj = self.G[n].clique_adjacency()
+                cl = cliques.enumerate_cliques(adj, K, nodes=self.SG[n])
+                by_size = [[] for _ in range(K)]
+                for c in cl:
+                    by_size[len(c) - 1].append(sorted(c))
+                by_size = [b for b in by_size if b]
+                multi_groups.append(by_size)
+                Ks.append(len(by_size))
+            K = max(Ks)
+        else:
+            mg = []
+            Ks = []
+            for n in range(self.n_outputs):
+                glist = [sorted(list(g)) for g in multi_groups[n]]
+                kmax = min(max(len(g) for g in glist), self.M)
+                by_size = [[] for _ in range(kmax)]
+                adj = self.G[n].clique_adjacency()
+                for g in glist:
+                    if (cliques.is_clique(adj, g)
+                            and all(v in self.SG[n] for v in g)):
+                        by_size[len(g) - 1].append(g)
+                mg.append(by_size)
+                Ks.append(max(len(g) for b in by_size for g in b) if any(
+                    by_size) else 0)
+            multi_groups = mg
+            K = max(Ks)
+
+        groups = [[] for _ in range(K)]
+        for n in range(self.n_outputs):
+            for k in range(len(multi_groups[n])):
+                for g in multi_groups[n][k]:
+                    if g not in groups[k]:
+                        groups[k].append(g)
+        for k in range(K):
+            groups[k].sort()
+
+        C = self.get_covariances()
+        costs = self.get_group_costs(groups)
+        multi_costs = [self.get_group_costs(item) for item in multi_groups]
+
+        if self.verbose:
+            print("Computing optimal sample allocation...")
+        self.MOSAP = MOSAP(C, K, Ks, groups, multi_groups, costs,
+                           multi_costs, verbose=self.verbose)
+        self.MOSAP.solve(eps=eps, budget=budget, solver=solver,
+                         continuous_relaxation=continuous_relaxation,
+                         max_model_samples=max_model_samples,
+                         solver_params=optimization_solver_params)
+        if self.MOSAP.samples is None:
+            self.MOSAP_output = None
+            raise BLUESTError("MOSAP solution failed!")
+
+        Vs = self.MOSAP.variances(self.MOSAP.samples.astype(float))
+        cost_BLUE = self.MOSAP.tot_cost
+        N_MC = max(C[n][0, 0] / Vs[n] for n in range(self.n_outputs))
+        cost_MC = N_MC * self.get_costs()[0]
+        if self.verbose:
+            print("\nBLUE cost:", cost_BLUE, "MC cost:", cost_MC,
+                  "Savings:", cost_MC / cost_BLUE)
+
+        self.MOSAP_output = {"budget": budget, "eps": eps,
+                             "samples": self.MOSAP.samples,
+                             "flattened_groups": self.MOSAP.flattened_groups,
+                             "variances": np.asarray(Vs), "cost": cost_BLUE}
+
+        sel = np.where(self.MOSAP_output["samples"] > 0)[0]
+        which_groups = [self.MOSAP_output["flattened_groups"][i] for i in sel]
+        blue_data = {"models": which_groups,
+                     "samples": self.MOSAP_output["samples"][sel].copy(),
+                     "errors": np.sqrt(np.asarray(Vs)),
+                     "total_cost": cost_BLUE}
+        if self.verbose:
+            print("\nModel groups selected: %s\n" % (which_groups,))
+            print("BLUE estimator setup. Max error:",
+                  float(np.sqrt(max(Vs))), " Cost:", cost_BLUE, "\n")
+        return blue_data
+
+    def solve(self, K=4, budget=None, eps=None, groups=None,
+              multi_groups=None, solver=None, verbose=True,
+              continuous_relaxation=False, max_model_samples=None,
+              optimization_solver_params=None):
+        """(blue_models.py:540-576)"""
+        if solver is None:
+            solver = self.params["optimization_solver"]
+        need_setup = self.MOSAP_output is None
+        if not need_setup:
+            if budget is not None and budget != self.MOSAP_output["budget"]:
+                need_setup = True
+            if eps is not None and not np.all(
+                    np.atleast_1d(eps) == np.atleast_1d(
+                        self.MOSAP_output["eps"] if self.MOSAP_output["eps"]
+                        is not None else np.nan)):
+                need_setup = True
+        if need_setup:
+            self.setup_solver(K=K, budget=budget, eps=eps, groups=groups,
+                              multi_groups=multi_groups, solver=solver,
+                              continuous_relaxation=continuous_relaxation,
+                              max_model_samples=max_model_samples,
+                              optimization_solver_params=optimization_solver_params)
+        elif budget is None and eps is None and self.MOSAP_output["cost"] is None:
+            raise ValueError("Need to prescribe either a budget or a "
+                             "tolerance to run the BLUE estimator")
+
+        if self.verbose and verbose:
+            print("\nSampling BLUE...\n")
+
+        flattened_groups = self.MOSAP_output["flattened_groups"]
+        sample_list = self.MOSAP_output["samples"]
+
+        sums = [[] for _ in range(self.n_outputs)]
+        for ls, N in zip(flattened_groups, sample_list):
+            if N == 0:
+                for n in range(self.n_outputs):
+                    sums[n].append([0 for _ in range(len(ls))])
+                continue
+            sumse, _, _ = self.blue_fn(ls, int(N), verbose=verbose)
+            for n in range(self.n_outputs):
+                sums[n].append(sumse[n])
+
+        mus, Vs = self.MOSAP.compute_BLUE_estimators(sums, sample_list)
+        errs = np.sqrt(Vs)
+        tot_cost = self.MOSAP_output["cost"]
+        return mus, errs, tot_cost
+
+    # ------------------------------ MLMC -------------------------------- #
+
+    def _mlmc_level_data(self, group, n):
+        """Telescoped variances/costs for one chain (blue_models.py:688-704)."""
+        C = self.get_covariance(n)
+        w = self.get_costs()
+        subC = C[np.ix_(group, group)]
+        subw = w[list(group)].copy()
+        if len(group) > 1:
+            v = np.diag(subC).copy()
+            corrs = np.diag(subC, 1)
+            v[:-1] += v[1:] - 2 * corrs
+            for i in range(len(group) - 1):
+                ii, jj = min(group[i], group[i + 1]), max(group[i], group[i + 1])
+                check = self.dV[n][ii, jj]
+                if np.isfinite(check):
+                    v[i] = check
+            subw[:-1] += subw[1:]
+        else:
+            v = np.array([subC[0, 0]])
+        return v, subw
+
+    def _mlmc_chains(self):
+        """All cost-descending chains through the intersection graph that
+        start at model 0 (blue_models.py:662-670)."""
+        M = self.M
+        lme = len(self.check_costs(warning=True))
+        w = self.get_costs()
+        idx = np.argsort(w)[::-1][lme:]
+        assert idx[0] == 0
+        adj = self._intersection_adjacency()
+        groups = [[0]]
+        for i in range(M - 1 - lme):
+            for remove in combinations(range(1, M - lme), i):
+                keep = np.array([j for j in range(M - lme)
+                                 if j not in remove], dtype=int)
+                group = list(idx[keep])
+                if cliques.has_path_edges(adj, group):
+                    groups.append(group)
+        return groups
+
+    def setup_mlmc(self, budget=None, eps=None, continuous_relaxation=False):
+        """(blue_models.py:642-741)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if budget is not None and eps is not None:
+            eps = None
+        if eps is not None and np.isscalar(eps):
+            eps = [float(eps)] * self.n_outputs
+        if eps is None:
+            eps = [None] * self.n_outputs
+
+        if self.verbose:
+            print("Setting up optimal MLMC estimator...\n")
+        if not any(np.isfinite(dVn).any() for dVn in self.dV):
+            if self.verbose:
+                print("Warning! MLMC variances were not provided nor "
+                      "estimated; the MLMC estimator may be suboptimal.\n")
+
+        w = self.get_costs()
+        best_group, best_data = None, None
+        min_err = np.inf
+        min_cost = np.inf
+        for group in self._mlmc_chains():
+            data_list = []
+            feasible = True
+            for n in range(self.n_outputs):
+                v, subw = self._mlmc_level_data(group, n)
+                feasible, data = mlmc_allocation(
+                    v, subw, budget=budget, eps=eps[n],
+                    continuous_relaxation=continuous_relaxation)
+                if not feasible:
+                    break
+                data_list.append(data)
+            if not feasible:
+                continue
+            if budget is not None:
+                err = max(d["error"] for d in data_list)
+                if err < min_err:
+                    min_err, best_group, best_data = err, group, data_list
+            else:
+                cost = np.max(np.vstack([d["samples"] for d in data_list]),
+                              axis=0) @ w[list(group)]
+                if cost < min_cost:
+                    min_cost, best_group, best_data = cost, group, data_list
+
+        if best_group is None:
+            raise BLUESTError("No feasible MLMC chain found")
+
+        samples = np.max(np.vstack([d["samples"] for d in best_data]), axis=0)
+        cost = samples @ w[list(best_group)]
+        if budget is not None:
+            wg = w[list(best_group)]
+            samples = np.floor(samples - (max(cost - budget, 0)
+                                          / (wg @ wg)) * wg).astype(int)
+            samples[0] = max(samples[0], 1)
+            cost = samples @ wg
+        errs = [np.sqrt(d["variance"](samples)) for d in best_data]
+        mlmc_data = {"models": best_group, "samples": samples,
+                     "errors": errs, "total_cost": cost}
+        if self.verbose:
+            print("Best MLMC estimator found. Coupled models:", best_group,
+                  " Max error:", max(errs), " Cost:", cost, "\n")
+        return mlmc_data
+
+    def compute_mlmc_data(self, group, samples):
+        """User-prescribed MLMC schedule (blue_models.py:578-639)."""
+        samples = np.asarray(samples)
+        adj = self._intersection_adjacency()
+        if not cliques.has_path_edges(adj, group):
+            raise ValueError("Group given is not compatible with MLMC.")
+        if group[0] != 0:
+            raise ValueError("The high-fidelity model must lead the group")
+        errs = np.zeros(self.n_outputs)
+        mlmc_costs = np.zeros(self.n_outputs)
+        for n in range(self.n_outputs):
+            v, subw = self._mlmc_level_data(group, n)
+            pos = samples > 0
+            errs[n] = np.sum(v[pos] / samples[pos])
+            mlmc_costs[n] = samples @ subw
+        return {"models": group, "samples": samples, "errors": errs,
+                "total_cost": max(mlmc_costs)}
+
+    def solve_mlmc(self, budget=None, eps=None, mlmc_data=None):
+        """(blue_models.py:743-769)"""
+        if mlmc_data is None:
+            mlmc_data = self.setup_mlmc(budget=budget, eps=eps)
+        best_group = mlmc_data["models"]
+        samples = np.round(mlmc_data["samples"]).astype(np.int64)
+        errs = mlmc_data["errors"]
+        tot_cost = mlmc_data["total_cost"]
+
+        if self.verbose:
+            print("\nSampling optimal MLMC estimator...\n")
+        Lg = len(best_group)
+        groups = [list(pair) for pair in zip(best_group[:-1],
+                                             best_group[1:])]
+        groups += [[best_group[-1]]]
+        mu = [0 for _ in range(self.n_outputs)]
+        for i in range(Lg):
+            N = int(samples[i])
+            if N == 0:
+                continue
+            sumse, _, _ = self.blue_fn(groups[i], N)
+            for n in range(self.n_outputs):
+                if i < Lg - 1:
+                    mu[n] = mu[n] + (sumse[n][0] - sumse[n][1]) / N
+                else:
+                    mu[n] = mu[n] + sumse[n][0] / N
+        return mu, errs, tot_cost
+
+    # ------------------------------ MFMC -------------------------------- #
+
+    def setup_mfmc(self, budget=None, eps=None, continuous_relaxation=False,
+                   small_budget=False):
+        """(blue_models.py:795-865)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if budget is not None and eps is not None:
+            eps = None
+        if eps is not None and np.isscalar(eps):
+            eps = [float(eps)] * self.n_outputs
+        if eps is None:
+            eps = [None] * self.n_outputs
+
+        sigmas = [np.sqrt(np.diag(self.get_covariance(n)))
+                  for n in range(self.n_outputs)]
+        rhos = [self.get_correlation(n)[0, :] for n in range(self.n_outputs)]
+        w = self.get_costs()
+        if self.verbose:
+            print("Setting up optimal MFMC estimator...\n")
+
+        adj = self._intersection_adjacency()
+        clique_list = [c for c in cliques.enumerate_cliques(adj, self.M)
+                       if 0 in c]
+        best_group, best_data = None, None
+        min_err, min_cost = np.inf, np.inf
+        for clique in clique_list:
+            clique = sorted(clique)
+            data_list = []
+            feasible = True
+            for n in range(self.n_outputs):
+                feasible, data = mfmc_allocation(
+                    sigmas[n][clique], rhos[n][clique], w[clique],
+                    budget=budget, eps=eps[n],
+                    continuous_relaxation=continuous_relaxation,
+                    small_budget=small_budget)
+                if not feasible:
+                    break
+                data_list.append(data)
+            if not feasible:
+                continue
+            if budget is not None:
+                err = max(d["error"] for d in data_list)
+                if err < min_err:
+                    min_err, best_group, best_data = err, clique, data_list
+            else:
+                cost = np.max(np.vstack([d["samples"] for d in data_list]),
+                              axis=0) @ w[clique]
+                if cost < min_cost:
+                    min_cost, best_group, best_data = cost, clique, data_list
+
+        if best_group is None:
+            raise BLUESTError("No feasible MFMC clique found")
+
+        samples = np.max(np.vstack([d["samples"] for d in best_data]), axis=0)
+        cost = samples @ w[best_group]
+        if budget is not None:
+            wg = w[best_group]
+            samples = np.floor(samples - (max(cost - budget, 0)
+                                          / (wg @ wg)) * wg).astype(np.int64)
+            samples[0] = max(samples[0], 1)
+            cost = samples @ wg
+        errs = [np.sqrt(d["variance"](samples)) for d in best_data]
+        alphas = [d["alphas"] for d in best_data]
+        mfmc_data = {"models": best_group, "samples": samples,
+                     "errors": errs, "total_cost": cost, "alphas": alphas}
+        if self.verbose:
+            print("Best MFMC estimator found. Coupled models:", best_group,
+                  " Max error:", max(errs), " Cost:", cost, "\n")
+        return mfmc_data
+
+    def compute_mfmc_data(self, clique, samples):
+        """(blue_models.py:771-793)"""
+        sigmas = [np.sqrt(np.diag(self.get_covariance(n)))
+                  for n in range(self.n_outputs)]
+        rhos = [self.get_correlation(n)[0, :] for n in range(self.n_outputs)]
+        w = self.get_costs()
+        for n in range(self.n_outputs):
+            if not cliques.is_clique(self.G[n].clique_adjacency(), clique):
+                raise ValueError("Group given is not a clique of the graph")
+        if clique[0] != 0:
+            raise ValueError("The high-fidelity model must lead the group")
+        data_list = []
+        for n in range(self.n_outputs):
+            ok, d = mfmc_check(sigmas[n][clique], rhos[n][clique], w[clique],
+                               samples)
+            if not ok:
+                raise ValueError("Prescribed samples infeasible for MFMC")
+            data_list.append(d)
+        return {"models": clique, "samples": samples,
+                "errors": [d["error"] for d in data_list],
+                "total_cost": max(d["total_cost"] for d in data_list),
+                "alphas": [d["alphas"] for d in data_list]}
+
+    def solve_mfmc(self, budget=None, eps=None, mfmc_data=None,
+                   continuous_relaxation=False):
+        """(blue_models.py:867-903)"""
+        if mfmc_data is None:
+            mfmc_data = self.setup_mfmc(budget=budget, eps=eps,
+                                        continuous_relaxation=continuous_relaxation)
+        best_group = list(mfmc_data["models"])
+        samples = np.round(mfmc_data["samples"]).astype(np.int64)
+        errs = mfmc_data["errors"]
+        tot_cost = mfmc_data["total_cost"]
+        alphas = mfmc_data["alphas"]
+
+        if self.verbose:
+            print("\nSampling optimal MFMC estimator...\n")
+        Lg = len(best_group)
+        y = [[0 for _ in range(Lg)] for _ in range(self.n_outputs)]
+        y1 = [[0 for _ in range(Lg - 1)] for _ in range(self.n_outputs)]
+        for i in range(Lg):
+            N = int(samples[i])
+            if i > 0:
+                N -= int(samples[i - 1])
+            if N == 0:
+                continue
+            sumse, _, _ = self.blue_fn(best_group[i:], N)
+            for n in range(self.n_outputs):
+                for j in range(i, Lg):
+                    y[n][j] = y[n][j] + sumse[n][j - i]
+                    if j < Lg - 1:
+                        y1[n][j] = y1[n][j] + sumse[n][j - i + 1]
+        for n in range(self.n_outputs):
+            for i in range(Lg):
+                y[n][i] = y[n][i] / samples[i]
+                if i < Lg - 1:
+                    y1[n][i] = y1[n][i] / samples[i]
+        mu = [y[n][0] + sum(alphas[n][i] * (y[n][i + 1] - y1[n][i])
+                            for i in range(Lg - 1))
+              for n in range(self.n_outputs)]
+        return mu, errs, tot_cost
+
+    # ------------------------------- MC --------------------------------- #
+
+    def solve_mc(self, budget=None, eps=None):
+        """(blue_models.py:905-930)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if budget is not None and eps is not None:
+            eps = None
+        if eps is not None and np.isscalar(eps):
+            eps = [float(eps)] * self.n_outputs
+
+        Vs = np.array([self.get_covariance(n)[0, 0]
+                       for n in range(self.n_outputs)])
+        cost = self.get_costs()[0]
+        if budget is not None:
+            N_MC = int(np.floor(budget / cost))
+        else:
+            N_MC = max(int(np.ceil(Vs[n] / eps[n] ** 2))
+                       for n in range(self.n_outputs))
+        tot_cost = N_MC * cost
+        errs = np.sqrt(np.maximum(Vs, 0.0) / N_MC)
+        if self.verbose:
+            print("Standard MC estimator ready. Max error:", max(errs),
+                  "Cost:", tot_cost)
+            print("\nSampling standard MC estimator...\n")
+        sumse, _, _ = self.blue_fn([0], N_MC)
+        mu = [sumse[n][0] / N_MC for n in range(self.n_outputs)]
+        return mu, errs, tot_cost
+
+    # ------------------------- validation tests ------------------------- #
+
+    def complexity_test(self, eps, K=3):
+        """(blue_models.py:932-942)"""
+        if self.verbose:
+            print("Running cost complexity test...")
+        tot_cost = []
+        for e in eps:
+            self.setup_solver(K=K, eps=e)
+            tot_cost.append(self.MOSAP_output["cost"])
+        tot_cost = np.array(tot_cost)
+        rate = np.polyfit(np.arange(len(tot_cost)), np.log2(tot_cost), 1)[0]
+        if self.verbose:
+            print("Total costs   :", tot_cost)
+            print("Estimated rate:", rate)
+        return tot_cost, rate
+
+    def variance_test(self, budget=None, eps=None, K=3, N=50, **kwargs):
+        """Empirical vs predicted estimator error (blue_models.py:944-978)."""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if budget is not None and eps is not None:
+            eps = None
+        if eps is not None and np.isscalar(eps):
+            eps = [float(eps)] * self.n_outputs
+
+        if self.verbose:
+            print("Running variance test...", flush=True)
+        self.setup_solver(K=K, budget=budget, eps=eps, **kwargs)
+        err_ex = np.sqrt(np.asarray(self.MOSAP_output["variances"]))
+        err = np.zeros_like(err_ex)
+        kwargs.pop("verbose", None)
+        inners = self.get_models_inner_products()
+
+        s1 = [0 for _ in range(self.n_outputs)]
+        s2 = np.zeros_like(err_ex)
+        for it in range(1, N + 1):
+            if self.verbose:
+                print("Sampling estimator %d/%d" % (it, N), flush=True)
+            mus, _, _ = self.solve(K=K, budget=budget, eps=eps,
+                                   verbose=False, **kwargs)
+            for n in range(self.n_outputs):
+                s1[n] += mus[n]
+                s2[n] += inners[n](mus[n], mus[n])
+        for n in range(self.n_outputs):
+            s1[n] = inners[n](s1[n], s1[n]) / N ** 2
+            s2[n] /= N
+            err[n] = np.sqrt(max(s2[n] - s1[n], 0.0))
+        if self.verbose:
+            print("Theoretical error: ", err_ex, flush=True)
+            print("Estimated error:   ", err, flush=True)
+        return err_ex, err

@@ -1,0 +1,144 @@
+"""Device-side Monte Carlo sampling engine.
+
+The performance story of the framework: the reference's per-sample Python
+loop + MPI allreduce (blue_fn.py:115-187) becomes one jitted, vmapped,
+optionally shard_mapped reduction.  For a fixed coupled-model group, the
+user's sampler+evaluate pair is a pure function ``model_fn(key) -> (No, L)``;
+the engine
+
+  * fans the PRNG out per sample via ``jax.random.fold_in`` (the per-rank
+    seed discipline of the reference, tutorials/01_tutorial.py:154-167,
+    made deterministic and split-free),
+  * rejects non-finite outputs with a bounded per-sample resample loop
+    (reference: infinite retry, blue_fn.py:118-129),
+  * accumulates sample sums, cross products and MLMC pairwise differences
+    in float64 regardless of the model dtype,
+  * shards the sample axis over a mesh with a psum merge (the MPI
+    allreduce, blue_fn.py:179-187), and
+  * masks padding lanes so the requested N is exact on any device count
+    (the reference instead rounds pilot N up to the rank count,
+    blue_models.py:97).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import SAMPLE_AXIS
+
+
+class SampleSums(NamedTuple):
+    sumse: jnp.ndarray        # (No, L)  sum of outputs
+    sumsc: jnp.ndarray        # (No, L, L) sum of pairwise products
+    sumsd1: jnp.ndarray       # (No, L, L) sum of differences (i - j)
+    sumsd2: jnp.ndarray       # (No, L, L) sum of squared differences
+    n_failed: jnp.ndarray     # samples still non-finite after retries
+
+
+def _one_sample(model_fn: Callable, key, max_resample: int):
+    P0 = model_fn(key)
+    ok0 = jnp.all(jnp.isfinite(P0))
+
+    def cond(st):
+        tries, P, ok = st
+        return (~ok) & (tries < max_resample)
+
+    def body(st):
+        tries, P, ok = st
+        k2 = jax.random.fold_in(key, tries + 1)
+        P2 = model_fn(k2)
+        ok2 = jnp.all(jnp.isfinite(P2))
+        return tries + 1, jnp.where(ok2, P2, P), ok2
+
+    _, P, ok = jax.lax.while_loop(cond, body, (jnp.asarray(0), P0, ok0))
+    return P, ok
+
+
+def build_group_engine(model_fn: Callable, No: int, L: int,
+                       batch_size: int = 4096,
+                       mesh: Optional[jax.sharding.Mesh] = None,
+                       max_resample: int = 64):
+    """Compile a sampling reduction for one coupled-model group.
+
+    ``model_fn(key) -> (No, L)`` must be jax-traceable.  Returns
+    ``engine(key, N) -> SampleSums`` where N is a static int.  The compiled
+    engine should be cached by the caller (one per group)."""
+
+    n_shards = 1 if mesh is None else mesh.devices.size
+
+    def shard_sums(key, N, shard_idx, n_pad_per_shard):
+        """Sums over this shard's index range [shard_idx*pad, ...)."""
+        n_chunks = n_pad_per_shard // batch_size
+
+        def chunk(carry, c):
+            se, sc, d1, d2, nf = carry
+            base = shard_idx * n_pad_per_shard + c * batch_size
+            idx = base + jnp.arange(batch_size)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+            Ps, oks = jax.vmap(
+                lambda k: _one_sample(model_fn, k, max_resample))(keys)
+            Ps = Ps.astype(jnp.float64)
+            w = ((idx < N) & oks).astype(jnp.float64)
+            nf = nf + jnp.sum((idx < N) & ~oks)
+            se = se + jnp.einsum('bnl,b->nl', Ps, w)
+            sc = sc + jnp.einsum('bni,bnj,b->nij', Ps, Ps, w)
+            D = Ps[:, :, :, None] - Ps[:, :, None, :]
+            d1 = d1 + jnp.einsum('bnij,b->nij', D, w)
+            d2 = d2 + jnp.einsum('bnij,bnij,b->nij', D, D, w)
+            return (se, sc, d1, d2, nf), None
+
+        init = (jnp.zeros((No, L)), jnp.zeros((No, L, L)),
+                jnp.zeros((No, L, L)), jnp.zeros((No, L, L)),
+                jnp.asarray(0, jnp.int64))
+        (se, sc, d1, d2, nf), _ = jax.lax.scan(
+            chunk, init, jnp.arange(n_chunks))
+        return SampleSums(se, sc, d1, d2, nf)
+
+    def engine(key, N: int):
+        N = int(N)
+        per_shard = -(-N // n_shards)                      # ceil
+        n_pad = -(-per_shard // batch_size) * batch_size   # pad to batches
+
+        if mesh is None or n_shards == 1:
+            return shard_sums(key, N, 0, n_pad)
+
+        from jax.sharding import PartitionSpec as P
+
+        def shard_fn(key):
+            i = jax.lax.axis_index(SAMPLE_AXIS)
+            sums = shard_sums(key, N, i, n_pad)
+            return jax.tree.map(
+                lambda x: jax.lax.psum(x, SAMPLE_AXIS), sums)
+
+        f = jax.shard_map(shard_fn, mesh=mesh, in_specs=P(),
+                          out_specs=P())
+        return f(key)
+
+    # jit once per static N value (allocation counts are reused per group)
+    cache = {}
+
+    def compiled(key, N: int):
+        N = int(N)
+        if N not in cache:
+            cache[N] = jax.jit(lambda k: engine(k, N))
+        return cache[N](key)
+
+    return compiled
+
+
+def make_model_fn(sampler_jax: Callable, evaluate_jax: Callable, ls):
+    """Compose the user's jax sampler/evaluate overloads into the engine's
+    per-sample function for group ``ls``."""
+    ls = tuple(int(l) for l in ls)
+
+    def model_fn(key):
+        samples = sampler_jax(key, ls)
+        out = evaluate_jax(ls, samples)
+        return jnp.asarray(out)
+
+    return model_fn

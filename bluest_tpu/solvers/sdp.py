@@ -134,7 +134,7 @@ def solve_cone_lp(c: np.ndarray,
                   Hs: Optional[np.ndarray] = None,
                   tol: float = 1.0e-8,
                   feastol: float = 1.0e-8,
-                  max_iter: int = 100,
+                  max_iter: int = 200,
                   step_frac: float = 0.99,
                   equilibrate: bool = False,
                   verbose: bool = False) -> ConeLPResult:
@@ -325,15 +325,37 @@ def solve_cone_lp(c: np.ndarray,
 
         dx, ds_lp, dS, dz_lp, dZ = direction(sigma * mu, corr_lp, corr_psd)
         ap, ad = max_steps(ds_lp, dS, dz_lp, dZ)
-        ap = jnp.minimum(1.0, step_frac * ap)
-        ad = jnp.minimum(1.0, step_frac * ad)
-        a = jnp.minimum(ap, ad)
 
-        x_n = x + ap * dx
-        s_lp_n = s_lp + ap * ds_lp
-        z_lp_n = z_lp + ad * dz_lp
-        S_n = _sym(S + ap * dS) if nb else S
-        Z_n = _sym(Z + ad * dZ) if nb else Z
+        # Mehrotra safeguard: on ill-conditioned problems the second-order
+        # correction can overshoot the cone and collapse the step; fall
+        # back to the pure centering direction when that happens.
+        a_corr = jnp.minimum(ap, ad)
+        a_affm = jnp.minimum(ap_a, ad_a)
+        use_fallback = a_corr < 0.2 * a_affm
+        dx2, ds_lp2, dS2, dz_lp2, dZ2 = direction(
+            jnp.maximum(sigma, 0.5) * mu, zero_lp, zero_psd)
+        ap2, ad2 = max_steps(ds_lp2, dS2, dz_lp2, dZ2)
+
+        def pick(a, b):
+            return jnp.where(use_fallback, b, a)
+
+        dx = pick(dx, dx2)
+        ds_lp = pick(ds_lp, ds_lp2)
+        dS = pick(dS, dS2)
+        dz_lp = pick(dz_lp, dz_lp2)
+        dZ = pick(dZ, dZ2)
+        ap = pick(ap, ap2)
+        ad = pick(ad, ad2)
+
+        # equal primal/dual step: with an infeasible start, unequal steps
+        # let the duality gap wander (grow) while residuals are large
+        a = jnp.minimum(1.0, step_frac * jnp.minimum(ap, ad))
+
+        x_n = x + a * dx
+        s_lp_n = s_lp + a * ds_lp
+        z_lp_n = z_lp + a * dz_lp
+        S_n = _sym(S + a * dS) if nb else S
+        Z_n = _sym(Z + a * dZ) if nb else Z
 
         # dual cleanup: minimum-norm correction restoring G^T z = -c,
         # applied only when it keeps z strictly inside the cone
@@ -391,7 +413,7 @@ def solve_cone_lp(c: np.ndarray,
             stall += 1
         if pres < feastol and dres < feastol and relgap < tol:
             break
-        if stall >= 5 or float(a_j) < 1e-10:
+        if stall >= 12 or float(a_j) < 1e-10:
             break
 
     if best is None:

@@ -1,0 +1,240 @@
+"""End-to-end BLUEProblem tests on the tutorial's analytic hierarchy
+(reference tutorials/01_tutorial.py): estimate E[e^Z], Z ~ N(0,1), with
+models = truncated exponential series.  Exercises pilot covariance
+estimation, SPD projection, MC/MLMC/MFMC/MLBLUE setup+solve in both eps
+and budget modes, user groups, save/load, and the statistical
+variance_test -- on the host engine (black-box path) and the device
+engine (jax path), single- and multi-output."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bluest_tpu import BLUEProblem, BLUESTError
+
+N_MODELS = 5
+TRUE_MEAN = np.exp(0.5)  # E[e^Z]
+
+
+def exp_series_np(x, n_terms):
+    ii = np.arange(n_terms + 1)
+    from scipy.special import gamma
+    return np.sum(x ** ii / gamma(ii + 1))
+
+
+class HostProblem(BLUEProblem):
+    """Black-box path (reference tutorial MyProblem)."""
+
+    def __init__(self, *args, **kwargs):
+        self._rng = np.random.default_rng(kwargs.pop("sampler_seed", 0))
+        super().__init__(*args, **kwargs)
+
+    def sampler(self, ls, N=1):
+        Z = float(self._rng.standard_normal())
+        return [Z for _ in ls]
+
+    def evaluate(self, ls, samples, N=1):
+        out = [0.0] * len(ls)
+        for i, l in enumerate(ls):
+            if l == 0:
+                out[i] = np.exp(samples[i])
+            else:
+                out[i] = exp_series_np(samples[i], N_MODELS - l)
+        return [out]
+
+
+class JaxProblem(BLUEProblem):
+    """Device path: same hierarchy as a pure-jax model."""
+
+    def sampler_jax(self, key, ls):
+        z = jax.random.normal(key)
+        return jnp.full((len(ls),), z)
+
+    def evaluate_jax(self, ls, samples):
+        outs = []
+        for i, l in enumerate(ls):
+            x = samples[i]
+            if l == 0:
+                outs.append(jnp.exp(x))
+            else:
+                n_terms = N_MODELS - l
+                ii = jnp.arange(n_terms + 1, dtype=jnp.float64)
+                fact = jnp.exp(jax.lax.lgamma(ii + 1.0))
+                outs.append(jnp.sum(x ** ii / fact))
+        return jnp.stack(outs)[None, :]  # (n_outputs=1, L)
+
+
+COSTS = np.array([2.0 ** (N_MODELS - i) for i in range(N_MODELS)])
+
+
+@pytest.fixture(scope="module")
+def jax_problem():
+    return JaxProblem(N_MODELS, costs=COSTS,
+                      covariance_estimation_samples=4096, verbose=False)
+
+
+def test_host_problem_pipeline():
+    p = HostProblem(N_MODELS, costs=COSTS, covariance_estimation_samples=64,
+                    verbose=False)
+    C = p.get_covariance()
+    assert C.shape == (N_MODELS, N_MODELS)
+    assert np.all(np.isfinite(np.diag(C)))
+    rho = p.get_correlation()
+    assert abs(rho[0, 1]) > 0.9  # close models are highly correlated
+
+    eps = 0.1 * np.sqrt(C[0, 0])
+    mu_mc, err_mc, cost_mc = p.solve_mc(eps=eps)
+    assert abs(mu_mc[0] - TRUE_MEAN) < 5 * max(err_mc[0], 0.2)
+
+    data = p.setup_mlmc(eps=eps)
+    mu, errs, cost = p.solve_mlmc(eps=eps, mlmc_data=data)
+    assert data["models"][0] == 0
+    assert cost <= cost_mc  # multilevel no worse than MC
+
+    data = p.setup_mfmc(eps=eps)
+    mu, errs, cost = p.solve_mfmc(eps=eps, mfmc_data=data)
+    assert data["models"][0] == 0
+
+    blue = p.setup_solver(K=3, eps=eps)
+    mu, errs, cost = p.solve(K=3, eps=eps)
+    assert cost <= cost_mc * 1.01
+    assert abs(mu[0] - TRUE_MEAN) < 6 * max(errs[0], 0.05)
+
+
+def test_jax_problem_covariance_estimation(jax_problem):
+    """Pilot estimation on device must recover the analytic covariance."""
+    p = jax_problem
+    C = p.get_covariance()
+    # analytic: Var[e^Z] = e^2 - e
+    assert abs(C[0, 0] - (np.e ** 2 - np.e)) < 0.5
+    rho = p.get_correlation()
+    assert rho[0, 1] > 0.95
+
+
+def test_jax_problem_blue(jax_problem):
+    p = jax_problem
+    C = p.get_covariance()
+    eps = 0.02 * np.sqrt(C[0, 0])
+    blue = p.setup_solver(K=3, eps=eps)
+    mu, errs, cost = p.solve(K=3, eps=eps)
+    assert abs(mu[0] - TRUE_MEAN) < 6 * max(max(errs), 0.02)
+    # MLBLUE beats single-fidelity MC in cost
+    n_mc = C[0, 0] / eps ** 2
+    assert cost < n_mc * COSTS[0]
+
+
+def test_jax_problem_budget_mode(jax_problem):
+    p = jax_problem
+    budget = 200 * max(COSTS)
+    blue = p.setup_solver(K=3, budget=budget)
+    assert blue["total_cost"] <= budget * 1.0002
+    mu, errs, cost = p.solve(K=3, budget=budget)
+    assert np.isfinite(mu[0])
+
+
+def test_jax_mlmc_mfmc(jax_problem):
+    p = jax_problem
+    C = p.get_covariance()
+    eps = 0.05 * np.sqrt(C[0, 0])
+    mlmc = p.setup_mlmc(eps=eps)
+    mu, errs, cost = p.solve_mlmc(eps=eps, mlmc_data=mlmc)
+    assert abs(mu[0] - TRUE_MEAN) < 8 * max(max(errs), 0.05)
+    mfmc = p.setup_mfmc(eps=eps)
+    mu, errs, cost = p.solve_mfmc(eps=eps, mfmc_data=mfmc)
+    assert abs(mu[0] - TRUE_MEAN) < 8 * max(max(errs), 0.05)
+
+
+def test_user_groups(jax_problem):
+    p = jax_problem
+    C = p.get_covariance()
+    eps = 0.05 * np.sqrt(C[0, 0])
+    groups = [[0], [1], [0, 3], [3, 4], [0, 1, 2]]
+    blue = p.setup_solver(groups=groups, eps=eps)
+    for g in blue["models"]:
+        assert g in groups
+
+
+def test_save_load_roundtrip(tmp_path, jax_problem):
+    p = jax_problem
+    f = str(tmp_path / "graph.npz")
+    p.save_graph_data(f)
+    p2 = JaxProblem(N_MODELS, datafile=f, verbose=False)
+    np.testing.assert_allclose(p2.get_covariance(), p.get_covariance(),
+                               rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(p2.get_costs(), p.get_costs())
+    # costs overridable on load
+    p3 = JaxProblem(N_MODELS, costs=2 * COSTS, datafile=f, verbose=False)
+    np.testing.assert_allclose(p3.get_costs(), 2 * COSTS)
+
+
+def test_known_covariance_skips_sampling():
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((N_MODELS, N_MODELS))
+    C = A @ A.T + N_MODELS * np.eye(N_MODELS)
+
+    class NoSampler(BLUEProblem):
+        pass  # evaluate/sampler never called when C and costs known
+
+    p = NoSampler(N_MODELS, C=C.copy(), costs=COSTS, verbose=False)
+    np.testing.assert_allclose(p.get_covariance(), C, rtol=1e-7, atol=1e-9)
+
+
+def test_uncoupled_entries_respected():
+    rng = np.random.default_rng(6)
+    A = rng.standard_normal((N_MODELS, N_MODELS))
+    C = A @ A.T + N_MODELS * np.eye(N_MODELS)
+    C[0, 1] = C[1, 0] = np.inf  # never couple models 0,1
+    p = JaxProblem(N_MODELS, C=C.copy(), costs=COSTS, verbose=False)
+    out = p.get_covariance()
+    assert np.isnan(out[0, 1])
+    blue = p.setup_solver(K=3, budget=100 * max(COSTS))
+    for g in blue["models"]:
+        assert not (0 in g and 1 in g)
+
+
+def test_variance_test_statistical(jax_problem):
+    """The gold-standard check (reference blue_models.py:944-978):
+    empirical estimator std must match the predicted error."""
+    p = jax_problem
+    C = p.get_covariance()
+    eps = 0.05 * np.sqrt(C[0, 0])
+    err_ex, err = p.variance_test(eps=eps, K=3, N=40)
+    # 40 repetitions: expect agreement within ~2.5x (chi-square spread)
+    assert err[0] < 2.5 * err_ex[0]
+    assert err[0] > err_ex[0] / 2.5
+
+
+def test_multi_output_jax():
+    class MultiJax(BLUEProblem):
+        def sampler_jax(self, key, ls):
+            z = jax.random.normal(key)
+            return jnp.full((len(ls),), z)
+
+        def evaluate_jax(self, ls, samples):
+            row0, row1 = [], []
+            for i, l in enumerate(ls):
+                x = samples[i]
+                if l == 0:
+                    v = jnp.exp(x)
+                else:
+                    n_terms = N_MODELS - l
+                    ii = jnp.arange(n_terms + 1, dtype=jnp.float64)
+                    fact = jnp.exp(jax.lax.lgamma(ii + 1.0))
+                    v = jnp.sum(x ** ii / fact)
+                row0.append(v)
+                row1.append(v ** 2)
+            return jnp.stack([jnp.stack(row0), jnp.stack(row1)])
+
+    p = MultiJax(N_MODELS, n_outputs=2, costs=COSTS,
+                 covariance_estimation_samples=4096, verbose=False)
+    C0, C1 = p.get_covariances()
+    assert np.isfinite(C0).all() or np.isnan(C0).sum() < C0.size
+    eps = [0.05 * np.sqrt(C0[0, 0]), 0.05 * np.sqrt(C1[0, 0])]
+    blue = p.setup_solver(K=3, eps=eps)
+    mu, errs, cost = p.solve(K=3, eps=eps)
+    assert len(mu) == 2
+    assert abs(mu[0] - TRUE_MEAN) < 8 * max(errs[0], 0.05)
+    # E[e^2Z] = e^2
+    assert abs(mu[1] - np.exp(2.0)) < 8 * max(errs[1], 0.4)
