@@ -32,12 +32,20 @@ def build_budget_sdp(psis: Sequence[np.ndarray],
                      e_rows: Sequence[np.ndarray],
                      budget: float,
                      max_sample_rows: Sequence[np.ndarray] = (),
-                     max_sample_rhs: Sequence[float] = ()):
-    """x = (t, m/budget).  Returns (c, Gl, hl, As, Hs, scales)."""
+                     max_sample_rhs: Sequence[float] = (),
+                     eps_weights=None):
+    """x = (t, m/budget).  Returns (c, Gl, hl, As, Hs, scales).
+
+    ``eps_weights`` (optional, per output) turns the epigraph into
+    t >= V_n(m)/eps_n^2 -- the weighted min-max problem whose solution,
+    rescaled by t*, solves the eps-mode problem exactly (the estimator
+    variance is homogeneous of degree -1 in m)."""
     No = len(psis)
     scales = psi_scales(psis)
     Ns = [int(round(np.sqrt(p.shape[0]))) for p in psis]
     n = max(Ns) + 1
+    if eps_weights is None:
+        eps_weights = np.ones(No)
 
     c = np.zeros(L + 1)
     c[0] = 1.0
@@ -63,7 +71,7 @@ def build_budget_sdp(psis: Sequence[np.ndarray],
         psi = psis[b]
         for j, gcol in enumerate(mappings[b]):
             As[b, 1 + gcol, :Nb, :Nb] = -scales[b] * psi[:, j].reshape(Nb, Nb)
-        Hs[b, Nb, 0] = Hs[b, 0, Nb] = np.sqrt(scales[b])
+        Hs[b, Nb, 0] = Hs[b, 0, Nb] = np.sqrt(scales[b]) / eps_weights[b]
         # pad: unused trailing rows made PSD-neutral with identity slack
         for d in range(Nb + 1, n):
             Hs[b, d, d] = 1.0

@@ -194,7 +194,31 @@ class MOSAP:
                 return None
             return np.maximum(res.x[1:], 0) * budget
 
-        # eps mode with the reference's meps rescale (mosap.py:430-434)
+        if len(es) == 0:
+            # Exact eps-mode via the scaled weighted min-max problem:
+            # solve  min t  s.t.  w.m <= 1,  t >= V_n(m)/eps_n^2  and use
+            # that V is homogeneous of degree -1: m_eps = t* m* attains
+            # V_n = eps_n^2 at minimal cost t*.  (Coverage e.m >= 1 is
+            # inactive at these scales and enforced by the integer
+            # projection.)  Better conditioned than the direct eps SDP.
+            c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
+                psis, self.mappings, self.L, self.costs, [], 1.0,
+                eps_weights=np.asarray(eps, dtype=float))
+            res = solve_cone_lp(c, Gl, hl, As, Hs,
+                                verbose=self.verbose, **params)
+            if res.status not in _OK_STATUSES:
+                return None
+            m0 = np.maximum(res.x[1:], 0)
+            K = 1.0 / max(m0.max(), 1e-300)  # V(m0) = K * V(K m0)
+            try:
+                alpha = max(K * self.SAPS[n].variance(K * m0[self.mappings[n]])
+                            / eps[n] ** 2 for n in range(self.n_outputs))
+            except (AssertionError, np.linalg.LinAlgError):
+                return None
+            return alpha * m0
+
+        # with per-model sample caps the scaling identity breaks; solve the
+        # direct eps SDP with the reference's meps rescale (mosap.py:430-434)
         n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
         meps = 100.0 / np.sqrt(n_mc)
         c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
@@ -206,8 +230,14 @@ class MOSAP:
         return np.maximum(res.x, 0) / meps ** 2
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
-                    max_model_samples=None):
-        """Epigraph NLP (reference mosap.py:562-613)."""
+                    max_model_samples=None, eps_weights=None):
+        """Epigraph NLP (reference mosap.py:562-613).
+
+        eps mode without sample caps is solved through the scaled weighted
+        budget problem (same homogeneity identity as sdp_solve): the direct
+        eps-mode NLP is badly scaled (m ~ V/eps^2 >> 1) and trust-constr
+        routinely returns grossly oversampled feasible points from it.
+        """
         from scipy.optimize import minimize, LinearConstraint, \
             NonlinearConstraint, Bounds
 
@@ -217,6 +247,25 @@ class MOSAP:
         delta = 1.0e-15
         es, rhs = self.get_max_sample_constraints(max_model_samples)
         e_rows = self._e_rows()
+
+        if budget is None and eps is not None and len(es) == 0:
+            # budget value is arbitrary by homogeneity; pick one that puts
+            # the allocation entries at O(1) for the NLP
+            m0 = self.scipy_solve(budget=10.0 * float(w.sum()), x0=x0,
+                                  eps_weights=eps)
+            if m0 is None:
+                return None
+            m0 = np.maximum(m0, 0)
+            K = 1.0 / max(m0.max(), 1e-300)
+            try:
+                alpha = max(K * self.SAPS[n].variance(K * m0[self.mappings[n]])
+                            / eps[n] ** 2 for n in range(No))
+            except (AssertionError, np.linalg.LinAlgError):
+                return None
+            return alpha * m0
+
+        if eps_weights is None:
+            eps_weights = np.ones(No)
 
         if budget is not None:
             bounds = Bounds(np.zeros(L + 1), np.inf * np.ones(L + 1),
@@ -231,13 +280,15 @@ class MOSAP:
                 mp = self.mappings[nn]
                 sap = self.SAPS[nn]
 
+                ww = float(eps_weights[nn]) ** 2
+
                 def f(x):
-                    return x[0] - sap.variance(x[1:][mp], delta=delta)
+                    return x[0] - sap.variance(x[1:][mp], delta=delta) / ww
 
                 def jac(x):
                     g = np.zeros(L + 1); g[0] = 1.0
                     gv = sap.variance_GH(x[1:][mp], nohess=True, delta=delta)[1]
-                    g[1:][mp] = -gv
+                    g[1 + mp] = -gv / ww
                     return g
 
                 return NonlinearConstraint(f, 0, np.inf, jac=jac)

@@ -174,6 +174,23 @@ class SAP:
             if res.status not in _OK_STATUSES:
                 return None
             return np.maximum(res.x[1:], 0) * budget
+        elif len(es) == 0:
+            # exact eps-mode via the scaled budget problem (homogeneity of
+            # the variance in m; see MOSAP.sdp_solve)
+            c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
+                [self.psi], mapping, self.L, self.costs, [], 1.0,
+                eps_weights=np.array([eps]))
+            res = solve_cone_lp(c, Gl, hl, As, Hs,
+                                verbose=self.verbose, **params)
+            if res.status not in _OK_STATUSES:
+                return None
+            m0 = np.maximum(res.x[1:], 0)
+            K = 1.0 / max(m0.max(), 1e-300)  # V(m0) = K * V(K m0)
+            try:
+                alpha = K * self.variance(K * m0) / eps ** 2
+            except (AssertionError, np.linalg.LinAlgError):
+                return None
+            return alpha * m0
         else:
             c, Gl, hl, As, Hs, scales = cones.build_eps_sdp(
                 [self.psi], mapping, self.L, self.costs, [self.e],
@@ -195,6 +212,20 @@ class SAP:
         w = self.costs
         es, rhs = self.get_max_sample_constraints(max_model_samples)
         rng = np.random.default_rng(0)
+
+        if budget is None and eps is not None and len(es) == 0:
+            # scaled solve via homogeneity (see sdp_solve): the direct
+            # eps-mode NLP is badly scaled for trust-constr
+            m0 = self.scipy_solve(budget=10.0 * float(w.sum()), x0=x0)
+            if m0 is None:
+                return None
+            m0 = np.maximum(m0, 0)
+            K = 1.0 / max(m0.max(), 1e-300)
+            try:
+                alpha = K * self.variance(K * m0) / eps ** 2
+            except (AssertionError, np.linalg.LinAlgError):
+                return None
+            return alpha * m0
 
         bounds = Bounds(np.zeros(L), np.inf * np.ones(L), keep_feasible=True)
         lc_e = LinearConstraint(self.e, 1, np.inf, keep_feasible=True)

@@ -116,7 +116,7 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
                 lambda x: jax.lax.psum(x, SAMPLE_AXIS), sums)
 
         f = jax.shard_map(shard_fn, mesh=mesh, in_specs=P(),
-                          out_specs=P())
+                          out_specs=P(), check_vma=False)
         return f(key)
 
     # jit once per static N value (allocation counts are reused per group)

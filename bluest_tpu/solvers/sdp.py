@@ -136,7 +136,7 @@ def solve_cone_lp(c: np.ndarray,
                   feastol: float = 1.0e-8,
                   max_iter: int = 200,
                   step_frac: float = 0.99,
-                  equilibrate: bool = False,
+                  equilibrate: bool = True,
                   verbose: bool = False) -> ConeLPResult:
     """Solve  min c^T x  s.t.  Gl x <= hl,  sum_i x_i As[b,i] <= Hs[b].
 
@@ -151,13 +151,6 @@ def solve_cone_lp(c: np.ndarray,
     Gl_np = np.asarray(Gl, dtype=np.float64).reshape(-1, nx)
     hl_np = np.asarray(hl, dtype=np.float64).ravel()
     p = Gl_np.shape[0]
-    if p and equilibrate:
-        # row equilibration: G x <= h is invariant under positive row
-        # scaling; rows with extreme coefficient norms otherwise drive
-        # their dual variables to extreme scales.
-        rownorm = np.maximum(np.abs(Gl_np).max(axis=1), 1e-12)
-        Gl_np = Gl_np / rownorm[:, None]
-        hl_np = hl_np / rownorm
     if As is None:
         As = np.zeros((0, nx, 1, 1))
         Hs = np.zeros((0, 1, 1))
@@ -166,6 +159,19 @@ def solve_cone_lp(c: np.ndarray,
     Hs_np = np.asarray(Hs, dtype=np.float64)
     Hs_np = (Hs_np + np.swapaxes(Hs_np, -1, -2)) / 2
     nb, _, n, _ = As_np.shape
+
+    # Column (variable) equilibration: x = colscale * x_tilde.  MLBLUE
+    # LMI coefficient columns span many orders of magnitude when model
+    # correlations approach 1 (group inverse-covariance blocks ~1/(1-rho^2))
+    # and the IPM normal matrix would square that range.
+    colscale = np.ones(nx)
+    if equilibrate:
+        norms = np.sqrt((Gl_np ** 2).sum(axis=0)
+                        + (As_np ** 2).sum(axis=(0, 2, 3)))
+        colscale = 1.0 / np.maximum(norms, 1e-300)
+        Gl_np = Gl_np * colscale[None, :]
+        As_np = As_np * colscale[None, :, None, None]
+        c_np = c_np * colscale
     nu = p + nb * n
     if nu == 0:
         raise ValueError("empty cone")
@@ -421,6 +427,7 @@ def solve_cone_lp(c: np.ndarray,
                             iterations=it, gap=np.inf, pres=np.inf,
                             dres=np.inf, pobj=np.nan)
     m, xb, gap, pres, dres, pobj, itb = best
+    xb = xb * colscale
     relgap = gap / max(1.0, abs(pobj))
     if pres < feastol and dres < feastol and relgap < tol:
         status = "optimal"

@@ -1,0 +1,70 @@
+"""Model-family sanity tests: correctness of the solvers underlying the
+flagship multi-fidelity hierarchies."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bluest_tpu.models.diffusion import thomas_solve, solve_diffusion, DiffusionProblem
+from bluest_tpu.models.hodgkin_huxley import (_integrate, _outputs,
+                                              HodgkinHuxleyProblem)
+
+
+def test_thomas_solve_matches_dense(rng):
+    n = 40
+    lower = rng.uniform(0.5, 1.0, n); lower[0] = 0
+    upper = rng.uniform(0.5, 1.0, n); upper[-1] = 0
+    diag = 4.0 + rng.uniform(0, 1, n)
+    rhs = rng.standard_normal(n)
+    A = np.diag(diag) + np.diag(lower[1:], -1) + np.diag(upper[:-1], 1)
+    x_ref = np.linalg.solve(A, rhs)
+    x = thomas_solve(jnp.asarray(lower), jnp.asarray(diag),
+                     jnp.asarray(upper), jnp.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-10)
+
+
+def test_diffusion_deterministic_limit():
+    """xi = 0 => a = 1 => u = x(1-x)/2, integral = 1/12."""
+    for n in (64, 256):
+        q = float(solve_diffusion(jnp.zeros(8), n))
+        assert abs(q - 1.0 / 12.0) < 2.0 / n ** 2 + 1e-10
+
+
+def test_diffusion_fidelity_convergence():
+    """Fidelities converge to the same QoI as the grid refines."""
+    xi = jnp.asarray(np.random.default_rng(0).standard_normal(16))
+    qs = [float(solve_diffusion(xi, n)) for n in (32, 64, 128, 256)]
+    errs = np.abs(np.diff(qs))
+    assert errs[-1] < errs[0]  # refinement reduces increments
+
+
+def test_hh_integrator_spikes():
+    params = jnp.array([10.0, 120.0, 36.0])
+    traj = _integrate(0, 0.01, params)
+    V = np.asarray(traj[:, 0])
+    assert V.max() > 0.0      # at least one action potential
+    assert V.min() > -90.0    # stays physiological
+    out = np.asarray(_outputs(0, traj))
+    assert out.shape == (5,)
+    # dt refinement converges
+    o1 = np.asarray(_outputs(0, _integrate(0, 0.01, params)))
+    o2 = np.asarray(_outputs(0, _integrate(0, 0.02, params)))
+    o4 = np.asarray(_outputs(0, _integrate(0, 0.04, params)))
+    assert np.abs(o1 - o2)[0] < np.abs(o1 - o4)[0] + 1e-8
+
+
+@pytest.mark.slow
+def test_diffusion_problem_pipeline():
+    p = DiffusionProblem(grids=(64, 32, 16), n_kl=8,
+                         covariance_estimation_samples=2048, verbose=False)
+    C = p.get_covariance()
+    assert np.isfinite(np.diag(C)).all()
+    rho = p.get_correlation()
+    assert rho[0, 1] > 0.9
+    eps = 0.05 * np.sqrt(C[0, 0])
+    blue = p.setup_solver(K=3, eps=eps)
+    mu, errs, cost = p.solve(K=3, eps=eps)
+    assert np.isfinite(mu[0])
+    # plain-MC cost comparison
+    assert cost <= C[0, 0] / eps ** 2 * p.get_costs()[0] * 1.01

@@ -1,0 +1,117 @@
+"""Multi-device sampling tests on the virtual 8-device CPU mesh
+(replaces the reference's `mpiexec -n 8` testing, tutorial 01:140-172)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bluest_tpu.parallel import sample_mesh, sample_model_mesh
+from bluest_tpu.sampling import jax_engine
+
+
+def make_model_fn(L=3, No=2):
+    def model_fn(key):
+        z = jax.random.normal(key)
+        base = jnp.array([jnp.exp(z), z ** 2 + 1.0, jnp.cos(z)])[:L]
+        return jnp.stack([base, 2.0 * base])[:No]
+    return model_fn
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_sums_match_single_device():
+    model_fn = make_model_fn()
+    mesh = sample_mesh()
+    N = 1000  # deliberately not divisible by 8
+
+    eng1 = jax_engine.build_group_engine(model_fn, 2, 3, batch_size=64,
+                                         mesh=None)
+    eng8 = jax_engine.build_group_engine(model_fn, 2, 3, batch_size=64,
+                                         mesh=mesh)
+    key = jax.random.key(42)
+    s1 = eng1(key, N)
+    s8 = eng8(key, N)
+    # same keys are used for the same global sample indices, so the sums
+    # must agree to reduction-order rounding
+    np.testing.assert_allclose(np.asarray(s8.sumse), np.asarray(s1.sumse),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s8.sumsc), np.asarray(s1.sumsc),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s8.sumsd2), np.asarray(s1.sumsd2),
+                               rtol=1e-12)
+    assert int(s1.n_failed) == 0 and int(s8.n_failed) == 0
+
+
+def test_exact_n_semantics():
+    """Mean over exactly N samples regardless of padding/batching."""
+    def model_fn(key):
+        return jnp.ones((1, 1)) * jax.random.normal(key)
+
+    eng = jax_engine.build_group_engine(model_fn, 1, 1, batch_size=128,
+                                        mesh=sample_mesh())
+    N = 777
+    s = eng(jax.random.key(0), N)
+    # sum of N iid normals has std sqrt(N); check plausible magnitude
+    assert abs(float(s.sumse[0, 0])) < 6 * np.sqrt(N)
+    # second moment ~ N
+    assert abs(float(s.sumsc[0, 0, 0]) - N) < 6 * np.sqrt(2 * N)
+
+
+def test_nan_resampling():
+    """Model returning NaN with ~30% probability must still produce finite
+    sums (bounded resampling replaces the reference's infinite retry loop,
+    blue_fn.py:118-129)."""
+    def model_fn(key):
+        z = jax.random.normal(key)
+        bad = z > 0.5  # ~30% of draws
+        return jnp.where(bad, jnp.nan, z).reshape(1, 1)
+
+    eng = jax_engine.build_group_engine(model_fn, 1, 1, batch_size=64)
+    s = eng(jax.random.key(1), 500)
+    assert np.isfinite(np.asarray(s.sumse)).all()
+    assert int(s.n_failed) == 0
+    # resampled distribution is the truncated normal (z <= 0.5): mean < 0
+    assert float(s.sumse[0, 0]) / 500 < 0
+
+
+def test_sample_model_mesh_shapes():
+    mesh = sample_model_mesh(4, 2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("samples", "model")
+
+
+def test_model_axis_sharded_model():
+    """Nested-parallelism equivalent: a model whose state is sharded over
+    the 'model' axis inside shard_map (reference nested MPI,
+    restrictions_matern.py:19-37)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = sample_model_mesh(4, 2)
+    D = 16
+
+    def sharded_model(key, x_shard):
+        # x_shard: this device's half of a length-D state vector
+        z = jax.random.normal(key)
+        local = jnp.sum(x_shard * z)
+        total = jax.lax.psum(local, "model")     # model-internal collective
+        return total
+
+    def per_sample_instance(key, x):
+        # runs on one 'samples' row: the model spans the 'model' axis
+        i = jax.lax.axis_index("samples")
+        k = jax.random.fold_in(key, i)
+        return sharded_model(k, x)[None]
+
+    x = jnp.arange(D, dtype=jnp.float64)
+    f = jax.shard_map(per_sample_instance, mesh=mesh,
+                      in_specs=(P(), P("model")), out_specs=P("samples"),
+                      check_vma=False)
+    out = jax.jit(f)(jax.random.key(0), x)
+    assert out.shape == (4,)
+    # each sample instance computed sum(x) * z_i for its own z_i
+    zs = np.asarray(out) / float(np.sum(np.arange(D)))
+    assert len(np.unique(np.round(zs, 12))) == 4
