@@ -12,9 +12,24 @@ Importing this module enables jax x64 once, before any arrays are created.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles dominate cold-start time for
+# the per-model kernels; cache them across processes.  Override the
+# location with BLUEST_TPU_CACHE, disable with BLUEST_TPU_CACHE=0.
+_cache = os.environ.get("BLUEST_TPU_CACHE",
+                        os.path.expanduser("~/.cache/bluest_tpu_xla"))
+if _cache != "0":
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best effort
+        pass
 
 # Default dtypes used throughout the library.
 import numpy as np

@@ -35,19 +35,13 @@ class ExpSeriesProblem(BLUEProblem):
         params.setdefault("costs", default_costs(n_models))
         super().__init__(n_models, **params)
 
-    def sampler_jax(self, key, ls):
-        z = jax.random.normal(key)
-        return jnp.full((len(ls),), z)
+    def sample_input_jax(self, key):
+        return jax.random.normal(key)
 
-    def evaluate_jax(self, ls, samples):
-        outs = []
-        for i, l in enumerate(ls):
-            x = samples[i]
-            if l == 0:
-                outs.append(jnp.exp(x))
-            else:
-                outs.append(_series(x, self.n_models - l))
-        return jnp.stack(outs)[None, :]
+    def evaluate_model_jax(self, l, z):
+        if l == 0:
+            return jnp.exp(z)[None]
+        return _series(z, self.n_models - l)[None]
 
 
 class ExpSeriesMultiProblem(BLUEProblem):
@@ -58,15 +52,9 @@ class ExpSeriesMultiProblem(BLUEProblem):
         params.setdefault("costs", default_costs(n_models))
         super().__init__(n_models, n_outputs=2, **params)
 
-    def sampler_jax(self, key, ls):
-        z = jax.random.normal(key)
-        return jnp.full((len(ls),), z)
+    def sample_input_jax(self, key):
+        return jax.random.normal(key)
 
-    def evaluate_jax(self, ls, samples):
-        r0, r1 = [], []
-        for i, l in enumerate(ls):
-            x = samples[i]
-            v = jnp.exp(x) if l == 0 else _series(x, self.n_models - l)
-            r0.append(v)
-            r1.append(v * v)
-        return jnp.stack([jnp.stack(r0), jnp.stack(r1)])
+    def evaluate_model_jax(self, l, z):
+        v = jnp.exp(z) if l == 0 else _series(z, self.n_models - l)
+        return jnp.stack([v, v * v])

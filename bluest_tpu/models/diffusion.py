@@ -26,12 +26,47 @@ import numpy as np
 from ..problem import BLUEProblem
 
 
+def cyclic_reduction_solve(lower, diag, upper, rhs):
+    """Tridiagonal solve by cyclic reduction: log2(n) vectorized levels.
+
+    Requires n = 2^p - 1 unknowns.  This is the TPU-native tridiagonal
+    algorithm: the Thomas recurrence is a 2n-step sequential scan whose
+    per-step work is a handful of scalars -- catastrophic on a systolic
+    machine -- while cyclic reduction does the same O(n) flops in ~2 log2 n
+    wide VPU sweeps and vmaps cleanly over the sample batch.
+    """
+    a, b, c, d = lower, diag, upper, rhs
+    levels = []
+    while b.shape[-1] > 1:
+        alpha = a[..., 1::2] / b[..., 0:-1:2]
+        gamma = c[..., 1::2] / b[..., 2::2]
+        levels.append((a, b, c, d))
+        a, b, c, d = (-alpha * a[..., 0:-1:2],
+                      b[..., 1::2] - alpha * c[..., 0:-1:2]
+                      - gamma * a[..., 2::2],
+                      -gamma * c[..., 2::2],
+                      d[..., 1::2] - alpha * d[..., 0:-1:2]
+                      - gamma * d[..., 2::2])
+    x = d / b
+    for a0, b0, c0, d0 in reversed(levels):
+        m0 = b0.shape[-1]
+        shape = b0.shape
+        x_full = jnp.zeros(shape, dtype=x.dtype)
+        x_full = x_full.at[..., 1::2].set(x)
+        zpad = jnp.zeros(shape[:-1] + (1,), dtype=x.dtype)
+        xpad = jnp.concatenate([zpad, x_full, zpad], axis=-1)
+        xe = (d0[..., 0::2] - a0[..., 0::2] * xpad[..., 0:m0:2]
+              - c0[..., 0::2] * xpad[..., 2:m0 + 2:2]) / b0[..., 0::2]
+        x = x_full.at[..., 0::2].set(xe)
+    return x
+
+
 def thomas_solve(lower, diag, upper, rhs):
     """Tridiagonal solve via the Thomas algorithm as a double scan.
 
-    All args length n (lower[0], upper[-1] ignored).  Sequential in n, but
-    vectorizes across the sample batch under vmap: each scan step is a
-    batch-wide fused multiply-add on the VPU.
+    All args length n (lower[0], upper[-1] ignored).  Sequential in n --
+    use :func:`cyclic_reduction_solve` on TPU whenever n = 2^p - 1; kept
+    for general sizes and as the oracle in tests.
     """
     n = diag.shape[0]
 
@@ -56,8 +91,29 @@ def thomas_solve(lower, diag, upper, rhs):
     return xs
 
 
+def solve_diffusion_outputs(xi, n_cells: int, sigma: float = 1.0,
+                            nu: float = 1.5):
+    """Three QoIs for one sample: (integral of u, u(1/2), energy int a u'^2).
+
+    Multi-output analog of the reference's multi-QoI PDE examples
+    (multi_output_example.py, bluest_NS.py with 6 outputs)."""
+    u, a, h = _solve_field(xi, n_cells, sigma, nu)
+    q_int = h * jnp.sum(u)
+    uu = jnp.concatenate([jnp.zeros(1), u, jnp.zeros(1)])
+    q_mid = uu[n_cells // 2]
+    du = jnp.diff(uu) / h
+    q_energy = h * jnp.sum(a * du * du)
+    return jnp.stack([q_int, q_mid, q_energy])
+
+
 def solve_diffusion(xi, n_cells: int, sigma: float = 1.0, nu: float = 1.5):
     """QoI for one sample: xi (n_kl,) -> integral of u over (0,1)."""
+    u, a, h = _solve_field(xi, n_cells, sigma, nu)
+    return h * jnp.sum(u)
+
+
+def _solve_field(xi, n_cells: int, sigma: float, nu: float):
+    """Shared FD solve: returns (interior u, face coefficients a, h)."""
     n_kl = xi.shape[0]
     # coefficient at the n_cells+1 interior faces x_j = j*h, j=0..n_cells
     h = 1.0 / n_cells
@@ -76,9 +132,12 @@ def solve_diffusion(xi, n_cells: int, sigma: float = 1.0, nu: float = 1.5):
     lower = jnp.concatenate([jnp.zeros(1), -am[1:] / h ** 2])
     upper = jnp.concatenate([-ap[:-1] / h ** 2, jnp.zeros(1)])
     rhs = jnp.ones(n_cells - 1)
-    u = thomas_solve(lower, diag, upper, rhs)
-    # trapezoid with u_0 = u_n = 0
-    return h * jnp.sum(u)
+    m = n_cells - 1
+    if m >= 1 and (m & (m + 1)) == 0:      # m = 2^p - 1: powers-of-two grid
+        u = cyclic_reduction_solve(lower, diag, upper, rhs)
+    else:
+        u = thomas_solve(lower, diag, upper, rhs)
+    return u, a, h
 
 
 class DiffusionProblem(BLUEProblem):
@@ -90,20 +149,39 @@ class DiffusionProblem(BLUEProblem):
     """
 
     def __init__(self, grids=(256, 128, 64, 32, 16), n_kl: int = 16,
-                 sigma: float = 0.5, nu: float = 1.5, **params):
+                 sigma: float = 0.5, nu: float = 1.5,
+                 multi_output: bool = False, truncate_kl: bool = True,
+                 **params):
         self.grids = tuple(int(g) for g in grids)
         self.n_kl = n_kl
         self.sigma = sigma
         self.nu = nu
+        self.multi_output = multi_output
+        # coarse fidelities resolve only the field modes their grid can
+        # represent (the classic multilevel setup: fidelity = grid AND
+        # input dimension truncation) -- without this, smooth QoIs make
+        # all fine models correlate to ~1-1e-7 and the hierarchy is
+        # degenerate as a benchmark
+        if truncate_kl:
+            self.n_modes = tuple(min(self.n_kl, max(1, g // 4))
+                                 for g in self.grids)
+        else:
+            self.n_modes = tuple(self.n_kl for _ in self.grids)
         params.setdefault("costs", np.array([g / grids[-1]
                                              for g in self.grids]))
+        if multi_output:
+            params.setdefault("n_outputs", 3)
         super().__init__(len(self.grids), **params)
 
-    def sampler_jax(self, key, ls):
-        xi = jax.random.normal(key, (self.n_kl,))
-        return xi  # shared across coupled fidelities
+    def sample_input_jax(self, key):
+        return jax.random.normal(key, (self.n_kl,))  # shared across group
 
-    def evaluate_jax(self, ls, xi):
-        outs = [solve_diffusion(xi, self.grids[l], self.sigma, self.nu)
-                for l in ls]
-        return jnp.stack(outs)[None, :]
+    def evaluate_model_jax(self, l, xi):
+        import jax.numpy as _jnp
+        mask = (_jnp.arange(self.n_kl) < self.n_modes[l])
+        xi = xi * mask
+        if self.multi_output:
+            return solve_diffusion_outputs(xi, self.grids[l], self.sigma,
+                                           self.nu)
+        return solve_diffusion(xi, self.grids[l], self.sigma,
+                               self.nu)[None]

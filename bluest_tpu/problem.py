@@ -61,6 +61,7 @@ default_params = {
     "seed": 0,
     "mesh": None,                      # None | "auto" | jax.sharding.Mesh
     "device_batch_size": 4096,
+    "max_resample": 64,                # 0 = model guaranteed finite
 }
 
 
@@ -152,6 +153,18 @@ class BLUEProblem:
         """JAX-traceable evaluation: returns an (n_outputs, len(ls)) array."""
         raise NotImplementedError
 
+    def sample_input_jax(self, key):
+        """JAX-traceable *factored* sampler: key -> random input theta,
+        shared by every model of a coupled group.  Override together with
+        evaluate_model_jax for the kernel engine (one compiled kernel per
+        model instead of one per group -- much cheaper cold start)."""
+        raise NotImplementedError
+
+    def evaluate_model_jax(self, l, theta):
+        """JAX-traceable single-model evaluation: returns the (n_outputs,)
+        output vector of model ``l`` on input ``theta``."""
+        raise NotImplementedError
+
     def get_models_inner_products(self):
         return [lambda a, b: a * b for _ in range(self.n_outputs)]
 
@@ -163,8 +176,14 @@ class BLUEProblem:
 
     def _has_jax_model(self) -> bool:
         cls = type(self)
-        return (cls.evaluate_jax is not BLUEProblem.evaluate_jax
-                and cls.sampler_jax is not BLUEProblem.sampler_jax)
+        return ((cls.evaluate_jax is not BLUEProblem.evaluate_jax
+                 and cls.sampler_jax is not BLUEProblem.sampler_jax)
+                or self._has_factored_jax_model())
+
+    def _has_factored_jax_model(self) -> bool:
+        cls = type(self)
+        return (cls.evaluate_model_jax is not BLUEProblem.evaluate_model_jax
+                and cls.sample_input_jax is not BLUEProblem.sample_input_jax)
 
     def get_costs(self) -> np.ndarray:
         return np.asarray(self.costs, dtype=float)
@@ -387,21 +406,37 @@ class BLUEProblem:
             filename=self.params["samplefile"],
             outputs_to_save=self.params["outputs_to_save"])
 
+    def _kernel_engine(self) -> "jax_engine.KernelEngine":
+        if getattr(self, "_kengine", None) is None:
+            self._kengine = jax_engine.KernelEngine(
+                self.sample_input_jax, self.evaluate_model_jax, self.M,
+                self.n_outputs,
+                batch_size=int(self.params["device_batch_size"]),
+                mesh=self.mesh)
+            # compile all model kernels concurrently up front (XLA releases
+            # the GIL; on remote-compile TPU setups this roughly halves the
+            # cold start, and the persistent cache removes it on reruns)
+            self._kengine.precompile(parallel=True)
+        return self._kengine
+
     def _blue_fn_device(self, ls, N, compute_mlmc_differences=False):
         key_ls = tuple(int(l) for l in ls)
-        if key_ls not in self._engines:
-            model_fn = jax_engine.make_model_fn(
-                self.sampler_jax, self.evaluate_jax, key_ls)
-            batch = int(self.params["device_batch_size"])
-            batch = max(1, min(batch, max(1, N)))
-            self._engines[key_ls] = jax_engine.build_group_engine(
-                model_fn, self.n_outputs, len(key_ls),
-                batch_size=batch, mesh=self.mesh)
-        engine = self._engines[key_ls]
         key = jax.random.fold_in(self._base_key, self._call_counter)
         self._call_counter += 1
         t0 = time()
-        sums = engine(key, int(N))
+        if self._has_factored_jax_model():
+            sums = self._kernel_engine().sample_sums(key_ls, key, int(N))
+        else:
+            if key_ls not in self._engines:
+                model_fn = jax_engine.make_model_fn(
+                    self.sampler_jax, self.evaluate_jax, key_ls)
+                batch = int(self.params["device_batch_size"])
+                batch = max(1, min(batch, max(1, N)))
+                self._engines[key_ls] = jax_engine.build_group_engine(
+                    model_fn, self.n_outputs, len(key_ls),
+                    batch_size=batch, mesh=self.mesh,
+                    max_resample=int(self.params["max_resample"]))
+            sums = self._engines[key_ls](key, int(N))
         se = np.asarray(sums.sumse)
         sc = np.asarray(sums.sumsc)
         wall = time() - t0

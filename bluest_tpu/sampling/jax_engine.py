@@ -43,6 +43,10 @@ class SampleSums(NamedTuple):
 def _one_sample(model_fn: Callable, key, max_resample: int):
     P0 = model_fn(key)
     ok0 = jnp.all(jnp.isfinite(P0))
+    if max_resample == 0:
+        # model guaranteed finite (or caller accepts drops): no retry loop,
+        # which keeps the compiled program a straight-line batch computation
+        return P0, ok0
 
     def cond(st):
         tries, P, ok = st
@@ -99,34 +103,37 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
             chunk, init, jnp.arange(n_chunks))
         return SampleSums(se, sc, d1, d2, nf)
 
-    def engine(key, N: int):
-        N = int(N)
-        per_shard = -(-N // n_shards)                      # ceil
-        n_pad = -(-per_shard // batch_size) * batch_size   # pad to batches
-
+    def engine(key, N, n_pad: int):
+        """N is dynamic (appears only in masks); n_pad is static."""
         if mesh is None or n_shards == 1:
             return shard_sums(key, N, 0, n_pad)
 
         from jax.sharding import PartitionSpec as P
 
-        def shard_fn(key):
+        def shard_fn(key, N):
             i = jax.lax.axis_index(SAMPLE_AXIS)
             sums = shard_sums(key, N, i, n_pad)
             return jax.tree.map(
                 lambda x: jax.lax.psum(x, SAMPLE_AXIS), sums)
 
-        f = jax.shard_map(shard_fn, mesh=mesh, in_specs=P(),
+        f = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
                           out_specs=P(), check_vma=False)
-        return f(key)
+        return f(key, N)
 
-    # jit once per static N value (allocation counts are reused per group)
+    # One compilation per padded-size bucket (power-of-two number of
+    # batches per shard): the sample count N itself is a dynamic argument,
+    # so re-solving with different allocations does not recompile.
     cache = {}
 
     def compiled(key, N: int):
         N = int(N)
-        if N not in cache:
-            cache[N] = jax.jit(lambda k: engine(k, N))
-        return cache[N](key)
+        per_shard = -(-N // n_shards)
+        n_batches = max(1, -(-per_shard // batch_size))
+        n_batches = 1 << (n_batches - 1).bit_length()      # pow2 bucket
+        n_pad = n_batches * batch_size
+        if n_pad not in cache:
+            cache[n_pad] = jax.jit(partial(engine, n_pad=n_pad))
+        return cache[n_pad](key, N)
 
     return compiled
 
@@ -142,3 +149,109 @@ def make_model_fn(sampler_jax: Callable, evaluate_jax: Callable, ls):
         return jnp.asarray(out)
 
     return model_fn
+
+
+# ------------------------------------------------------------------------ #
+# Kernel engine: O(M + K) compilations for the whole problem.
+#
+# The group engine above compiles one program per coupled group; with
+# hundreds of candidate groups and expensive TPU compiles that dominates
+# cold-start.  When the user's model factors as
+#     theta = sample_input(key)          (model-independent random input)
+#     out_l = evaluate_model(l, theta)   (one fidelity at a time)
+# -- which is exactly the MLBLUE coupling semantics: every model in a group
+# sees the same omega -- we instead compile one batched kernel per MODEL
+# plus one sum-combiner per group SIZE, and drive groups from the host by
+# chaining cached kernels on device-resident arrays.
+# ------------------------------------------------------------------------ #
+
+class KernelEngine:
+    """Per-model batched kernels + per-size combiners."""
+
+    def __init__(self, sample_input_fn: Callable, eval_model_fn: Callable,
+                 n_models: int, No: int, batch_size: int = 8192,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.No = No
+        self.batch = int(batch_size)
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._sharding = NamedSharding(mesh, P(SAMPLE_AXIS))
+
+        B = self.batch
+
+        @jax.jit
+        def theta_kernel(key, base):
+            idx = base + jnp.arange(B)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+            return jax.vmap(sample_input_fn)(keys), idx
+
+        self.theta_kernel = theta_kernel
+        self.model_kernels = {
+            l: jax.jit(jax.vmap(lambda th, l=l: jnp.asarray(
+                eval_model_fn(l, th)))) for l in range(n_models)}
+        self._combiners = {}
+
+    def _combiner(self, k: int):
+        if k in self._combiners:
+            return self._combiners[k]
+
+        @jax.jit
+        def combine(outs, idx, N):
+            # outs: (k, B, No) -> per-chunk sums
+            P = jnp.transpose(outs, (1, 2, 0)).astype(jnp.float64)  # (B,No,k)
+            ok = jnp.all(jnp.isfinite(P), axis=(1, 2))
+            w = ((idx < N) & ok).astype(jnp.float64)
+            nf = jnp.sum((idx < N) & ~ok)
+            P = jnp.where(jnp.isfinite(P), P, 0.0)
+            se = jnp.einsum('bnl,b->nl', P, w)
+            sc = jnp.einsum('bni,bnj,b->nij', P, P, w)
+            D = P[:, :, :, None] - P[:, :, None, :]
+            d1 = jnp.einsum('bnij,b->nij', D, w)
+            d2 = jnp.einsum('bnij,bnij,b->nij', D, D, w)
+            return se, sc, d1, d2, nf
+
+        self._combiners[k] = combine
+        return combine
+
+    def precompile(self, models=None, parallel: bool = True):
+        """Warm all kernels (optionally in parallel threads -- XLA releases
+        the GIL during compilation)."""
+        import concurrent.futures as cf
+        key = jax.random.key(0)
+        theta, idx = self.theta_kernel(key, 0)
+        models = list(self.model_kernels if models is None else models)
+
+        def warm(l):
+            self.model_kernels[l](theta)[0].block_until_ready()
+
+        if parallel and len(models) > 1:
+            with cf.ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(warm, models))
+        else:
+            for l in models:
+                warm(l)
+
+    def sample_sums(self, ls, key, N: int) -> SampleSums:
+        """Accumulate sums over N coupled samples of group ``ls``."""
+        ls = [int(l) for l in ls]
+        k = len(ls)
+        combine = self._combiner(k)
+        B = self.batch
+        n_chunks = -(-int(N) // B)
+        acc = None
+        for c in range(n_chunks):
+            theta, idx = self.theta_kernel(key, c * B)
+            if self._sharding is not None:
+                # distribute the batch over the sample mesh axis; the model
+                # kernels then run partitioned by GSPMD and the combiner's
+                # reductions insert the cross-device psum automatically
+                theta = jax.device_put(theta, self._sharding)
+                idx = jax.device_put(idx, self._sharding)
+            outs = jnp.stack([self.model_kernels[l](theta) for l in ls])
+            part = combine(outs, idx, N)
+            acc = part if acc is None else tuple(
+                a + b for a, b in zip(acc, part))
+        se, sc, d1, d2, nf = acc
+        return SampleSums(se, sc, d1, d2, nf)
