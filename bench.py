@@ -30,7 +30,7 @@ N_KL = 32
 SIGMA = 1.0
 NU = 0.6
 K = 4
-TARGET_EVALS = 1_000_000
+TARGET_SAMPLES = 1_000_000
 PILOT = 4096
 BASELINE_SAMPLE_CAP = 2000
 
@@ -49,14 +49,24 @@ def total_evaluations(problem):
                    zip(out["flattened_groups"], out["samples"])))
 
 
+def total_samples(problem):
+    return int(np.sum(problem.MOSAP_output["samples"]))
+
+
 def run_bluest_tpu(problem, budget0=2.0e4):
     """Returns (alloc_seconds, sample_seconds, n_evals, mus, errs)."""
     t0 = time.time()
     problem.setup_solver(K=K, budget=budget0)
-    n0 = total_evaluations(problem)
-    # rescale the budget so the estimation phase runs ~TARGET_EVALS
-    budget = budget0 * TARGET_EVALS / max(n0, 1)
-    problem.setup_solver(K=K, budget=budget)
+    # rescale the budget so the estimation phase draws ~TARGET_SAMPLES
+    # (the allocation ray is homogeneous in the budget; one correction
+    # pass absorbs integer-rounding nonlinearity)
+    budget = budget0
+    for _ in range(2):
+        n0 = total_samples(problem)
+        if 0.9 <= n0 / TARGET_SAMPLES <= 1.1:
+            break
+        budget = budget * TARGET_SAMPLES / max(n0, 1)
+        problem.setup_solver(K=K, budget=budget)
     alloc_s = time.time() - t0
 
     t0 = time.time()
@@ -120,15 +130,16 @@ def run_baseline_allocation(problem):
 
 def main():
     quick = "--quick" in sys.argv
-    global GRIDS, TARGET_EVALS, PILOT, BASELINE_SAMPLE_CAP
+    global GRIDS, TARGET_SAMPLES, PILOT, BASELINE_SAMPLE_CAP
     if quick:
         GRIDS = (64, 32, 16, 8)
-        TARGET_EVALS = 50_000
+        TARGET_SAMPLES = 50_000
         PILOT = 512
         BASELINE_SAMPLE_CAP = 200
 
     problem = build_problem()
     alloc_s, sample_s, n_evals, mus, errs = run_bluest_tpu(problem)
+    n_samples = total_samples(problem)
     ours = alloc_s + sample_s
 
     base_alloc_s, _ = run_baseline_allocation(problem)
@@ -136,7 +147,7 @@ def main():
     baseline = base_alloc_s + base_sample_s
 
     result = {
-        "metric": "mosap_alloc_plus_%.0eevals_estimation_wall" % TARGET_EVALS,
+        "metric": "mosap_alloc_plus_%.0esample_estimation_wall" % TARGET_SAMPLES,
         "value": round(ours, 3),
         "unit": "s",
         "vs_baseline": round(baseline / ours, 2),
@@ -144,6 +155,7 @@ def main():
             "alloc_s": round(alloc_s, 3),
             "sample_s": round(sample_s, 3),
             "n_model_evals": n_evals,
+            "n_samples": n_samples,
             "evals_per_s": round(n_evals / max(sample_s, 1e-9)),
             "baseline_alloc_s": round(base_alloc_s, 3),
             "baseline_sample_s_extrapolated": round(base_sample_s, 3),

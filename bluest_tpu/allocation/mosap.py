@@ -12,6 +12,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from ..config import on_allocation_device
 from ..solvers.sdp import solve_cone_lp
 from ..solvers.integer import best_integer_blue_multi
 from . import cones
@@ -128,6 +129,7 @@ class MOSAP:
 
     # ------------------------------ solve ----------------------------- #
 
+    @on_allocation_device
     def solve(self, budget=None, eps=None, solver: str = "sdp", x0=None,
               continuous_relaxation: bool = False, max_model_samples=None,
               solver_params: Optional[dict] = None):
@@ -154,6 +156,16 @@ class MOSAP:
         if samples is None:
             self.samples = None
             return None
+
+        # Complete group sets make the continuous optimum massively
+        # degenerate and interior-point solvers return a diffuse point of
+        # the optimal face; walk it to a sparse vertex first (the
+        # reference reserves this for integer-projection failures,
+        # mosap.py:233-236, but a sparse allocation is strictly better
+        # here: fewer active groups to sample and to compile for).
+        if (not continuous_relaxation
+                and np.sum(samples > 1e-9 * samples.max()) > 4 * self.N):
+            samples = self.cleanup_solution(np.asarray(samples, float).copy())
 
         if not continuous_relaxation:
             try:
@@ -338,6 +350,7 @@ class MOSAP:
 
     # ------------------------ cleanup sparsifier ----------------------- #
 
+    @on_allocation_device
     def cleanup_solution(self, m, delta: float = 0.0, tol: float = 0.0):
         """Null-space walk reducing the number of active groups without
         worsening the max variance (reference mosap.py:125-210)."""
@@ -407,6 +420,7 @@ class MOSAP:
 
     # ------------------------ integer projection ----------------------- #
 
+    @on_allocation_device
     def integer_projection(self, samples, budget=None, eps=None,
                            max_model_samples=None):
         """(reference mosap.py:212-289)"""

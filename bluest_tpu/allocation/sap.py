@@ -18,6 +18,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import on_allocation_device
 from ..core.groups import GroupStructure
 from ..core import psi as psimod
 from ..solvers.sdp import solve_cone_lp
@@ -62,6 +63,7 @@ class SAP:
 
     # ------------------------- variance closures ---------------------- #
 
+    @on_allocation_device
     def variance(self, m, delta: float = 0.0) -> float:
         m = np.asarray(m, dtype=float)
         if np.abs(m).max() < 0.05:
@@ -73,6 +75,7 @@ class SAP:
         except np.linalg.LinAlgError:
             return float(psimod.variance(self.data, jnp.asarray(m), delta))
 
+    @on_allocation_device
     def variance_GH(self, m, delta: float = 0.0, nohess: bool = False):
         m = np.asarray(m, dtype=float)
         if np.abs(m).max() < 0.05:
@@ -82,6 +85,7 @@ class SAP:
         return (float(v), np.asarray(g),
                 None if H is None else np.asarray(H))
 
+    @on_allocation_device
     def get_cleanup_matrix(self, m, delta: float = 0.0) -> np.ndarray:
         return np.asarray(psimod.cleanup_matrix(self.data, jnp.asarray(
             np.asarray(m, dtype=float)), delta))
@@ -111,6 +115,7 @@ class SAP:
 
     # ----------------------------- solvers ---------------------------- #
 
+    @on_allocation_device
     def solve(self, budget: Optional[float] = None, eps: Optional[float] = None,
               solver: str = "sdp", x0=None, continuous_relaxation: bool = False,
               max_model_samples=None, solver_params: Optional[dict] = None):
@@ -263,6 +268,7 @@ class SAP:
 
     # ------------------------ integer projection ---------------------- #
 
+    @on_allocation_device
     def integer_projection(self, samples, budget=None, eps=None,
                            max_model_samples=None):
         """(reference sap.py:145-187; ladder bug fixed, see module doc)"""

@@ -37,6 +37,42 @@ import numpy as np
 REAL = np.float64
 INDEX = np.int32
 
+def allocation_device():
+    """Device the allocation optimization runs on.
+
+    The MLBLUE allocation problems are tiny (a few hundred variables);
+    on accelerator setups with per-dispatch tunnel latency the IPM's
+    Python-driven iterations are latency-bound, so they run on the host
+    CPU backend by default.  Override with BLUEST_TPU_ALLOC_DEVICE=default
+    to keep them on the main device.
+    """
+    import jax
+    if os.environ.get("BLUEST_TPU_ALLOC_DEVICE", "cpu") == "cpu":
+        try:
+            cpus = jax.devices("cpu")
+            if cpus:
+                return cpus[0]
+        except RuntimeError:
+            pass
+    return None
+
+
+def on_allocation_device(fn):
+    """Decorator pinning a function's JAX work to allocation_device()."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import jax
+        dev = allocation_device()
+        if dev is None:
+            return fn(*args, **kwargs)
+        with jax.default_device(dev):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 # Threshold below which a correlation is treated as "uncorrelated"
 # (reference: blue_models.py:344, blue_models.py:413).
 UNCORRELATED_RHO_TOL = 1.0e-7

@@ -215,23 +215,35 @@ class KernelEngine:
         self._combiners[k] = combine
         return combine
 
-    def precompile(self, models=None, parallel: bool = True):
-        """Warm all kernels (optionally in parallel threads -- XLA releases
-        the GIL during compilation)."""
+    def precompile(self, models=None, parallel: bool = True,
+                   group_sizes=(1, 2, 3, 4)):
+        """Warm all kernels and combiners (optionally in parallel threads
+        -- XLA releases the GIL during compilation)."""
         import concurrent.futures as cf
         key = jax.random.key(0)
         theta, idx = self.theta_kernel(key, 0)
         models = list(self.model_kernels if models is None else models)
+        n_models = len(self.model_kernels)
+        sizes = [k for k in group_sizes if k <= n_models]
 
-        def warm(l):
+        def warm_model(l):
             self.model_kernels[l](theta)[0].block_until_ready()
 
-        if parallel and len(models) > 1:
+        def warm_combiner(k):
+            dummy = jnp.zeros((k, self.batch, self.No))
+            jax.block_until_ready(self._combiner(k)(dummy, idx, 1))
+
+        if parallel and len(models) + len(sizes) > 1:
             with cf.ThreadPoolExecutor(max_workers=8) as ex:
-                list(ex.map(warm, models))
+                futs = [ex.submit(warm_model, l) for l in models]
+                futs += [ex.submit(warm_combiner, k) for k in sizes]
+                for f in futs:
+                    f.result()
         else:
             for l in models:
-                warm(l)
+                warm_model(l)
+            for k in sizes:
+                warm_combiner(k)
 
     def sample_sums(self, ls, key, N: int) -> SampleSums:
         """Accumulate sums over N coupled samples of group ``ls``."""

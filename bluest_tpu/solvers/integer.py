@@ -67,22 +67,28 @@ def corner_matrix(lb: np.ndarray, ub: np.ndarray) -> np.ndarray:
     return bnds[bits.astype(int), np.arange(LL)[None, :]].T
 
 
+@jax.jit
+def _chunk_var00(P):
+    w, V = jnp.linalg.eigh(P)
+    cutoff = _PINV_RCOND * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
+    v0 = V[:, 0, :]  # first row of V
+    return jnp.sum(v0 * inv_w * v0, axis=-1)
+
+
 def _batched_variance00(phis: np.ndarray) -> np.ndarray:
     """(B, M, M) -> (B,) of pinv(PHI)[0,0], Hermitian, rcond as reference
-    (misc.py:293-294, 368-369).  Chunked vmapped eigh on device."""
-    B = phis.shape[0]
+    (misc.py:293-294, 368-369).  Chunked vmapped eigh; chunks are padded
+    to a fixed size so the jitted kernel compiles once per matrix size."""
+    B, M, _ = phis.shape
     out = np.empty(B)
-
-    @jax.jit
-    def chunk_var(P):
-        w, V = jnp.linalg.eigh(P)
-        cutoff = _PINV_RCOND * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-        inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
-        v0 = V[:, 0, :]  # first row of V
-        return jnp.sum(v0 * inv_w * v0, axis=-1)
-
     for s in range(0, B, _CHUNK):
-        out[s:s + _CHUNK] = np.asarray(chunk_var(jnp.asarray(phis[s:s + _CHUNK])))
+        block = phis[s:s + _CHUNK]
+        nb = block.shape[0]
+        if nb < _CHUNK and B > _CHUNK:
+            pad = np.broadcast_to(np.eye(M), (_CHUNK - nb, M, M))
+            block = np.concatenate([block, pad], axis=0)
+        out[s:s + _CHUNK] = np.asarray(_chunk_var00(jnp.asarray(block)))[:nb]
     return out
 
 
