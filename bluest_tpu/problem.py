@@ -529,8 +529,16 @@ class BLUEProblem:
 
         if self.verbose:
             print("Computing optimal sample allocation...")
-        self.MOSAP = MOSAP(C, K, Ks, groups, multi_groups, costs,
-                           multi_costs, verbose=self.verbose)
+        # rebuild the MOSAP only when the problem structure changed --
+        # repeated setup_solver calls (complexity_test, budget sweeps)
+        # otherwise recompile all its jitted variance kernels
+        cache_key = (K, tuple(Ks),
+                     tuple(np.asarray(Cn).tobytes() for Cn in C),
+                     repr(groups), repr(multi_groups), costs.tobytes())
+        if getattr(self, "_mosap_key", None) != cache_key:
+            self.MOSAP = MOSAP(C, K, Ks, groups, multi_groups, costs,
+                               multi_costs, verbose=self.verbose)
+            self._mosap_key = cache_key
         self.MOSAP.solve(eps=eps, budget=budget, solver=solver,
                          continuous_relaxation=continuous_relaxation,
                          max_model_samples=max_model_samples,

@@ -125,6 +125,181 @@ def _max_step_lp(s, ds):
     return jnp.min(ratio) if s.shape[0] else jnp.asarray(jnp.inf)
 
 
+
+
+# ------------------- module-level jitted IPM kernels --------------------- #
+# Problem data are ARGUMENTS (not closure constants): XLA then caches the
+# compiled step per problem shape instead of re-tracing -- and re-constant-
+# folding large dot products -- on every solve_cone_lp call.
+
+@jax.jit
+def _ipm_init(cj, Glj, hlj, Aj, Hj, Gall, GtG):
+    p = Glj.shape[0]
+    nb, nx, n, _ = Aj.shape
+    hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
+                           if nb else [hlj], axis=0)
+    x0 = _chol_solve(GtG, Gall.T @ hall)
+    z_all = Gall @ _chol_solve(GtG, -cj)
+    s_lp = hlj - Glj @ x0
+    S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
+    z_lp = z_all[:p]
+    Z = _sym(z_all[p:].reshape(nb, n, n)) if nb else Hj
+    return x0, s_lp, S, z_lp, Z
+
+
+@jax.jit
+def _ipm_iteration(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
+                   x, s_lp, S, z_lp, Z):
+    p = Glj.shape[0]
+    nb, nx, n, _ = Aj.shape
+    nu = p + nb * n
+    rd = cj + (Glj.T @ z_lp if p else 0.0)
+    if nb:
+        rd = rd + jnp.einsum('binm,bnm->i', Aj, Z)
+    rp_lp = hlj - Glj @ x - s_lp
+    Rp = (Hj - jnp.einsum('i,binm->bnm', x, Aj) - S) if nb else Hj
+
+    gap = (s_lp @ z_lp if p else 0.0)
+    if nb:
+        gap = gap + jnp.sum(S * Z)
+    mu = gap / nu
+
+    d_lp = z_lp / s_lp if p else s_lp
+    if nb:
+        Tinv, Rnt, Rinv, lam = _nt_scaling(S, Z)
+        Zinv = _psd_inv(Z)
+        Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
+        Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
+        if p:
+            Hmat = Hmat + (Glj.T * d_lp) @ Glj
+    else:
+        Hmat = (Glj.T * d_lp) @ Glj
+
+    def direction(sigma_mu, corr_lp, corr_psd):
+        rhs = -rd
+        if p:
+            t_lp = s_lp - sigma_mu / z_lp + corr_lp
+            rhs = rhs + Glj.T @ (d_lp * (rp_lp + t_lp))
+        else:
+            t_lp = s_lp
+        if nb:
+            t_psd = S - sigma_mu * Zinv + corr_psd
+            U = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Rp + t_psd, Tinv))
+            rhs = rhs + jnp.einsum('binm,bnm->i', Aj, U)
+        dx = _chol_solve(Hmat, rhs)
+        if p:
+            ds_lp = rp_lp - Glj @ dx
+            dz_lp = d_lp * (Glj @ dx - rp_lp - t_lp)
+        else:
+            ds_lp = s_lp
+            dz_lp = z_lp
+        if nb:
+            Adx = jnp.einsum('i,binm->bnm', dx, Aj)
+            dS = Rp - Adx
+            dZ = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv,
+                                 Adx - Rp - t_psd, Tinv))
+        else:
+            dS = S
+            dZ = Z
+        return dx, ds_lp, dS, dz_lp, dZ
+
+    def max_steps(ds_lp, dS, dz_lp, dZ):
+        ap = ad = jnp.asarray(jnp.inf)
+        if p:
+            ap = _max_step_lp(s_lp, ds_lp)
+            ad = _max_step_lp(z_lp, dz_lp)
+        if nb:
+            ap = jnp.minimum(ap, _max_step_psd(S, dS))
+            ad = jnp.minimum(ad, _max_step_psd(Z, dZ))
+        return ap, ad
+
+    # predictor (affine)
+    zero_psd = jnp.zeros_like(S) if nb else S
+    zero_lp = jnp.zeros_like(s_lp)
+    dxa, dsa_lp, dSa, dza_lp, dZa = direction(0.0, zero_lp, zero_psd)
+    ap_a, ad_a = max_steps(dsa_lp, dSa, dza_lp, dZa)
+    ap_a = jnp.minimum(1.0, ap_a)
+    ad_a = jnp.minimum(1.0, ad_a)
+
+    gap_aff = ((s_lp + ap_a * dsa_lp) @ (z_lp + ad_a * dza_lp) if p else 0.0)
+    if nb:
+        gap_aff = gap_aff + jnp.sum((S + ap_a * dSa) * (Z + ad_a * dZa))
+    sigma = jnp.clip((gap_aff / gap) ** 3, 1e-8, 1.0)
+
+    # Mehrotra second-order correction, LP cone
+    corr_lp = dsa_lp * dza_lp / z_lp if p else zero_lp
+    # ... and PSD cones: corr = W^T( lam o^{-1} [(W^-T dS) o (W dZ)] )
+    # with lam diagonal so (lam o X)_{ij} = (lam_i + lam_j)/2 X_{ij}
+    if nb:
+        dSs = Rinv @ dSa @ jnp.swapaxes(Rinv, -1, -2)       # W^{-T} dS
+        dZs = jnp.swapaxes(Rnt, -1, -2) @ dZa @ Rnt         # W dZ
+        Q = _sym(dSs @ dZs)
+        denom = (lam[:, :, None] + lam[:, None, :]) / 2.0
+        X = Q / denom
+        corr_psd = _sym(Rnt @ X @ jnp.swapaxes(Rnt, -1, -2))
+    else:
+        corr_psd = zero_psd
+
+    dx, ds_lp, dS, dz_lp, dZ = direction(sigma * mu, corr_lp, corr_psd)
+    ap, ad = max_steps(ds_lp, dS, dz_lp, dZ)
+
+    # Mehrotra safeguard: on ill-conditioned problems the second-order
+    # correction can overshoot the cone and collapse the step; fall
+    # back to the pure centering direction when that happens.
+    a_corr = jnp.minimum(ap, ad)
+    a_affm = jnp.minimum(ap_a, ad_a)
+    use_fallback = a_corr < 0.2 * a_affm
+    dx2, ds_lp2, dS2, dz_lp2, dZ2 = direction(
+        jnp.maximum(sigma, 0.5) * mu, zero_lp, zero_psd)
+    ap2, ad2 = max_steps(ds_lp2, dS2, dz_lp2, dZ2)
+
+    def pick(a, b):
+        return jnp.where(use_fallback, b, a)
+
+    dx = pick(dx, dx2)
+    ds_lp = pick(ds_lp, ds_lp2)
+    dS = pick(dS, dS2)
+    dz_lp = pick(dz_lp, dz_lp2)
+    dZ = pick(dZ, dZ2)
+    ap = pick(ap, ap2)
+    ad = pick(ad, ad2)
+
+    # equal primal/dual step: with an infeasible start, unequal steps
+    # let the duality gap wander (grow) while residuals are large
+    a = jnp.minimum(1.0, step_frac * jnp.minimum(ap, ad))
+
+    x_n = x + a * dx
+    s_lp_n = s_lp + a * ds_lp
+    z_lp_n = z_lp + a * dz_lp
+    S_n = _sym(S + a * dS) if nb else S
+    Z_n = _sym(Z + a * dZ) if nb else Z
+
+    # dual cleanup: minimum-norm correction restoring G^T z = -c,
+    # applied only when it keeps z strictly inside the cone
+    rd_n = cj + (Glj.T @ z_lp_n if p else 0.0)
+    if nb:
+        rd_n = rd_n + jnp.einsum('binm,bnm->i', Aj, Z_n)
+    delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n))
+    # polish only once the dual residual is already small relative to
+    # the data -- a large projection mid-run throws the iterate off the
+    # central path and stalls the method
+    beta = jnp.where(jnp.linalg.norm(rd_n) < 1e-4 * cnorm, 1.0, 0.0)
+    if p:
+        beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp_n, delta[:p]))
+    if nb:
+        dZc = _sym(delta[p:].reshape(nb, n, n))
+        beta = jnp.minimum(beta, 0.99 * _max_step_psd(Z_n, dZc))
+    beta = jnp.maximum(beta, 0.0)
+    z_lp_n = z_lp_n + beta * delta[:p]
+    if nb:
+        Z_n = _sym(Z_n + beta * dZc)
+
+    pres = jnp.sqrt((rp_lp @ rp_lp if p else 0.0)
+                    + (jnp.sum(Rp * Rp) if nb else 0.0))
+    dres = jnp.linalg.norm(rd)
+    return x_n, s_lp_n, S_n, z_lp_n, Z_n, gap, pres, dres, a
+
+
 # ------------------------------- solver ---------------------------------- #
 
 def solve_cone_lp(c: np.ndarray,
@@ -187,29 +362,11 @@ def solve_cone_lp(c: np.ndarray,
     cnorm = max(1.0, float(np.linalg.norm(c_np)))
 
     # ------------------------- initialization ------------------------- #
-    @jax.jit
-    def _init():
-        Gall = jnp.concatenate([Glj, Aj.reshape(nb, nx, n * n)
-                                .transpose(0, 2, 1).reshape(nb * n * n, nx)]
-                               if nb else [Glj], axis=0)
-        hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
-                               if nb else [hlj], axis=0)
-        GtG = Gall.T @ Gall
-        x0 = _chol_solve(GtG, Gall.T @ hall)
-        z_all = Gall @ _chol_solve(GtG, -cj)
-        s_lp = hlj - Glj @ x0
-        S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
-        z_lp = z_all[:p]
-        Z = _sym(z_all[p:].reshape(nb, n, n)) if nb else Hj
-        return x0, s_lp, S, z_lp, Z
-
-    x, s_lp, S, z_lp, Z = _init()
-
-    # Prefactor the stacked constraint Gram matrix for the dual cleanup
-    # (see iteration): correcting z by the minimum-norm solution of
-    # G^T dz = -rd keeps the dual residual at machine precision; the late
-    # IPM iterations otherwise lose dual feasibility to cancellation when
-    # recovering dz through (W^T W)^{-1}.
+    # The stacked constraint matrix and its Gram factor are also reused by
+    # the per-iteration dual cleanup: correcting z by the minimum-norm
+    # solution of G^T dz = -rd keeps the dual residual at machine
+    # precision; late IPM iterations otherwise lose dual feasibility to
+    # cancellation when recovering dz through (W^T W)^{-1}.
     if nb:
         _Gall = np.concatenate(
             [Gl_np, As_np.reshape(nb, nx, n * n).transpose(0, 2, 1)
@@ -218,6 +375,8 @@ def solve_cone_lp(c: np.ndarray,
         _Gall = Gl_np
     _GtG_j = jnp.asarray(_Gall.T @ _Gall)
     _Gall_j = jnp.asarray(_Gall)
+
+    x, s_lp, S, z_lp, Z = _ipm_init(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j)
 
     # shift initial points into the cone interior (cvxopt-style)
     def _shift_lp(v):
@@ -239,154 +398,12 @@ def solve_cone_lp(c: np.ndarray,
     S = _shift_psd(S)
     Z = _shift_psd(Z)
 
-    # --------------------------- iteration ---------------------------- #
-    @jax.jit
     def iteration(x, s_lp, S, z_lp, Z):
-        rd = cj + (Glj.T @ z_lp if p else 0.0)
-        if nb:
-            rd = rd + jnp.einsum('binm,bnm->i', Aj, Z)
-        rp_lp = hlj - Glj @ x - s_lp
-        Rp = (Hj - jnp.einsum('i,binm->bnm', x, Aj) - S) if nb else Hj
+        return _ipm_iteration(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j,
+                              jnp.asarray(float(cnorm)),
+                              jnp.asarray(float(step_frac)),
+                              x, s_lp, S, z_lp, Z)
 
-        gap = (s_lp @ z_lp if p else 0.0)
-        if nb:
-            gap = gap + jnp.sum(S * Z)
-        mu = gap / nu
-
-        d_lp = z_lp / s_lp if p else s_lp
-        if nb:
-            Tinv, Rnt, Rinv, lam = _nt_scaling(S, Z)
-            Zinv = _psd_inv(Z)
-            Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
-            Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
-            if p:
-                Hmat = Hmat + (Glj.T * d_lp) @ Glj
-        else:
-            Hmat = (Glj.T * d_lp) @ Glj
-
-        def direction(sigma_mu, corr_lp, corr_psd):
-            rhs = -rd
-            if p:
-                t_lp = s_lp - sigma_mu / z_lp + corr_lp
-                rhs = rhs + Glj.T @ (d_lp * (rp_lp + t_lp))
-            else:
-                t_lp = s_lp
-            if nb:
-                t_psd = S - sigma_mu * Zinv + corr_psd
-                U = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Rp + t_psd, Tinv))
-                rhs = rhs + jnp.einsum('binm,bnm->i', Aj, U)
-            dx = _chol_solve(Hmat, rhs)
-            if p:
-                ds_lp = rp_lp - Glj @ dx
-                dz_lp = d_lp * (Glj @ dx - rp_lp - t_lp)
-            else:
-                ds_lp = s_lp
-                dz_lp = z_lp
-            if nb:
-                Adx = jnp.einsum('i,binm->bnm', dx, Aj)
-                dS = Rp - Adx
-                dZ = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv,
-                                     Adx - Rp - t_psd, Tinv))
-            else:
-                dS = S
-                dZ = Z
-            return dx, ds_lp, dS, dz_lp, dZ
-
-        def max_steps(ds_lp, dS, dz_lp, dZ):
-            ap = ad = jnp.asarray(jnp.inf)
-            if p:
-                ap = _max_step_lp(s_lp, ds_lp)
-                ad = _max_step_lp(z_lp, dz_lp)
-            if nb:
-                ap = jnp.minimum(ap, _max_step_psd(S, dS))
-                ad = jnp.minimum(ad, _max_step_psd(Z, dZ))
-            return ap, ad
-
-        # predictor (affine)
-        zero_psd = jnp.zeros_like(S) if nb else S
-        zero_lp = jnp.zeros_like(s_lp)
-        dxa, dsa_lp, dSa, dza_lp, dZa = direction(0.0, zero_lp, zero_psd)
-        ap_a, ad_a = max_steps(dsa_lp, dSa, dza_lp, dZa)
-        ap_a = jnp.minimum(1.0, ap_a)
-        ad_a = jnp.minimum(1.0, ad_a)
-
-        gap_aff = ((s_lp + ap_a * dsa_lp) @ (z_lp + ad_a * dza_lp) if p else 0.0)
-        if nb:
-            gap_aff = gap_aff + jnp.sum((S + ap_a * dSa) * (Z + ad_a * dZa))
-        sigma = jnp.clip((gap_aff / gap) ** 3, 1e-8, 1.0)
-
-        # Mehrotra second-order correction, LP cone
-        corr_lp = dsa_lp * dza_lp / z_lp if p else zero_lp
-        # ... and PSD cones: corr = W^T( lam o^{-1} [(W^-T dS) o (W dZ)] )
-        # with lam diagonal so (lam o X)_{ij} = (lam_i + lam_j)/2 X_{ij}
-        if nb:
-            dSs = Rinv @ dSa @ jnp.swapaxes(Rinv, -1, -2)       # W^{-T} dS
-            dZs = jnp.swapaxes(Rnt, -1, -2) @ dZa @ Rnt         # W dZ
-            Q = _sym(dSs @ dZs)
-            denom = (lam[:, :, None] + lam[:, None, :]) / 2.0
-            X = Q / denom
-            corr_psd = _sym(Rnt @ X @ jnp.swapaxes(Rnt, -1, -2))
-        else:
-            corr_psd = zero_psd
-
-        dx, ds_lp, dS, dz_lp, dZ = direction(sigma * mu, corr_lp, corr_psd)
-        ap, ad = max_steps(ds_lp, dS, dz_lp, dZ)
-
-        # Mehrotra safeguard: on ill-conditioned problems the second-order
-        # correction can overshoot the cone and collapse the step; fall
-        # back to the pure centering direction when that happens.
-        a_corr = jnp.minimum(ap, ad)
-        a_affm = jnp.minimum(ap_a, ad_a)
-        use_fallback = a_corr < 0.2 * a_affm
-        dx2, ds_lp2, dS2, dz_lp2, dZ2 = direction(
-            jnp.maximum(sigma, 0.5) * mu, zero_lp, zero_psd)
-        ap2, ad2 = max_steps(ds_lp2, dS2, dz_lp2, dZ2)
-
-        def pick(a, b):
-            return jnp.where(use_fallback, b, a)
-
-        dx = pick(dx, dx2)
-        ds_lp = pick(ds_lp, ds_lp2)
-        dS = pick(dS, dS2)
-        dz_lp = pick(dz_lp, dz_lp2)
-        dZ = pick(dZ, dZ2)
-        ap = pick(ap, ap2)
-        ad = pick(ad, ad2)
-
-        # equal primal/dual step: with an infeasible start, unequal steps
-        # let the duality gap wander (grow) while residuals are large
-        a = jnp.minimum(1.0, step_frac * jnp.minimum(ap, ad))
-
-        x_n = x + a * dx
-        s_lp_n = s_lp + a * ds_lp
-        z_lp_n = z_lp + a * dz_lp
-        S_n = _sym(S + a * dS) if nb else S
-        Z_n = _sym(Z + a * dZ) if nb else Z
-
-        # dual cleanup: minimum-norm correction restoring G^T z = -c,
-        # applied only when it keeps z strictly inside the cone
-        rd_n = cj + (Glj.T @ z_lp_n if p else 0.0)
-        if nb:
-            rd_n = rd_n + jnp.einsum('binm,bnm->i', Aj, Z_n)
-        delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n))
-        # polish only once the dual residual is already small relative to
-        # the data -- a large projection mid-run throws the iterate off the
-        # central path and stalls the method
-        beta = jnp.where(jnp.linalg.norm(rd_n) < 1e-4 * cnorm, 1.0, 0.0)
-        if p:
-            beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp_n, delta[:p]))
-        if nb:
-            dZc = _sym(delta[p:].reshape(nb, n, n))
-            beta = jnp.minimum(beta, 0.99 * _max_step_psd(Z_n, dZc))
-        beta = jnp.maximum(beta, 0.0)
-        z_lp_n = z_lp_n + beta * delta[:p]
-        if nb:
-            Z_n = _sym(Z_n + beta * dZc)
-
-        pres = jnp.sqrt((rp_lp @ rp_lp if p else 0.0)
-                        + (jnp.sum(Rp * Rp) if nb else 0.0))
-        dres = jnp.linalg.norm(rd)
-        return x_n, s_lp_n, S_n, z_lp_n, Z_n, gap, pres, dres, a
 
     # main loop with best-iterate tracking: on small problems the iteration
     # can stall (or blow up) once the duality gap hits f64 floor while a
