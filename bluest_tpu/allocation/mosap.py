@@ -150,6 +150,11 @@ class MOSAP:
             # stalls on (and vice versa)
             if self.verbose:
                 print("SDP solver failed; falling back to scipy NLP...")
+            if x0 is None and getattr(self, "_sdp_guess", None) is not None \
+                    and budget is not None:
+                g = self._sdp_guess
+                x0 = np.concatenate([[max(self.variances(np.maximum(
+                    g, 1e-10)))], g])
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                        max_model_samples=max_model_samples)
 
@@ -203,6 +208,7 @@ class MOSAP:
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
             if res.status not in _OK_STATUSES:
+                self._stash_guess(res, budget)
                 return None
             return np.maximum(res.x[1:], 0) * budget
 
@@ -219,6 +225,7 @@ class MOSAP:
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
             if res.status not in _OK_STATUSES:
+                self._stash_guess(res, None)
                 return None
             m0 = np.maximum(res.x[1:], 0)
             K = 1.0 / max(m0.max(), 1e-300)  # V(m0) = K * V(K m0)
@@ -240,6 +247,18 @@ class MOSAP:
         if res.status not in _OK_STATUSES:
             return None
         return np.maximum(res.x, 0) / meps ** 2
+
+    def _stash_guess(self, res, budget):
+        """Keep a failed IPM's best iterate as a warm start for the NLP
+        fallback (feasibility is typically at machine precision even when
+        the duality gap stalls)."""
+        self._sdp_guess = None
+        x = np.asarray(res.x)
+        if x.shape[0] == self.L + 1 and np.all(np.isfinite(x)):
+            m = np.maximum(x[1:], 0)
+            if budget is not None:
+                m = m * budget
+            self._sdp_guess = m
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None, eps_weights=None):
@@ -263,8 +282,19 @@ class MOSAP:
         if budget is None and eps is not None and len(es) == 0:
             # budget value is arbitrary by homogeneity; pick one that puts
             # the allocation entries at O(1) for the NLP
-            m0 = self.scipy_solve(budget=10.0 * float(w.sum()), x0=x0,
-                                  eps_weights=eps)
+            B = 10.0 * float(w.sum())
+            if x0 is None and getattr(self, "_sdp_guess", None) is not None:
+                g = np.maximum(self._sdp_guess, 0)
+                cost_g = float(w @ g)
+                if cost_g > 0 and np.all(np.isfinite(g)):
+                    # interiorize: blend 10% of a uniform cost share so the
+                    # warm start does not hug the m >= 0 boundary (where
+                    # trust-constr's keep_feasible bounds strangle steps)
+                    g = 0.9 * g * (B / cost_g) + 0.1 * B / (self.L * w)
+                    x0 = np.concatenate([
+                        [1.05 * max(v / e ** 2 for v, e in zip(
+                            self.variances(g), eps))], g])
+            m0 = self.scipy_solve(budget=B, x0=x0, eps_weights=eps)
             if m0 is None:
                 return None
             m0 = np.maximum(m0, 0)
@@ -303,7 +333,13 @@ class MOSAP:
                     g[1 + mp] = -gv / ww
                     return g
 
-                return NonlinearConstraint(f, 0, np.inf, jac=jac)
+                def hess(x, v):
+                    Hn = sap.variance_GH(x[1:][mp], delta=delta)[2]
+                    out = np.zeros((L + 1, L + 1))
+                    out[np.ix_(1 + mp, 1 + mp)] = -Hn / ww
+                    return float(np.atleast_1d(v)[0]) * out
+
+                return NonlinearConstraint(f, 0, np.inf, jac=jac, hess=hess)
 
             cons += [make_epi(n) for n in range(No)]
             if x0 is None:

@@ -1,0 +1,75 @@
+"""Golden parity tests against the reference paper's committed model data.
+
+The croci/bluest repo ships the Hodgkin-Huxley (12 models, 5 outputs)
+model-graph npz used for the CMAME paper (arXiv 2301.07831); the published
+estimator costs at the paper tolerance are hard-coded in its plotting
+script (plot_histograms.py:44-50):
+
+    MLBLUE (K=7): 60,626.8     MLMC: 296,142.0     MFMC: 105,739.3
+
+Loading that npz through our reference-format reader and running our
+MLMC/MFMC closed forms must reproduce the published sample schedules and
+costs (up to the ~1% difference between the npz costs and the rounded
+costs in the plotting script); our MLBLUE must beat both at K=3.
+
+Skipped when the reference checkout is not mounted.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from bluest_tpu import BLUEProblem
+
+REF = ("/root/reference/examples/paper_examples/hodgkin-huxley/"
+       "model_graph_data.npz")
+EPS = [0.00591726, 0.00834864, 0.01971628, 0.03892175, 0.00101537]
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.exists(REF),
+                       reason="reference checkout not available"),
+]
+
+
+class HH(BLUEProblem):
+    pass  # offline data only; sampling never invoked
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return HH(12, n_outputs=5, datafile=REF, verbose=False)
+
+
+def test_loads_reference_format(problem):
+    assert problem.M == 12 and problem.n_outputs == 5
+    C0 = problem.get_covariance(0)
+    assert np.isfinite(np.diag(C0)).all()
+    assert problem.get_costs()[0] == pytest.approx(7.4795, rel=1e-3)
+
+
+def test_mlmc_matches_paper(problem):
+    data = problem.setup_mlmc(eps=EPS)
+    assert [int(m) for m in data["models"]] == [0, 1, 2]
+    np.testing.assert_allclose(np.asarray(data["samples"], dtype=float),
+                               [11959, 169150, 3856682], rtol=0.02)
+    assert data["total_cost"] == pytest.approx(296142.0, rel=0.02)
+
+
+def test_mfmc_matches_paper(problem):
+    data = problem.setup_mfmc(eps=EPS)
+    assert [int(m) for m in data["models"]] == [0, 1, 2]
+    np.testing.assert_allclose(np.asarray(data["samples"], dtype=float),
+                               [3561, 43181, 1792145], rtol=0.02)
+    assert data["total_cost"] == pytest.approx(105739.3, rel=0.02)
+    # published control-variate coefficients for output 0
+    np.testing.assert_allclose(np.asarray(data["alphas"][0]),
+                               [0.99344814, 0.94773622], rtol=1e-3)
+
+
+def test_mlblue_beats_mlmc_and_mfmc(problem):
+    blue = problem.setup_solver(K=3, eps=EPS)
+    # K=7 paper value is 60,627; K=3 must still land well below MFMC
+    assert blue["total_cost"] < 90_000
+    assert np.all(np.asarray(blue["errors"]) <= np.asarray(EPS) * 1.05)
