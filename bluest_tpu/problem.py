@@ -425,7 +425,16 @@ class BLUEProblem:
         self._call_counter += 1
         t0 = time()
         if self._has_factored_jax_model():
-            sums = self._kernel_engine().sample_sums(key_ls, key, int(N))
+            samplefile = self.params["samplefile"]
+            if samplefile is not None:
+                from .sampling import snapshots
+                sums, vals, thetas = self._kernel_engine().sample_sums(
+                    key_ls, key, int(N), collect=True)
+                snapshots.append_snapshots(
+                    samplefile, key_ls, self.n_outputs, vals, thetas,
+                    outputs_to_save=self.params["outputs_to_save"])
+            else:
+                sums = self._kernel_engine().sample_sums(key_ls, key, int(N))
         else:
             if key_ls not in self._engines:
                 model_fn = jax_engine.make_model_fn(

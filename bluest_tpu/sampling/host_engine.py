@@ -30,11 +30,15 @@ def is_output_finite(Ps):
     return True, None, None
 
 
-def blue_fn(ls, N, problem, sampler=None, inners=None, N1: int = 1,
+def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
+            N1: int = 1,
             No: int = 1, verbose: bool = True,
             compute_mlmc_differences: bool = False,
             filename: Optional[str] = None, outputs_to_save=None):
     """Sample the coupled models ``ls`` N times and return sums.
+
+    ``comm`` is accepted for reference API compatibility and ignored
+    (distribution happens through the device mesh, not MPI).
 
     Returns (sumse, sumsc, cost[, sumsd1, sumsd2]):
         sumse[n][i]   = sum of outputs of model ls[i], output n

@@ -245,14 +245,19 @@ class KernelEngine:
             for k in sizes:
                 warm_combiner(k)
 
-    def sample_sums(self, ls, key, N: int) -> SampleSums:
-        """Accumulate sums over N coupled samples of group ``ls``."""
+    def sample_sums(self, ls, key, N: int, collect: bool = False):
+        """Accumulate sums over N coupled samples of group ``ls``.
+
+        With ``collect=True`` also returns the raw per-sample outputs
+        (N, No, L) and flattened inputs (N, dim) for snapshot persistence
+        (reference samplefile, blue_fn.py:133-145)."""
         ls = [int(l) for l in ls]
         k = len(ls)
         combine = self._combiner(k)
         B = self.batch
         n_chunks = -(-int(N) // B)
         acc = None
+        vals, thetas = [], []
         for c in range(n_chunks):
             theta, idx = self.theta_kernel(key, c * B)
             if self._sharding is not None:
@@ -265,5 +270,14 @@ class KernelEngine:
             part = combine(outs, idx, N)
             acc = part if acc is None else tuple(
                 a + b for a, b in zip(acc, part))
+            if collect:
+                sel = np.asarray(idx) < N
+                vals.append(np.asarray(outs).transpose(1, 2, 0)[sel])
+                leaves = [np.asarray(x).reshape(B, -1)
+                          for x in jax.tree.leaves(theta)]
+                thetas.append(np.concatenate(leaves, axis=1)[sel])
         se, sc, d1, d2, nf = acc
-        return SampleSums(se, sc, d1, d2, nf)
+        sums = SampleSums(se, sc, d1, d2, nf)
+        if collect:
+            return sums, np.concatenate(vals), np.concatenate(thetas)
+        return sums

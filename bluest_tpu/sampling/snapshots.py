@@ -1,0 +1,64 @@
+"""Sample snapshot persistence in the reference npz format.
+
+Reference blue_fn streams every model output and input sample to npz files
+named ``basename + ''.join(models) + ext`` and appends across runs with
+consistency checks (blue_fn.py:97-104, 189-222).  The host engine writes
+these inline; the device engine collects outputs on device and hands them
+here in bulk.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def snapshot_filename(filename: str, ls: Sequence[int]) -> str:
+    ext = "." + filename.split(".")[-1]
+    base = ".".join(filename.split(".")[:-1]) + "".join(str(l) for l in ls)
+    return base + ext
+
+
+def append_snapshots(filename: str, ls: Sequence[int], No: int,
+                     values: np.ndarray, inputs: np.ndarray,
+                     outputs_to_save: Optional[Sequence[int]] = None) -> str:
+    """Append a block of samples to the snapshot file for group ``ls``.
+
+    values: (N, No, L) model outputs; inputs: (N, ...) raw random inputs
+    (the same input is shared by all models of the group).  Returns the
+    resolved filename."""
+    fname = snapshot_filename(filename, ls)
+    L = len(ls)
+    N = values.shape[0]
+    if outputs_to_save is None:
+        outputs_to_save = list(range(No))
+
+    out = {}
+    for n in range(No):
+        if n in outputs_to_save:
+            for i in range(L):
+                out["values_%d_%d" % (n, i)] = list(values[:, n, i])
+    flat_inputs = list(np.asarray(inputs).reshape(N, -1))
+    for i in range(L):
+        out["inputs_%d" % i] = flat_inputs
+    out["models"] = np.array([list(ls)])
+    out["n_samples"] = np.array([N])
+    out["n_outputs"] = np.array([No])
+
+    if os.path.isfile(fname):
+        old = {k: [item for item in v]
+               for k, v in dict(np.load(fname, allow_pickle=True)).items()}
+        assert list(np.asarray(old["models"][0])) == list(ls)
+        for key in old:
+            if "values" in key or "inputs" in key:
+                old[key] += out.get(key, [])
+        old["n_samples"] = np.array([int(np.asarray(
+            old["n_samples"]).ravel()[0]) + N])
+        old["models"] = out["models"]
+        old["n_outputs"] = out["n_outputs"]
+        out = old
+
+    np.savez_compressed(fname, **out)
+    return fname

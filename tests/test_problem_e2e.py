@@ -238,3 +238,27 @@ def test_multi_output_jax():
     assert abs(mu[0] - TRUE_MEAN) < 8 * max(errs[0], 0.05)
     # E[e^2Z] = e^2
     assert abs(mu[1] - np.exp(2.0)) < 8 * max(errs[1], 0.4)
+
+
+def test_device_samplefile_snapshots(tmp_path):
+    """Device-engine snapshot persistence in the reference npz format
+    (reference blue_fn.py:97-104, 189-222)."""
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+
+    f = str(tmp_path / "snaps.npz")
+    p = ExpSeriesProblem(3, C=np.eye(3) + 0.5, costs=np.array([4.0, 2, 1]),
+                         samplefile=f, verbose=False)
+    sums, _, _ = p.blue_fn([0, 2], 100, verbose=False)
+    fname = str(tmp_path / "snaps02.npz")
+    d = dict(np.load(fname, allow_pickle=True))
+    assert int(d["n_samples"][0]) == 100
+    assert list(d["models"][0]) == [0, 2]
+    v = np.asarray(d["values_0_0"])
+    assert v.shape[0] == 100
+    # snapshot sums must reproduce the engine's sums
+    np.testing.assert_allclose(v.sum(), sums[0][0], rtol=1e-12)
+    # appending accumulates
+    p.blue_fn([0, 2], 50, verbose=False)
+    d = dict(np.load(fname, allow_pickle=True))
+    assert int(np.asarray(d["n_samples"]).ravel()[0]) == 150
+    assert len(d["values_0_0"]) == 150
