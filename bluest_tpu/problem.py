@@ -447,6 +447,8 @@ class BLUEProblem:
                     max_resample=int(self.params["max_resample"]))
             sums = self._engines[key_ls](key, int(N))
         se = np.asarray(sums.sumse)
+        if se.ndim == 3 and se.shape[-1] == 1:
+            se = se[..., 0]          # scalar outputs: drop the vector dim
         sc = np.asarray(sums.sumsc)
         wall = time() - t0
         if int(sums.n_failed) > 0 and self.verbose:
@@ -461,6 +463,8 @@ class BLUEProblem:
             cost = wall
         if compute_mlmc_differences:
             d1 = np.asarray(sums.sumsd1)
+            if d1.ndim == 4 and d1.shape[-1] == 1:
+                d1 = d1[..., 0]
             d2 = np.asarray(sums.sumsd2)
             sumsd1 = [[[d1[n, i, j] for j in range(len(key_ls))]
                        for i in range(len(key_ls))]

@@ -194,22 +194,31 @@ class KernelEngine:
         self._combiners = {}
 
     def _combiner(self, k: int):
+        """Per-group-size sum reduction.
+
+        Outputs may be scalars per (output, model) -- kernel result
+        (B, No) -- or fixed-dimension vectors -- kernel result (B, No, d).
+        For vectors the inner product is the dot product (the reference's
+        multi_output_example.py:56-57 convention); cross sums sc/d2 are
+        scalars, first-moment sums se/d1 keep the vector dimension."""
         if k in self._combiners:
             return self._combiners[k]
 
         @jax.jit
         def combine(outs, idx, N):
-            # outs: (k, B, No) -> per-chunk sums
-            P = jnp.transpose(outs, (1, 2, 0)).astype(jnp.float64)  # (B,No,k)
-            ok = jnp.all(jnp.isfinite(P), axis=(1, 2))
+            # outs: (k, B, No) or (k, B, No, d)
+            if outs.ndim == 3:
+                outs = outs[..., None]
+            P = jnp.transpose(outs, (1, 2, 0, 3)).astype(jnp.float64)
+            ok = jnp.all(jnp.isfinite(P), axis=(1, 2, 3))
             w = ((idx < N) & ok).astype(jnp.float64)
             nf = jnp.sum((idx < N) & ~ok)
             P = jnp.where(jnp.isfinite(P), P, 0.0)
-            se = jnp.einsum('bnl,b->nl', P, w)
-            sc = jnp.einsum('bni,bnj,b->nij', P, P, w)
-            D = P[:, :, :, None] - P[:, :, None, :]
-            d1 = jnp.einsum('bnij,b->nij', D, w)
-            d2 = jnp.einsum('bnij,bnij,b->nij', D, D, w)
+            se = jnp.einsum('bnld,b->nld', P, w)
+            sc = jnp.einsum('bnid,bnjd,b->nij', P, P, w)
+            D = P[:, :, :, None, :] - P[:, :, None, :, :]
+            d1 = jnp.einsum('bnijd,b->nijd', D, w)
+            d2 = jnp.einsum('bnijd,bnijd,b->nij', D, D, w)
             return se, sc, d1, d2, nf
 
         self._combiners[k] = combine
@@ -272,7 +281,9 @@ class KernelEngine:
                 a + b for a, b in zip(acc, part))
             if collect:
                 sel = np.asarray(idx) < N
-                vals.append(np.asarray(outs).transpose(1, 2, 0)[sel])
+                o = np.asarray(outs)
+                axes = (1, 2, 0) if o.ndim == 3 else (1, 2, 0, 3)
+                vals.append(o.transpose(axes)[sel])
                 leaves = [np.asarray(x).reshape(B, -1)
                           for x in jax.tree.leaves(theta)]
                 thetas.append(np.concatenate(leaves, axis=1)[sel])

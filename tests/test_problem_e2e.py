@@ -262,3 +262,34 @@ def test_device_samplefile_snapshots(tmp_path):
     d = dict(np.load(fname, allow_pickle=True))
     assert int(np.asarray(d["n_samples"]).ravel()[0]) == 150
     assert len(d["values_0_0"]) == 150
+
+
+def test_vector_outputs_device():
+    """Array-valued QoIs on the device engine: dot-product inner products
+    (reference multi_output_example.py:56-57)."""
+    D = 4
+
+    class VecProblem(BLUEProblem):
+        def sample_input_jax(self, key):
+            return jax.random.normal(key)
+
+        def evaluate_model_jax(self, l, z):
+            base = jnp.sin(z + jnp.arange(D, dtype=jnp.float64))
+            return (base / (1.0 + 0.1 * l))[None, :]   # (No=1, D)
+
+        def get_models_inner_products(self):
+            return [lambda a, b: np.dot(a, b) for _ in range(1)]
+
+    p = VecProblem(3, costs=np.array([4.0, 2.0, 1.0]),
+                   covariance_estimation_samples=2048, verbose=False)
+    C = p.get_covariance()
+    assert np.all(np.isfinite(np.diag(C)))
+    assert C[0, 0] > 0
+    eps = 0.05 * np.sqrt(C[0, 0])
+    blue = p.setup_solver(K=2, eps=eps)
+    mus, errs, cost = p.solve(K=2, eps=eps)
+    mu = np.asarray(mus[0])
+    assert mu.shape == (D,)
+    # E[sin(Z + j)] = sin(j) * exp(-1/2)
+    ref = np.sin(np.arange(D)) * np.exp(-0.5)
+    np.testing.assert_allclose(mu, ref, atol=6 * max(errs[0], 0.05))
