@@ -170,7 +170,12 @@ class MOSAP:
         # here: fewer active groups to sample and to compile for).
         if (not continuous_relaxation
                 and np.sum(samples > 1e-9 * samples.max()) > 4 * self.N):
-            samples = self.cleanup_solution(np.asarray(samples, float).copy())
+            # pre-truncate the interior solution's tail: converged IPM
+            # points carry thousands of ~zero entries and the null-space
+            # walk only removes about one per iteration
+            samples = self.cleanup_solution(
+                np.asarray(samples, float).copy(),
+                tol=1e-7 * float(np.max(samples)))
 
         if not continuous_relaxation:
             try:
@@ -212,41 +217,62 @@ class MOSAP:
                 return None
             return np.maximum(res.x[1:], 0) * budget
 
-        if len(es) == 0:
-            # Exact eps-mode via the scaled weighted min-max problem:
-            # solve  min t  s.t.  w.m <= 1,  t >= V_n(m)/eps_n^2  and use
-            # that V is homogeneous of degree -1: m_eps = t* m* attains
-            # V_n = eps_n^2 at minimal cost t*.  (Coverage e.m >= 1 is
-            # inactive at these scales and enforced by the integer
-            # projection.)  Better conditioned than the direct eps SDP.
-            c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
-                psis, self.mappings, self.L, self.costs, [], 1.0,
-                eps_weights=np.asarray(eps, dtype=float))
-            res = solve_cone_lp(c, Gl, hl, As, Hs,
-                                verbose=self.verbose, **params)
-            if res.status not in _OK_STATUSES:
-                self._stash_guess(res, None)
+        def feasibility_rescale(m0):
+            """m -> alpha*m with alpha = max_n V_n(m)/eps_n^2: the variance
+            is homogeneous of degree -1 in m, so this lands exactly on the
+            binding tolerance (shrinking cost when the solver overshoots)."""
+            m0 = np.maximum(m0, 0)
+            if m0.max() <= 0:
                 return None
-            m0 = np.maximum(res.x[1:], 0)
-            K = 1.0 / max(m0.max(), 1e-300)  # V(m0) = K * V(K m0)
-            try:
-                alpha = max(K * self.SAPS[n].variance(K * m0[self.mappings[n]])
-                            / eps[n] ** 2 for n in range(self.n_outputs))
+            Ksc = 1.0 / m0.max()  # V(m0) = Ksc * V(Ksc m0), dodges the
+            try:                  # 0.05-entry cutoff in variance()
+                alpha = max(
+                    Ksc * self.SAPS[n].variance(Ksc * m0[self.mappings[n]])
+                    / eps[n] ** 2 for n in range(self.n_outputs))
             except (AssertionError, np.linalg.LinAlgError):
+                return None
+            if not np.isfinite(alpha) or alpha <= 0:
                 return None
             return alpha * m0
 
-        # with per-model sample caps the scaling identity breaks; solve the
-        # direct eps SDP with the reference's meps rescale (mosap.py:430-434)
+        candidates = []
+
+        # (a) direct eps SDP with the reference's meps rescale
+        # (mosap.py:430-434): well conditioned when the eps_n are
+        # heterogeneous (the epigraph form's LMI corners then span
+        # orders of magnitude and stall the IPM)
         n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
         meps = 100.0 / np.sqrt(n_mc)
         c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
             psis, self.mappings, self.L, self.costs, e_rows,
             eps / meps, meps, es, rhs)
         res = solve_cone_lp(c, Gl, hl, As, Hs, verbose=self.verbose, **params)
-        if res.status not in _OK_STATUSES:
+        if res.status in _OK_STATUSES:
+            if len(es) == 0:
+                m = feasibility_rescale(np.maximum(res.x, 0) / meps ** 2)
+            else:
+                m = np.maximum(res.x, 0) / meps ** 2  # caps break scaling
+            if m is not None:
+                candidates.append(m)
+
+        # (b) scaled weighted min-max (budget epigraph) + exact rescale --
+        # only valid without caps
+        if len(es) == 0:
+            c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
+                psis, self.mappings, self.L, self.costs, [], 1.0,
+                eps_weights=np.asarray(eps, dtype=float))
+            res = solve_cone_lp(c, Gl, hl, As, Hs,
+                                verbose=self.verbose, **params)
+            if res.status in _OK_STATUSES:
+                m = feasibility_rescale(res.x[1:])
+                if m is not None:
+                    candidates.append(m)
+            elif not candidates:
+                self._stash_guess(res, None)
+
+        if not candidates:
             return None
-        return np.maximum(res.x, 0) / meps ** 2
+        return min(candidates, key=lambda m: float(m @ self.costs))
 
     def _stash_guess(self, res, budget):
         """Keep a failed IPM's best iterate as a warm start for the NLP

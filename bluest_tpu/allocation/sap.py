@@ -179,32 +179,48 @@ class SAP:
             if res.status not in _OK_STATUSES:
                 return None
             return np.maximum(res.x[1:], 0) * budget
-        elif len(es) == 0:
-            # exact eps-mode via the scaled budget problem (homogeneity of
-            # the variance in m; see MOSAP.sdp_solve)
+        def feasibility_rescale(m0):
+            """alpha*m0 with alpha = V(m0)/eps^2 (homogeneity; see MOSAP)."""
+            m0 = np.maximum(m0, 0)
+            if m0.max() <= 0:
+                return None
+            Ksc = 1.0 / m0.max()
+            try:
+                alpha = Ksc * self.variance(Ksc * m0) / eps ** 2
+            except (AssertionError, np.linalg.LinAlgError):
+                return None
+            if not np.isfinite(alpha) or alpha <= 0:
+                return None
+            return alpha * m0
+
+        candidates = []
+        # (a) direct eps SDP with a meps rescale for conditioning
+        meps = 100.0 / np.sqrt(max(self.C[0, 0], 1e-300) / eps ** 2)
+        c, Gl, hl, As, Hs, scales = cones.build_eps_sdp(
+            [self.psi], mapping, self.L, self.costs, [self.e],
+            np.array([eps / meps]), meps, es, rhs)
+        res = solve_cone_lp(c, Gl, hl, As, Hs,
+                            verbose=self.verbose, **params)
+        if res.status in _OK_STATUSES:
+            m = np.maximum(res.x, 0) / meps ** 2
+            if len(es) == 0:
+                m = feasibility_rescale(m)
+            if m is not None:
+                candidates.append(m)
+        # (b) scaled budget epigraph (homogeneity) -- no caps only
+        if len(es) == 0:
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [], 1.0,
                 eps_weights=np.array([eps]))
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
-            if res.status not in _OK_STATUSES:
-                return None
-            m0 = np.maximum(res.x[1:], 0)
-            K = 1.0 / max(m0.max(), 1e-300)  # V(m0) = K * V(K m0)
-            try:
-                alpha = K * self.variance(K * m0) / eps ** 2
-            except (AssertionError, np.linalg.LinAlgError):
-                return None
-            return alpha * m0
-        else:
-            c, Gl, hl, As, Hs, scales = cones.build_eps_sdp(
-                [self.psi], mapping, self.L, self.costs, [self.e],
-                np.array([eps]), 1.0, es, rhs)
-            res = solve_cone_lp(c, Gl, hl, As, Hs,
-                                verbose=self.verbose, **params)
-            if res.status not in _OK_STATUSES:
-                return None
-            return np.maximum(res.x, 0)
+            if res.status in _OK_STATUSES:
+                m = feasibility_rescale(res.x[1:])
+                if m is not None:
+                    candidates.append(m)
+        if not candidates:
+            return None
+        return min(candidates, key=lambda m: float(m @ self.costs))
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):

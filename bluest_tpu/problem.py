@@ -95,6 +95,8 @@ class BLUEProblem:
         self._engines = {}
         self._base_key = jax.random.key(self.params["seed"])
         self._call_counter = 0
+        # per-group sampling telemetry: {group: {"samples", "wall_s"}}
+        self.sampling_stats = {}
 
         if C is None:
             C = [np.nan * np.ones((M, M)) for _ in range(n_outputs)]
@@ -451,6 +453,10 @@ class BLUEProblem:
             se = se[..., 0]          # scalar outputs: drop the vector dim
         sc = np.asarray(sums.sumsc)
         wall = time() - t0
+        st = self.sampling_stats.setdefault(
+            key_ls, {"samples": 0, "wall_s": 0.0})
+        st["samples"] += int(N)
+        st["wall_s"] += wall
         if int(sums.n_failed) > 0 and self.verbose:
             print("WARNING! %d samples non-finite after retries (dropped)"
                   % int(sums.n_failed))
