@@ -62,6 +62,7 @@ default_params = {
     "mesh": None,                      # None | "auto" | jax.sharding.Mesh
     "device_batch_size": 4096,
     "max_resample": 64,                # 0 = model guaranteed finite
+    "host_workers": 1,                 # >1: process pool for black-box models
 }
 
 
@@ -396,9 +397,33 @@ class BLUEProblem:
 
     # ----------------------------- engine ------------------------------ #
 
+    def __getstate__(self):
+        # drop unpicklable device state so black-box problems can be
+        # shipped to worker processes (host_engine.blue_fn_parallel)
+        state = self.__dict__.copy()
+        for k in ("_engines", "_kengine", "mesh", "_base_key", "MOSAP",
+                  "MOSAP_output"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._engines = {}
+        self._kengine = None
+        self.mesh = None
+        self.MOSAP = None
+        self.MOSAP_output = None
+        import jax as _jax
+        self._base_key = _jax.random.key(self.params.get("seed", 0))
+
     def blue_fn(self, ls, N, verbose=True, compute_mlmc_differences=False):
         if self._has_jax_model():
             return self._blue_fn_device(ls, N, compute_mlmc_differences)
+        n_workers = int(self.params.get("host_workers", 1))
+        if n_workers > 1 and self.params["samplefile"] is None:
+            return host_engine.blue_fn_parallel(
+                ls, N, self, n_workers, No=self.n_outputs,
+                compute_mlmc_differences=compute_mlmc_differences)
         return host_engine.blue_fn(
             ls, N, self, sampler=self.sampler,
             inners=self.get_models_inner_products(),

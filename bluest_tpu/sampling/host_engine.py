@@ -160,3 +160,55 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
     if compute_mlmc_differences:
         return sumse, sumsc, cost, sumsd1, sumsd2
     return sumse, sumsc, cost
+
+
+# --------------------------------------------------------------------- #
+# Parallel host sampling: restores the reference's `mpiexec -n P` sampling
+# throughput for black-box models on a single node with a process pool
+# (static split of N plus remainder, exactly blue_fn.py:106-110; partial
+# sums merged like the allreduce at blue_fn.py:179-187).
+# --------------------------------------------------------------------- #
+
+def _worker_chunk(args):
+    problem, ls, n, worker_id, No, compute_diffs = args
+    if hasattr(problem, "set_worker_id"):
+        problem.set_worker_id(worker_id)  # per-rank RNG hook
+    return blue_fn(ls, n, problem, sampler=problem.sampler,
+                   inners=problem.get_models_inner_products(),
+                   No=No, verbose=False,
+                   compute_mlmc_differences=compute_diffs)
+
+
+def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
+                     compute_mlmc_differences: bool = False):
+    """Process-pool variant of blue_fn for picklable black-box problems.
+
+    The user's sampler must be seeded per worker: override
+    ``set_worker_id(self, wid)`` to reseed (the reference's per-rank RNG
+    discipline, tutorials/01_tutorial.py:154-167).  Snapshot files are not
+    supported on this path.
+    """
+    import multiprocessing as mp
+
+    NN = [N // n_workers] * n_workers
+    for i in range(N % n_workers):
+        NN[i] += 1
+    jobs = [(problem, ls, n, wid, No, compute_mlmc_differences)
+            for wid, n in enumerate(NN) if n > 0]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(processes=len(jobs)) as pool:
+        results = pool.map(_worker_chunk, jobs)
+
+    out = list(results[0])
+    for r in results[1:]:
+        for n in range(No):
+            for i in range(len(ls)):
+                out[0][n][i] += r[0][n][i]
+            out[1][n] = out[1][n] + r[1][n]
+            if compute_mlmc_differences:
+                for i in range(len(ls)):
+                    for j in range(i + 1, len(ls)):
+                        out[3][n][i][j] += r[3][n][i][j]
+                        out[4][n][i][j] += r[4][n][i][j]
+        out[2] += r[2]
+    return tuple(out)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import SAMPLE_AXIS
+from ..parallel.mesh import MODEL_AXIS, SAMPLE_AXIS
 
 
 class SampleSums(NamedTuple):
@@ -175,9 +175,16 @@ class KernelEngine:
         self.batch = int(batch_size)
         self.mesh = mesh
         self._sharding = None
+        model_parallel = (mesh is not None and MODEL_AXIS in mesh.axis_names
+                          and mesh.shape[MODEL_AXIS] > 1)
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self._sharding = NamedSharding(mesh, P(SAMPLE_AXIS))
+            if model_parallel:
+                # theta replicated over 'model', sharded over 'samples'
+                self._sharding = NamedSharding(mesh, P(SAMPLE_AXIS))
+            else:
+                self._sharding = NamedSharding(
+                    mesh, P(mesh.axis_names[0]))
 
         B = self.batch
 
@@ -188,9 +195,30 @@ class KernelEngine:
             return jax.vmap(sample_input_fn)(keys), idx
 
         self.theta_kernel = theta_kernel
-        self.model_kernels = {
-            l: jax.jit(jax.vmap(lambda th, l=l: jnp.asarray(
-                eval_model_fn(l, th)))) for l in range(n_models)}
+
+        if model_parallel:
+            # Nested-parallelism path (the reference's nested MPI
+            # communicators, blue_models.py:121-130): each model instance
+            # spans the 'model' mesh axis and may use collectives over it
+            # (psum/ppermute); samples stay data-parallel on 'samples'.
+            from jax.sharding import PartitionSpec as P
+
+            def make_kernel(l):
+                def batched(th):
+                    return jax.vmap(
+                        lambda t: jnp.asarray(eval_model_fn(l, t)))(th)
+
+                f = jax.shard_map(
+                    batched, mesh=mesh, in_specs=P(SAMPLE_AXIS),
+                    out_specs=P(SAMPLE_AXIS), check_vma=False)
+                return jax.jit(f)
+
+            self.model_kernels = {l: make_kernel(l)
+                                  for l in range(n_models)}
+        else:
+            self.model_kernels = {
+                l: jax.jit(jax.vmap(lambda th, l=l: jnp.asarray(
+                    eval_model_fn(l, th)))) for l in range(n_models)}
         self._combiners = {}
 
     def _combiner(self, k: int):

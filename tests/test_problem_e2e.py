@@ -293,3 +293,33 @@ def test_vector_outputs_device():
     # E[sin(Z + j)] = sin(j) * exp(-1/2)
     ref = np.sin(np.arange(D)) * np.exp(-0.5)
     np.testing.assert_allclose(mu, ref, atol=6 * max(errs[0], 0.05))
+
+
+class ParProblem(BLUEProblem):
+    """Module-level so worker processes can unpickle it."""
+
+    def set_worker_id(self, wid):
+        self._rng = np.random.default_rng(1000 + wid)
+
+    def sampler(self, ls, N=1):
+        if not hasattr(self, "_rng"):
+            self._rng = np.random.default_rng(0)
+        z = float(self._rng.standard_normal())
+        return [z for _ in ls]
+
+    def evaluate(self, ls, samples, N=1):
+        return [[np.exp(samples[i]) / (l + 1.0)
+                 for i, l in enumerate(ls)]]
+
+
+def test_host_parallel_sampling():
+    """Process-pool sampling for black-box models (replaces the
+    reference's mpiexec split, blue_fn.py:106-110)."""
+    C = np.eye(3) + 0.5
+    p = ParProblem(3, C=C.copy(), costs=np.array([4.0, 2.0, 1.0]),
+                   host_workers=4, verbose=False)
+    sumse, sumsc, cost = p.blue_fn([0, 1, 2], 4000, verbose=False)
+    mu = sumse[0][0] / 4000
+    assert abs(mu - np.exp(0.5)) < 0.2
+    # cross sums consistent with outputs
+    assert sumsc[0][0, 0] > 0

@@ -115,3 +115,35 @@ def test_model_axis_sharded_model():
     # each sample instance computed sum(x) * z_i for its own z_i
     zs = np.asarray(out) / float(np.sum(np.arange(D)))
     assert len(np.unique(np.round(zs, 12))) == 4
+
+
+def test_kernel_engine_model_parallel():
+    """KernelEngine on a 2D (samples x model) mesh: the model uses a psum
+    over the 'model' axis internally (nested-MPI equivalent)."""
+    import jax.numpy as jnp
+    from bluest_tpu.sampling.jax_engine import KernelEngine
+
+    mesh = sample_model_mesh(4, 2)
+    D = 8
+
+    def sample_input(key):
+        return jax.random.normal(key, (D,))
+
+    def eval_model(l, theta):
+        # model-parallel contraction: each model shard sums its slice of
+        # theta and psums over the model axis
+        m = jax.lax.axis_index("model")
+        half = D // 2
+        sl = jax.lax.dynamic_slice(theta, (m * half,), (half,))
+        local = jnp.sum(sl) / (l + 1.0)
+        return jax.lax.psum(local, "model")[None]
+
+    eng = KernelEngine(sample_input, eval_model, 2, 1, batch_size=64,
+                       mesh=mesh)
+    s = eng.sample_sums([0, 1], jax.random.key(0), 200)
+    se = np.asarray(s.sumse)
+    # model 1 output = model 0 output / 2 exactly (same theta)
+    np.testing.assert_allclose(se[0, 1] if se.ndim == 2 else se[0, 1, 0],
+                               (se[0, 0] if se.ndim == 2 else se[0, 0, 0]) / 2,
+                               rtol=1e-12)
+    assert int(s.n_failed) == 0
