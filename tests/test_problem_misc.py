@@ -1,0 +1,106 @@
+"""Coverage for the remaining BLUEProblem behaviors: complexity test,
+node reordering, batched host sampling, skip_projection, wall-time cost
+estimation, per-model sample caps through the problem API."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bluest_tpu import BLUEProblem
+from bluest_tpu.models.analytic import ExpSeriesProblem, default_costs
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return ExpSeriesProblem(4, covariance_estimation_samples=4096,
+                            verbose=False)
+
+
+def test_complexity_test(problem):
+    """Cost vs eps rate fit (reference blue_models.py:932-942): halving
+    eps must raise cost; rate near 2 for an MC-dominated hierarchy."""
+    C00 = problem.get_covariance()[0, 0]
+    eps = [0.1 * np.sqrt(C00) / 2 ** i for i in range(3)]
+    tot_cost, rate = problem.complexity_test(eps, K=3)
+    assert np.all(np.diff(tot_cost) > 0)
+    assert 1.0 < rate < 3.0  # eps^-2 scaling in log2 per halving
+
+
+def test_reorder_graph_nodes():
+    p = ExpSeriesProblem(4, covariance_estimation_samples=512, verbose=False)
+    C_before = p.get_covariance().copy()
+    costs_before = p.get_costs().copy()
+    order = [3, 2, 1, 0]
+    p.reorder_all_graph_nodes(order)
+    C_after = p.get_covariance()
+    np.testing.assert_allclose(C_after,
+                               C_before[np.ix_(order, order)], rtol=1e-12)
+    np.testing.assert_allclose(p.get_costs(), costs_before[order])
+
+
+def test_host_batched_sampler():
+    """sample_batch_size > 1 with a batch-aware sampler/evaluate
+    (reference blue_fn.py:112-167)."""
+
+    class BatchProblem(BLUEProblem):
+        def __init__(self, *a, **k):
+            self._rng = np.random.default_rng(3)
+            super().__init__(*a, **k)
+
+        def sampler(self, ls, N=1):
+            z = self._rng.standard_normal(N)
+            return [z for _ in ls]
+
+        def evaluate(self, ls, samples, N=1):
+            return [[np.exp(samples[i]) / (l + 1) for i, l in enumerate(ls)]]
+
+    C = np.eye(2) + 0.5
+    p = BatchProblem(2, C=C.copy(), costs=np.array([2.0, 1.0]),
+                     sample_batch_size=64, verbose=False)
+    sumse, sumsc, cost = p.blue_fn([0, 1], 1000, verbose=False)
+    assert abs(sumse[0][0] / 1000 - np.exp(0.5)) < 0.3
+    assert sumsc[0].shape == (2, 2)
+
+
+def test_skip_projection():
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((3, 3))
+    C = A @ A.T + 1e-8 * np.eye(3)
+
+    p = ExpSeriesProblem(3, C=C.copy(), costs=default_costs(3),
+                         skip_projection=True, verbose=False)
+    np.testing.assert_allclose(p.get_covariance(), C, rtol=1e-12)
+
+
+def test_estimate_costs_walltime():
+    """Costs estimated from wall time when not provided
+    (reference blue_models.py:435-441)."""
+    p = ExpSeriesProblem(3, covariance_estimation_samples=256, verbose=False)
+    # now rebuild without costs: wall-time estimation must produce
+    # positive, finite costs
+    class NoCosts(ExpSeriesProblem):
+        def __init__(self, n_models=3, **k):
+            k.pop("costs", None)
+            self.n_models = n_models
+            BLUEProblem.__init__(self, n_models,
+                                 covariance_estimation_samples=128,
+                                 verbose=False, **k)
+
+    p2 = NoCosts()
+    w = p2.get_costs()
+    assert np.all(w > 0) and np.all(np.isfinite(w))
+
+
+def test_max_model_samples_through_problem():
+    p = ExpSeriesProblem(4, covariance_estimation_samples=2048,
+                         verbose=False)
+    budget = 200 * 2.0 ** 4
+    mms = np.inf * np.ones(4)
+    mms[-1] = 50.0
+    blue = p.setup_solver(K=2, budget=budget, max_model_samples=mms)
+    samples = p.MOSAP_output["samples"]
+    groups = p.MOSAP_output["flattened_groups"]
+    n_last = sum(int(n) for g, n in zip(groups, samples) if 3 in g)
+    assert n_last <= 50
