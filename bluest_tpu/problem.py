@@ -433,9 +433,10 @@ class BLUEProblem:
             filename=self.params["samplefile"],
             outputs_to_save=self.params["outputs_to_save"])
 
-    def _kernel_engine(self) -> "jax_engine.KernelEngine":
+    def _kernel_engine(self):
         if getattr(self, "_kengine", None) is None:
-            self._kengine = jax_engine.KernelEngine(
+            from .sampling.kernel_engine import KernelEngineV2
+            self._kengine = KernelEngineV2(
                 self.sample_input_jax, self.evaluate_model_jax, self.M,
                 self.n_outputs,
                 batch_size=int(self.params["device_batch_size"]),

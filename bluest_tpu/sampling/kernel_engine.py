@@ -1,0 +1,227 @@
+"""Kernel engine v2: per-model sweep kernels + one combiner call per group.
+
+Compilation budget stays O(M + K) like the original kernel engine, but
+dispatch count per group drops from ~3 calls per 16k-sample chunk to
+``len(group) + 1`` calls per ~1M-sample bucket: each model kernel scans
+all chunks of a padded bucket inside one compiled program and materializes
+its outputs (N_pad, No[, d]) in HBM, and a single combiner contracts the
+stacked outputs into the MLBLUE sums.  On remote-dispatch TPU setups
+(~10ms per call) this is the difference between overhead-bound and
+compute-bound sampling.
+
+Randomness: theta is regenerated inside every model kernel from the same
+``fold_in(key, global_index)`` stream, so coupled models see identical
+inputs without materializing or communicating theta.
+
+Meshes: the sweep is shard_mapped over the 'samples' axis (each shard owns
+a contiguous index range; outputs concatenate into the sharded bucket
+array).  If the mesh also has a 'model' axis, the user's evaluate_model
+runs inside shard_map and may use collectives over it (the nested-MPI
+pattern, reference blue_models.py:121-130).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import MODEL_AXIS, SAMPLE_AXIS
+from .jax_engine import SampleSums
+
+
+class KernelEngineV2:
+    def __init__(self, sample_input_fn: Callable, eval_model_fn: Callable,
+                 n_models: int, No: int, batch_size: int = 16384,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 max_bucket: int = 1 << 19):
+        self.sample_input_fn = sample_input_fn
+        self.eval_model_fn = eval_model_fn
+        self.n_models = n_models
+        self.No = No
+        self.batch = int(batch_size)
+        self.mesh = mesh
+        self.n_sample_shards = 1
+        self.model_parallel = False
+        if mesh is not None:
+            names = mesh.axis_names
+            self.model_parallel = (MODEL_AXIS in names
+                                   and mesh.shape[MODEL_AXIS] > 1)
+            if SAMPLE_AXIS in names:
+                self.n_sample_shards = mesh.shape[SAMPLE_AXIS]
+            elif not self.model_parallel:
+                self.n_sample_shards = mesh.devices.size
+        self.max_bucket = int(max_bucket)
+        self._sweeps = {}      # (l, n_pad_shard, with_theta) -> jitted fn
+        self._combiners = {}   # id by shapes via jit cache
+
+    # ------------------------------------------------------------------ #
+
+    def _bucket(self, N: int):
+        """(n_pad_per_shard, n_buckets): the buffer size is FIXED at the
+        cap so every model compiles exactly one sweep; the sweep's inner
+        fori_loop bound is dynamic, so compute still scales with N."""
+        S = self.n_sample_shards
+        B = self.batch
+        per_shard = -(-int(N) // S)
+        if per_shard <= B:
+            n_pad = B                      # small tier: pilot / tail groups
+        else:
+            n_pad = max(1, self.max_bucket // (S * B)) * B
+        total = n_pad * S
+        n_buckets = -(-int(N) // total)
+        return n_pad, n_buckets
+
+    def _out_struct(self):
+        if not hasattr(self, "_out_struct_cache"):
+            th = jax.eval_shape(self.sample_input_fn, jax.random.key(0))
+            out = jax.eval_shape(
+                lambda t: jnp.asarray(self.eval_model_fn(0, t)),
+                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), th))
+            dim = int(sum(int(np.prod(x.shape)) if x.shape else 1
+                          for x in jax.tree.leaves(th)))
+            self._out_struct_cache = (out.shape, out.dtype, dim)
+        return self._out_struct_cache
+
+    def _sweep(self, l: int, n_pad: int, with_theta: bool):
+        keyt = (l, n_pad, with_theta)
+        if keyt in self._sweeps:
+            return self._sweeps[keyt]
+        B = self.batch
+        n_chunks = n_pad // B
+        sample_input = self.sample_input_fn
+        eval_model = self.eval_model_fn
+        out_shape, out_dtype, theta_dim = self._out_struct()
+
+        def shard_body(key, base, N, shard_offset):
+            # chunks past the requested N are skipped: dynamic loop bound,
+            # static buffer shapes
+            remaining = N - (base + shard_offset)
+            n_active = jnp.clip(-(-remaining // B), 0, n_chunks)
+
+            out_buf = jnp.zeros((n_pad,) + out_shape, out_dtype)
+            th_buf = jnp.zeros((n_pad, theta_dim)) if with_theta else None
+
+            def body(c, bufs):
+                ob, tb = bufs
+                idx = base + shard_offset + c * B + jnp.arange(B)
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+                theta = jax.vmap(sample_input)(keys)
+                out = jax.vmap(lambda t: jnp.asarray(
+                    eval_model(l, t)))(theta)
+                ob = jax.lax.dynamic_update_slice(
+                    ob, out, (c * B,) + (0,) * len(out_shape))
+                if with_theta:
+                    th = jnp.concatenate(
+                        [x.reshape(B, -1).astype(jnp.float64)
+                         for x in jax.tree.leaves(theta)], axis=1)
+                    tb = jax.lax.dynamic_update_slice(tb, th, (c * B, 0))
+                return ob, tb
+
+            out_buf, th_buf = jax.lax.fori_loop(
+                0, n_active, body, (out_buf, th_buf))
+            if with_theta:
+                return out_buf, th_buf
+            return out_buf
+
+        if self.mesh is None or self.mesh.devices.size == 1:
+            fn = jax.jit(lambda key, base, N: shard_body(key, base, N, 0))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def sharded(key, base, N):
+                if SAMPLE_AXIS in self.mesh.axis_names:
+                    s = jax.lax.axis_index(SAMPLE_AXIS)
+                else:
+                    s = 0
+                return shard_body(key, base, N, s * n_pad)
+
+            samp = (P(SAMPLE_AXIS) if SAMPLE_AXIS in self.mesh.axis_names
+                    else P())
+            out_spec = (samp, samp) if with_theta else samp
+            fn = jax.jit(jax.shard_map(
+                sharded, mesh=self.mesh, in_specs=(P(), P(), P()),
+                out_specs=out_spec, check_vma=False))
+        self._sweeps[keyt] = fn
+        return fn
+
+    def _combine(self, outs, base, N):
+        """outs: (k, N_pad, No[, d]) device arrays -> SampleSums."""
+        if not hasattr(self, "_combine_jit"):
+            @jax.jit
+            def combine(outs, base, N):
+                if outs.ndim == 3:
+                    outs = outs[..., None]
+                P = jnp.transpose(outs, (1, 2, 0, 3)).astype(jnp.float64)
+                npad = P.shape[0]
+                idx = base + jnp.arange(npad)
+                ok = jnp.all(jnp.isfinite(P), axis=(1, 2, 3))
+                w = ((idx < N) & ok).astype(jnp.float64)
+                nf = jnp.sum((idx < N) & ~ok)
+                P = jnp.where(jnp.isfinite(P), P, 0.0)
+                se = jnp.einsum('bnld,b->nld', P, w)
+                sc = jnp.einsum('bnid,bnjd,b->nij', P, P, w)
+                D = P[:, :, :, None, :] - P[:, :, None, :, :]
+                d1 = jnp.einsum('bnijd,b->nijd', D, w)
+                d2 = jnp.einsum('bnijd,bnijd,b->nij', D, D, w)
+                return se, sc, d1, d2, nf
+            self._combine_jit = combine
+        return self._combine_jit(outs, base, N)
+
+    # ------------------------------------------------------------------ #
+
+    def precompile(self, models=None, parallel: bool = True, N_hint=None):
+        import concurrent.futures as cf
+        n_pad, _ = self._bucket(self.batch if N_hint is None else N_hint)
+        key = jax.random.key(0)
+        models = list(range(self.n_models) if models is None else models)
+
+        def warm(l):
+            out = self._sweep(l, n_pad, False)(key, 0, self.batch)
+            jax.block_until_ready(out)
+
+        if parallel and len(models) > 1:
+            with cf.ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(warm, models))
+        else:
+            for l in models:
+                warm(l)
+
+    def sample_sums(self, ls, key, N: int, collect: bool = False):
+        ls = [int(l) for l in ls]
+        N = int(N)
+        n_pad, n_buckets = self._bucket(N)
+        total = n_pad * self.n_sample_shards
+
+        acc = None
+        vals, thetas = [], []
+        for b in range(n_buckets):
+            base = b * total
+            outs_list = []
+            th = None
+            for pos, l in enumerate(ls):
+                want_theta = collect and pos == 0
+                res = self._sweep(l, n_pad, want_theta)(key, base, N)
+                if want_theta:
+                    out, th = res
+                else:
+                    out = res
+                outs_list.append(out)
+            outs = jnp.stack(outs_list)
+            part = self._combine(outs, base, N)
+            acc = part if acc is None else tuple(
+                a + b2 for a, b2 in zip(acc, part))
+            if collect:
+                idx = base + np.arange(total)
+                sel = idx < N
+                o = np.asarray(outs)
+                axes = (1, 2, 0) if o.ndim == 3 else (1, 2, 0, 3)
+                vals.append(o.transpose(axes)[sel])
+                thetas.append(np.asarray(th)[sel])
+        se, sc, d1, d2, nf = acc
+        sums = SampleSums(se, sc, d1, d2, nf)
+        if collect:
+            return sums, np.concatenate(vals), np.concatenate(thetas)
+        return sums
