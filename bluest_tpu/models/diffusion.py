@@ -48,16 +48,24 @@ def cyclic_reduction_solve(lower, diag, upper, rhs):
                       d[..., 1::2] - alpha * d[..., 0:-1:2]
                       - gamma * d[..., 2::2])
     x = d / b
+
+    def interleave(xe, xo):
+        """(..., q+1) evens and (..., q) odds -> (..., 2q+1).
+        Stack/reshape instead of strided scatter: the .at[::2].set form
+        lowers to an XLA scatter whose scoped VMEM buffer blows past the
+        16MB limit for large batch x grid products."""
+        q = xo.shape[-1]
+        pair = jnp.stack([xe[..., :q], xo], axis=-1)
+        pair = pair.reshape(pair.shape[:-2] + (2 * q,))
+        return jnp.concatenate([pair, xe[..., q:]], axis=-1)
+
     for a0, b0, c0, d0 in reversed(levels):
-        m0 = b0.shape[-1]
-        shape = b0.shape
-        x_full = jnp.zeros(shape, dtype=x.dtype)
-        x_full = x_full.at[..., 1::2].set(x)
-        zpad = jnp.zeros(shape[:-1] + (1,), dtype=x.dtype)
-        xpad = jnp.concatenate([zpad, x_full, zpad], axis=-1)
-        xe = (d0[..., 0::2] - a0[..., 0::2] * xpad[..., 0:m0:2]
-              - c0[..., 0::2] * xpad[..., 2:m0 + 2:2]) / b0[..., 0::2]
-        x = x_full.at[..., 0::2].set(xe)
+        # x holds the odd-position solutions of this level; solve evens
+        zpad = jnp.zeros(b0.shape[:-1] + (1,), dtype=x.dtype)
+        xodd = jnp.concatenate([zpad, x, zpad], axis=-1)  # x_{i-1}, x_{i+1}
+        xe = (d0[..., 0::2] - a0[..., 0::2] * xodd[..., :-1]
+              - c0[..., 0::2] * xodd[..., 1:]) / b0[..., 0::2]
+        x = interleave(xe, x)
     return x
 
 
