@@ -11,7 +11,30 @@ from typing import Optional
 
 import numpy as np
 
-from ..solvers.integer import best_integer_generic
+from ..solvers.integer import (best_integer_generic, corner_matrix,
+                               feasible_integer_bounds)
+
+
+def _corner_values(sol, N):
+    """All floor/ceil corner candidates as rows (B, L) plus the rounded
+    base vector (vectorized variant of the reference's per-corner Python
+    loop, misc.py:384-413)."""
+    sol = np.asarray(sol, dtype=float)
+    lb, ub, idx = feasible_integer_bounds(sol, N)
+    if len(idx) > 24:
+        raise ValueError("Too many dimensions to brute-force it")
+    ms = corner_matrix(lb, ub)                   # (LL, B)
+    vals = np.tile(np.round(sol).astype(np.int64), (ms.shape[1], 1))
+    vals[:, idx] = ms.T
+    return vals
+
+
+def _select_best(vals, feas, obj):
+    if not np.any(feas):
+        return None, np.inf
+    objs = np.where(feas, obj, np.inf)
+    i = int(np.argmin(objs))
+    return vals[i], float(objs[i])
 
 
 def mlmc_allocation(v, w, budget: Optional[float] = None,
@@ -50,8 +73,18 @@ def mlmc_allocation(v, w, budget: Optional[float] = None,
         obj = lambda mm: mm @ w
 
     if not continuous_relaxation:
-        m, fval = best_integer_generic(m, obj, constraint, len(v))
-        if np.isinf(fval):
+        vals = _corner_values(m, len(v))
+        safe = np.maximum(vals, 1)
+        var_all = np.sum(np.where(vals > 0, v[None, :] / safe, 0.0), axis=1)
+        cost_all = vals @ w
+        ge1 = np.all(vals >= 1, axis=1)
+        if budget is not None:
+            feas = (cost_all <= budget) & ge1
+            m, fval = _select_best(vals, feas, var_all)
+        else:
+            feas = (var_all <= eps ** 2) & ge1
+            m, fval = _select_best(vals, feas, cost_all)
+        if m is None or np.isinf(fval):
             return False, None
 
     return True, {"samples": m, "error": float(np.sqrt(variance(m))),
@@ -141,8 +174,21 @@ def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
         if small_budget and budget is not None:
             m = mfmc_low_budget(np.asarray(rhos, dtype=float)[idx], w, budget)
         else:
-            m, fval = best_integer_generic(m, obj, constraint, len(sigmas))
-            if np.isinf(fval):
+            vals = _corner_values(m, len(sigmas))
+            safe = np.maximum(vals, 1)
+            coef = alphas ** 2 * s[1:] ** 2 - 2 * alphas * rho[1:-1] * s[0] * s[1:]
+            var_all = (s[0] ** 2 / safe[:, 0]
+                       + np.sum((1.0 / safe[:, :-1] - 1.0 / safe[:, 1:])
+                                * coef[None, :], axis=1))
+            cost_all = vals @ w
+            mono = np.all(vals[:, :-1] <= vals[:, 1:], axis=1) & (vals[:, 0] >= 1)
+            if budget is not None:
+                feas = (cost_all <= budget) & mono
+                m, fval = _select_best(vals, feas, var_all)
+            else:
+                feas = (var_all <= eps ** 2) & mono
+                m, fval = _select_best(vals, feas, cost_all)
+            if m is None or np.isinf(fval):
                 return False, None
 
     return feasible, {"samples": m, "error": float(np.sqrt(variance(m))),
