@@ -172,22 +172,44 @@ class KernelEngineV2:
 
     # ------------------------------------------------------------------ #
 
-    def precompile(self, models=None, parallel: bool = True, N_hint=None):
+    def precompile(self, models=None, parallel: bool = True,
+                   group_sizes=(1, 2, 3, 4)):
+        """Warm both buffer tiers of every model sweep and the combiners,
+        concurrently (XLA compilation releases the GIL; sequential cold
+        compiles otherwise land in the middle of the first solve)."""
         import concurrent.futures as cf
-        n_pad, _ = self._bucket(self.batch if N_hint is None else N_hint)
+        small = self._bucket(1)[0]
+        big = self._bucket(self.n_sample_shards * self.batch + 1)[0]
+        tiers = sorted({small, big})
         key = jax.random.key(0)
         models = list(range(self.n_models) if models is None else models)
+        out_shape, out_dtype, _ = self._out_struct()
+        sizes = [k for k in group_sizes if k <= self.n_models]
 
-        def warm(l):
-            out = self._sweep(l, n_pad, False)(key, 0, self.batch)
+        def warm_sweep(arg):
+            l, n_pad = arg
+            out = self._sweep(l, n_pad, False)(key, 0, 1)
             jax.block_until_ready(out)
 
-        if parallel and len(models) > 1:
+        def warm_combiner(arg):
+            k, n_pad = arg
+            total = n_pad * self.n_sample_shards
+            dummy = jnp.zeros((k, total) + out_shape, out_dtype)
+            jax.block_until_ready(self._combine(dummy, 0, 1))
+
+        jobs = [(l, t) for l in models for t in tiers]
+        cjobs = [(k, t) for k in sizes for t in tiers]
+        if parallel and len(jobs) > 1:
             with cf.ThreadPoolExecutor(max_workers=8) as ex:
-                list(ex.map(warm, models))
+                futs = [ex.submit(warm_sweep, j) for j in jobs]
+                futs += [ex.submit(warm_combiner, j) for j in cjobs]
+                for f in futs:
+                    f.result()
         else:
-            for l in models:
-                warm(l)
+            for j in jobs:
+                warm_sweep(j)
+            for j in cjobs:
+                warm_combiner(j)
 
     def sample_sums(self, ls, key, N: int, collect: bool = False):
         ls = [int(l) for l in ls]

@@ -68,3 +68,19 @@ def test_diffusion_problem_pipeline():
     assert np.isfinite(mu[0])
     # plain-MC cost comparison
     assert cost <= C[0, 0] / eps ** 2 * p.get_costs()[0] * 1.01
+
+
+@pytest.mark.slow
+def test_hodgkin_huxley_problem_small():
+    """HH model family end-to-end with a reduced model set."""
+    p = HodgkinHuxleyProblem(models=((0, 0.08), (1, 0.08), (2, 0.08)),
+                             covariance_estimation_samples=256,
+                             device_batch_size=256, verbose=False)
+    C = p.get_covariance(0)
+    assert np.all(np.isfinite(np.diag(C)))
+    rho = p.get_correlation(0)
+    assert abs(rho[0, 1]) > 0.5   # RK4 vs Euler on same dt correlate
+    assert p.n_outputs == 5
+    budget = 50 * p.get_costs()[0]
+    blue = p.setup_solver(K=2, budget=budget)
+    assert blue["total_cost"] <= budget * 1.001
