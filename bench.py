@@ -60,9 +60,13 @@ def run_bluest_tpu(problem, budget0=2.0e4):
     # rescale the budget so the estimation phase draws ~TARGET_SAMPLES
     # (the allocation ray is homogeneous in the budget; one correction
     # pass absorbs integer-rounding nonlinearity)
-    n0 = total_samples(problem)
-    budget = budget0 * TARGET_SAMPLES / max(n0, 1)
-    problem.setup_solver(K=K, budget=budget)
+    budget = budget0
+    for _ in range(3):
+        n0 = total_samples(problem)
+        if 0.85 <= n0 / TARGET_SAMPLES <= 1.15:
+            break
+        budget = budget * TARGET_SAMPLES / max(n0, 1)
+        problem.setup_solver(K=K, budget=budget)
     alloc_s = time.time() - t0
 
     t0 = time.time()

@@ -76,6 +76,16 @@ def _chunk_var00(P):
     return jnp.sum(v0 * inv_w * v0, axis=-1)
 
 
+@jax.jit
+def _chunk_corner_var(basephi, psi_idx, ms_chunk):
+    """Fused corner-PHI assembly + Hermitian pinv[0,0]:
+    basephi (M^2,), psi_idx (M^2, LL), ms_chunk (LL, C) -> (C,)."""
+    Msq = basephi.shape[0]
+    M = int(round(np.sqrt(Msq)))
+    phis = (basephi[:, None] + psi_idx @ ms_chunk).T.reshape(-1, M, M)
+    return _chunk_var00(phis)
+
+
 def _batched_variance00(phis: np.ndarray) -> np.ndarray:
     """(B, M, M) -> (B,) of pinv(PHI)[0,0], Hermitian, rcond as reference
     (misc.py:293-294, 368-369).  Chunked vmapped eigh; chunks are padded
@@ -89,6 +99,28 @@ def _batched_variance00(phis: np.ndarray) -> np.ndarray:
             pad = np.broadcast_to(np.eye(M), (_CHUNK - nb, M, M))
             block = np.concatenate([block, pad], axis=0)
         out[s:s + _CHUNK] = np.asarray(_chunk_var00(jnp.asarray(block)))[:nb]
+    return out
+
+
+def _corner_variances(basephi: np.ndarray, psi_idx: np.ndarray,
+                      ms: np.ndarray) -> np.ndarray:
+    """Variances of all corner candidates, assembled and inverted on
+    device in fixed-size chunks (basephi + psi_idx @ ms never materializes
+    on the host)."""
+    LL, B = ms.shape
+    bphi = jnp.asarray(basephi)
+    pidx = jnp.asarray(psi_idx)
+    out = np.empty(B)
+    for s in range(0, B, _CHUNK):
+        chunk = ms[:, s:s + _CHUNK]
+        nb = chunk.shape[1]
+        if nb < _CHUNK and B > _CHUNK:
+            chunk = np.concatenate(
+                [chunk, np.zeros((LL, _CHUNK - nb), dtype=chunk.dtype)],
+                axis=1)
+        out[s:s + _CHUNK] = np.asarray(
+            _chunk_corner_var(bphi, pidx, jnp.asarray(
+                chunk.astype(np.float64))))[:nb]
     return out
 
 
@@ -181,8 +213,7 @@ def best_integer_blue(sol, psi: np.ndarray, w: np.ndarray, e: np.ndarray,
     if ms.size == 0:
         return None, np.inf
 
-    phis = (basephi[:, None] + psi[:, idx] @ ms).T.reshape(-1, N, N)
-    Vs = _batched_variance00(phis)
+    Vs = _corner_variances(basephi, psi[:, idx], ms)
 
     if budget is not None:
         i = int(np.argmin(Vs))
@@ -285,9 +316,8 @@ def _multi_helper(sol, psis, w, e, mappings, budget, eps, lb, ub, idx,
 
     Vs = []
     for n in range(No):
-        phis = (basephis[n][:, None]
-                + psis[n][:, idxs[n]] @ ms[redmaps[n], :]).T.reshape(-1, N, N)
-        Vs.append(_batched_variance00(phis))
+        Vs.append(_corner_variances(basephis[n], psis[n][:, idxs[n]],
+                                    ms[redmaps[n], :]))
     V_max = np.max(np.stack(Vs), axis=0)
 
     if budget is not None:
