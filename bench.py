@@ -36,11 +36,14 @@ BASELINE_SAMPLE_CAP = 2000
 
 
 def build_problem(verbose=False):
+    import jax.numpy as jnp
     from bluest_tpu.models.diffusion import DiffusionProblem
+    # model solves in f32 (QoI error ~1e-8 relative, far below MC noise;
+    # estimator sums accumulate in f64) -- 2x on TPU over emulated f64
     return DiffusionProblem(grids=GRIDS, n_kl=N_KL, sigma=SIGMA, nu=NU,
                             multi_output=True, verbose=verbose,
                             covariance_estimation_samples=PILOT,
-                            device_batch_size=16384)
+                            device_batch_size=16384, dtype=jnp.float32)
 
 
 def total_evaluations(problem):

@@ -106,8 +106,9 @@ def solve_diffusion_outputs(xi, n_cells: int, sigma: float = 1.0,
     Multi-output analog of the reference's multi-QoI PDE examples
     (multi_output_example.py, bluest_NS.py with 6 outputs)."""
     u, a, h = _solve_field(xi, n_cells, sigma, nu)
+    z1 = jnp.zeros(1, u.dtype)
     q_int = h * jnp.sum(u)
-    uu = jnp.concatenate([jnp.zeros(1), u, jnp.zeros(1)])
+    uu = jnp.concatenate([z1, u, z1])
     q_mid = uu[n_cells // 2]
     du = jnp.diff(uu) / h
     q_energy = h * jnp.sum(a * du * du)
@@ -121,14 +122,19 @@ def solve_diffusion(xi, n_cells: int, sigma: float = 1.0, nu: float = 1.5):
 
 
 def _solve_field(xi, n_cells: int, sigma: float, nu: float):
-    """Shared FD solve: returns (interior u, face coefficients a, h)."""
+    """Shared FD solve: returns (interior u, face coefficients a, h).
+
+    Computes in xi's dtype: pass float32 inputs for the fast path (the
+    QoI error vs float64 is ~1e-8 relative, far below any Monte Carlo
+    tolerance; the estimator sums always accumulate in float64)."""
+    dt = xi.dtype
     n_kl = xi.shape[0]
     # coefficient at the n_cells+1 interior faces x_j = j*h, j=0..n_cells
     h = 1.0 / n_cells
-    xf = (jnp.arange(n_cells) + 0.5) * h          # cell midpoints
-    k = jnp.arange(1, n_kl + 1, dtype=jnp.float64)
-    ck = sigma * k ** (-nu) * jnp.sqrt(2.0)
-    modes = jnp.sin(jnp.pi * xf[:, None] * k[None, :])   # (n_cells, n_kl)
+    xf = (jnp.arange(n_cells, dtype=dt) + dt.type(0.5)) * dt.type(h)
+    k = jnp.arange(1, n_kl + 1, dtype=dt)
+    ck = (sigma * k ** (-nu) * np.sqrt(2.0)).astype(dt)
+    modes = jnp.sin(jnp.pi * xf[:, None] * k[None, :]).astype(dt)
     log_a = modes @ (ck * xi)
     a = jnp.exp(log_a)                            # (n_cells,) face/mid values
 
@@ -136,10 +142,11 @@ def _solve_field(xi, n_cells: int, sigma: float, nu: float):
     #  - a_{i-1/2}(u_i - u_{i-1}))/h^2 = 1
     am = a[:-1]   # a_{i-1/2} for i=1..n-1
     ap = a[1:]    # a_{i+1/2}
-    diag = (am + ap) / h ** 2
-    lower = jnp.concatenate([jnp.zeros(1), -am[1:] / h ** 2])
-    upper = jnp.concatenate([-ap[:-1] / h ** 2, jnp.zeros(1)])
-    rhs = jnp.ones(n_cells - 1)
+    inv_h2 = dt.type(1.0 / h ** 2)
+    diag = (am + ap) * inv_h2
+    lower = jnp.concatenate([jnp.zeros(1, dt), -am[1:] * inv_h2])
+    upper = jnp.concatenate([-ap[:-1] * inv_h2, jnp.zeros(1, dt)])
+    rhs = jnp.ones(n_cells - 1, dt)
     m = n_cells - 1
     if m >= 1 and (m & (m + 1)) == 0:      # m = 2^p - 1: powers-of-two grid
         u = cyclic_reduction_solve(lower, diag, upper, rhs)
@@ -159,8 +166,9 @@ class DiffusionProblem(BLUEProblem):
     def __init__(self, grids=(256, 128, 64, 32, 16), n_kl: int = 16,
                  sigma: float = 0.5, nu: float = 1.5,
                  multi_output: bool = False, truncate_kl: bool = True,
-                 **params):
+                 dtype=None, **params):
         self.grids = tuple(int(g) for g in grids)
+        self.dtype = dtype  # None -> f64; jnp.float32 for the fast path
         self.n_kl = n_kl
         self.sigma = sigma
         self.nu = nu
@@ -182,7 +190,8 @@ class DiffusionProblem(BLUEProblem):
         super().__init__(len(self.grids), **params)
 
     def sample_input_jax(self, key):
-        return jax.random.normal(key, (self.n_kl,))  # shared across group
+        dt = self.dtype or jnp.float64
+        return jax.random.normal(key, (self.n_kl,), dt)  # shared across group
 
     def evaluate_model_jax(self, l, xi):
         import jax.numpy as _jnp
