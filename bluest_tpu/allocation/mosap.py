@@ -135,7 +135,16 @@ class MOSAP:
               solver_params: Optional[dict] = None):
         budget, eps = self.check_input(budget, eps)
 
-        if solver in ("cvxopt", "cvxpy", "sdp"):
+        # Budget-mode solutions form a ray: V is homogeneous of degree -1
+        # in m, so the continuous optimum scales linearly with the budget.
+        # Solve once per (solver, no-caps) and rescale -- budget sweeps
+        # (bench calibration, complexity studies) then pay only the integer
+        # projection.  Per-model caps break the scaling.
+        ray_key = ("budget_ray", solver)
+        if (budget is not None and max_model_samples is None
+                and getattr(self, "_ray_cache", {}).get(ray_key) is not None):
+            samples = self._ray_cache[ray_key] * budget
+        elif solver in ("cvxopt", "cvxpy", "sdp"):
             samples = self.sdp_solve(budget=budget, eps=eps,
                                      max_model_samples=max_model_samples,
                                      solver_params=solver_params)
@@ -176,6 +185,12 @@ class MOSAP:
             samples = self.cleanup_solution(
                 np.asarray(samples, float).copy(),
                 tol=1e-7 * float(np.max(samples)))
+
+        if budget is not None and max_model_samples is None:
+            if not hasattr(self, "_ray_cache"):
+                self._ray_cache = {}
+            self._ray_cache.setdefault(
+                ray_key, np.asarray(samples, float) / budget)
 
         if not continuous_relaxation:
             try:
