@@ -161,9 +161,14 @@ class MOSAP:
                 print("SDP solver failed; falling back to scipy NLP...")
             if x0 is None and getattr(self, "_sdp_guess", None) is not None \
                     and budget is not None:
-                g = self._sdp_guess
-                x0 = np.concatenate([[max(self.variances(np.maximum(
-                    g, 1e-10)))], g])
+                g = np.maximum(self._sdp_guess, 0)
+                cost_g = float(self.costs @ g)
+                if cost_g > 0 and np.all(np.isfinite(g)):
+                    # interiorized blend (see the eps-mode warm start)
+                    g = (0.9 * g * (budget / cost_g)
+                         + 0.1 * budget / (self.L * self.costs))
+                    x0 = np.concatenate(
+                        [[1.05 * max(self.variances(g))], g])
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                        max_model_samples=max_model_samples)
 
