@@ -227,6 +227,18 @@ class MOSAP:
         e_rows = self._e_rows()
 
         if budget is not None:
+            if len(es) == 0:
+                # Budget mode without caps through the DIRECT eps form +
+                # ray rescale: min-max-variance and min-cost-at-tolerance
+                # are the same Pareto frontier (variance homogeneous of
+                # degree -1), and the direct eps SDP conditions far better
+                # than the t-epigraph on degenerate complete-group sets.
+                e_common = max(np.sqrt(CC[0, 0]) for CC in self.C) / 100.0
+                m = self._direct_eps_solve(
+                    np.full(self.n_outputs, e_common), e_rows, [], [],
+                    psis, params, rescale=False)
+                if m is not None and float(m @ self.costs) > 0:
+                    return m * (budget / float(m @ self.costs))
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, e_rows,
                 budget, es, rhs)
@@ -237,43 +249,16 @@ class MOSAP:
                 return None
             return np.maximum(res.x[1:], 0) * budget
 
-        def feasibility_rescale(m0):
-            """m -> alpha*m with alpha = max_n V_n(m)/eps_n^2: the variance
-            is homogeneous of degree -1 in m, so this lands exactly on the
-            binding tolerance (shrinking cost when the solver overshoots)."""
-            m0 = np.maximum(m0, 0)
-            if m0.max() <= 0:
-                return None
-            Ksc = 1.0 / m0.max()  # V(m0) = Ksc * V(Ksc m0), dodges the
-            try:                  # 0.05-entry cutoff in variance()
-                alpha = max(
-                    Ksc * self.SAPS[n].variance(Ksc * m0[self.mappings[n]])
-                    / eps[n] ** 2 for n in range(self.n_outputs))
-            except (AssertionError, np.linalg.LinAlgError):
-                return None
-            if not np.isfinite(alpha) or alpha <= 0:
-                return None
-            return alpha * m0
-
         candidates = []
 
         # (a) direct eps SDP with the reference's meps rescale
         # (mosap.py:430-434): well conditioned when the eps_n are
         # heterogeneous (the epigraph form's LMI corners then span
         # orders of magnitude and stall the IPM)
-        n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
-        meps = 100.0 / np.sqrt(n_mc)
-        c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
-            psis, self.mappings, self.L, self.costs, e_rows,
-            eps / meps, meps, es, rhs)
-        res = solve_cone_lp(c, Gl, hl, As, Hs, verbose=self.verbose, **params)
-        if res.status in _OK_STATUSES:
-            if len(es) == 0:
-                m = feasibility_rescale(np.maximum(res.x, 0) / meps ** 2)
-            else:
-                m = np.maximum(res.x, 0) / meps ** 2  # caps break scaling
-            if m is not None:
-                candidates.append(m)
+        m = self._direct_eps_solve(eps, e_rows, es, rhs, psis, params,
+                                   rescale=(len(es) == 0))
+        if m is not None:
+            candidates.append(m)
 
         # (b) scaled weighted min-max (budget epigraph) + exact rescale --
         # only valid without caps
@@ -284,7 +269,7 @@ class MOSAP:
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
             if res.status in _OK_STATUSES:
-                m = feasibility_rescale(res.x[1:])
+                m = self._feasibility_rescale(res.x[1:], eps)
                 if m is not None:
                     candidates.append(m)
             elif not candidates:
@@ -293,6 +278,41 @@ class MOSAP:
         if not candidates:
             return None
         return min(candidates, key=lambda m: float(m @ self.costs))
+
+    def _feasibility_rescale(self, m0, eps):
+        """m -> alpha*m with alpha = max_n V_n(m)/eps_n^2: the variance is
+        homogeneous of degree -1 in m, so this lands exactly on the binding
+        tolerance (shrinking cost when the solver overshoots)."""
+        m0 = np.maximum(m0, 0)
+        if m0.max() <= 0:
+            return None
+        Ksc = 1.0 / m0.max()  # V(m0) = Ksc * V(Ksc m0), dodges the
+        try:                  # 0.05-entry cutoff in variance()
+            alpha = max(
+                Ksc * self.SAPS[n].variance(Ksc * m0[self.mappings[n]])
+                / eps[n] ** 2 for n in range(self.n_outputs))
+        except (AssertionError, np.linalg.LinAlgError):
+            return None
+        if not np.isfinite(alpha) or alpha <= 0:
+            return None
+        return alpha * m0
+
+    def _direct_eps_solve(self, eps, e_rows, es, rhs, psis, params,
+                          rescale: bool = True):
+        """Direct eps-form SDP with the meps conditioning rescale."""
+        n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
+        meps = 100.0 / np.sqrt(n_mc)
+        c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
+            psis, self.mappings, self.L, self.costs, e_rows,
+            np.asarray(eps) / meps, meps, es, rhs)
+        res = solve_cone_lp(c, Gl, hl, As, Hs, verbose=self.verbose,
+                            **params)
+        if res.status not in _OK_STATUSES:
+            return None
+        m = np.maximum(res.x, 0) / meps ** 2
+        if rescale:
+            m = self._feasibility_rescale(m, eps)
+        return m
 
     def _stash_guess(self, res, budget):
         """Keep a failed IPM's best iterate as a warm start for the NLP
