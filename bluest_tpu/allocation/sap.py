@@ -171,6 +171,13 @@ class SAP:
                            if k in ("tol", "feastol", "max_iter")})
         mapping = [np.arange(self.L)]
         if budget is not None:
+            if len(es) == 0:
+                # budget mode through the direct eps form + ray rescale
+                # (same Pareto frontier by homogeneity; see MOSAP.sdp_solve)
+                m = self.sdp_solve(eps=np.sqrt(self.C[0, 0]) / 100.0,
+                                   solver_params=solver_params)
+                if m is not None and float(m @ self.costs) > 0:
+                    return m * (budget / float(m @ self.costs))
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [self.e],
                 budget, es, rhs)
