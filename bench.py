@@ -105,23 +105,22 @@ def numpy_model_eval(ls, xi):
 
 
 def run_baseline_sampling(problem, n_evals_target):
-    """Time the per-sample loop on a capped workload, extrapolate."""
-    out = problem.MOSAP_output
-    work = [(tuple(g), int(n)) for g, n in
-            zip(out["flattened_groups"], out["samples"]) if n > 0]
-    # distribute the cap over groups proportionally to their sample counts
-    tot = sum(n for _, n in work)
+    """Deterministic extrapolation: time each model's scipy solve on a
+    fixed sample count, then price the exact allocation workload."""
     rng = np.random.default_rng(0)
-    done = 0
-    t0 = time.time()
-    for g, n in work:
-        n_run = max(1, int(round(BASELINE_SAMPLE_CAP * n / tot)))
-        for _ in range(n_run):
-            xi = rng.standard_normal(N_KL)
-            numpy_model_eval(g, xi)
-            done += len(g)
-    elapsed = time.time() - t0
-    return elapsed * n_evals_target / max(done, 1)
+    reps = max(10, BASELINE_SAMPLE_CAP // len(GRIDS))
+    t_model = []
+    for l in range(len(GRIDS)):
+        xis = rng.standard_normal((reps, N_KL))
+        t0 = time.time()
+        for r in range(reps):
+            numpy_model_eval((l,), xis[r])
+        t_model.append((time.time() - t0) / reps)
+    out = problem.MOSAP_output
+    total = 0.0
+    for g, n in zip(out["flattened_groups"], out["samples"]):
+        total += int(n) * sum(t_model[l] for l in g)
+    return total
 
 
 def run_baseline_allocation(problem):
