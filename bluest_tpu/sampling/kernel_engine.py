@@ -77,8 +77,15 @@ class KernelEngineV2:
     def _out_struct(self):
         if not hasattr(self, "_out_struct_cache"):
             th = jax.eval_shape(self.sample_input_fn, jax.random.key(0))
+            probe = lambda t: jnp.asarray(self.eval_model_fn(0, t))
+            if self.mesh is not None:
+                # bind the mesh axes so model-parallel evaluations (which
+                # call axis_index/psum over 'model') shape-check correctly
+                from jax.sharding import PartitionSpec as P
+                probe = jax.shard_map(probe, mesh=self.mesh, in_specs=P(),
+                                      out_specs=P(), check_vma=False)
             out = jax.eval_shape(
-                lambda t: jnp.asarray(self.eval_model_fn(0, t)),
+                probe,
                 jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), th))
             dim = int(sum(int(np.prod(x.shape)) if x.shape else 1
                           for x in jax.tree.leaves(th)))
@@ -111,13 +118,15 @@ class KernelEngineV2:
                 theta = jax.vmap(sample_input)(keys)
                 out = jax.vmap(lambda t: jnp.asarray(
                     eval_model(l, t)))(theta)
+                start = jnp.asarray(c * B)
+                zero = jnp.zeros((), start.dtype)
                 ob = jax.lax.dynamic_update_slice(
-                    ob, out, (c * B,) + (0,) * len(out_shape))
+                    ob, out, (start,) + (zero,) * len(out_shape))
                 if with_theta:
                     th = jnp.concatenate(
                         [x.reshape(B, -1).astype(jnp.float64)
                          for x in jax.tree.leaves(theta)], axis=1)
-                    tb = jax.lax.dynamic_update_slice(tb, th, (c * B, 0))
+                    tb = jax.lax.dynamic_update_slice(tb, th, (start, zero))
                 return ob, tb
 
             out_buf, th_buf = jax.lax.fori_loop(

@@ -147,3 +147,36 @@ def test_kernel_engine_model_parallel():
                                (se[0, 0] if se.ndim == 2 else se[0, 0, 0]) / 2,
                                rtol=1e-12)
     assert int(s.n_failed) == 0
+
+
+class ModelParallelProblem(__import__("bluest_tpu").BLUEProblem):
+    """Tiny problem whose model spans the 'model' mesh axis (psum inside),
+    driven through the full BLUEProblem pipeline."""
+
+    D = 8
+
+    def sample_input_jax(self, key):
+        return jax.random.normal(key, (self.D,))
+
+    def evaluate_model_jax(self, l, theta):
+        import jax.numpy as jnp
+        m = jax.lax.axis_index("model")
+        half = self.D // 2
+        sl = jax.lax.dynamic_slice(theta, (m * half,), (half,))
+        local = jnp.sum(jnp.exp(0.2 * sl)) / (l + 1.0)
+        return jax.lax.psum(local, "model")[None]
+
+
+def test_blueproblem_2d_mesh_pipeline():
+    mesh = sample_model_mesh(4, 2)
+    p = ModelParallelProblem(3, costs=np.array([4.0, 2.0, 1.0]), mesh=mesh,
+                             covariance_estimation_samples=512,
+                             device_batch_size=128, verbose=False)
+    C = p.get_covariance()
+    assert np.all(np.isfinite(np.diag(C)))
+    eps = 0.1 * np.sqrt(C[0, 0])
+    blue = p.setup_solver(K=2, eps=eps)
+    mus, errs, cost = p.solve(K=2, eps=eps)
+    # E[sum exp(0.2 Z_i)] = D * exp(0.02)
+    ref = 8 * np.exp(0.02)
+    assert abs(mus[0] - ref) < 6 * max(errs[0], 0.1)
