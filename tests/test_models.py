@@ -84,3 +84,18 @@ def test_hodgkin_huxley_problem_small():
     budget = 50 * p.get_costs()[0]
     blue = p.setup_solver(K=2, budget=budget)
     assert blue["total_cost"] <= budget * 1.001
+
+
+@pytest.mark.slow
+def test_diffusion_multioutput_variance_test():
+    """Statistical acceptance on the PDE family, 3 outputs: empirical
+    estimator spread must match the predicted errors (the reference's
+    gold-standard check, blue_models.py:944-978)."""
+    p = DiffusionProblem(grids=(32, 16, 8), n_kl=8, sigma=0.8, nu=0.8,
+                         multi_output=True,
+                         covariance_estimation_samples=4096, verbose=False)
+    eps = [0.1 * np.sqrt(p.get_covariance(n)[0, 0]) for n in range(3)]
+    err_ex, err = p.variance_test(eps=eps, K=2, N=40)
+    for n in range(3):
+        assert err[n] < 3.0 * err_ex[n]
+        assert err[n] > err_ex[n] / 3.0
