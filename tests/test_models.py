@@ -6,7 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from bluest_tpu.models.diffusion import thomas_solve, solve_diffusion, DiffusionProblem
+from bluest_tpu.models.diffusion import (thomas_solve, solve_diffusion,
+                                          solve_diffusion_outputs, DiffusionProblem)
 from bluest_tpu.models.hodgkin_huxley import (_integrate, _outputs,
                                               HodgkinHuxleyProblem)
 
@@ -99,3 +100,15 @@ def test_diffusion_multioutput_variance_test():
     for n in range(3):
         assert err[n] < 3.0 * err_ex[n]
         assert err[n] > err_ex[n] / 3.0
+
+
+def test_batched_solver_matches_vmap(rng):
+    from bluest_tpu.models.diffusion import solve_diffusion_outputs_batched
+    X = jnp.asarray(rng.standard_normal((8, 16)))
+    a = np.asarray(jax.vmap(lambda x: solve_diffusion_outputs(x, 64))(X))
+    b = np.asarray(solve_diffusion_outputs_batched(X, 64))
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+    # non power-of-two grid exercises the axis-0 Thomas path
+    c = np.asarray(solve_diffusion_outputs_batched(X, 48))
+    d = np.asarray(jax.vmap(lambda x: solve_diffusion_outputs(x, 48))(X))
+    np.testing.assert_allclose(c, d, rtol=1e-12)
