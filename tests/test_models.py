@@ -112,3 +112,38 @@ def test_batched_solver_matches_vmap(rng):
     c = np.asarray(solve_diffusion_outputs_batched(X, 48))
     d = np.asarray(jax.vmap(lambda x: solve_diffusion_outputs(x, 48))(X))
     np.testing.assert_allclose(c, d, rtol=1e-12)
+
+
+def test_matern2d_field_properties(rng):
+    """SPDE-sampled field: zero boundary-ish mean, spectral restriction
+    coupling makes coarse fields the low-pass of fine ones."""
+    from bluest_tpu.models.matern2d import sample_matern2d
+
+    key = jax.random.key(3)
+    w = jax.random.normal(key, (32, 32))
+    z32 = np.asarray(sample_matern2d(w, 32))
+    z16 = np.asarray(sample_matern2d(w, 16))
+    assert z32.shape == (32, 32) and np.all(np.isfinite(z32))
+    # same white noise: the coarse field correlates strongly with the
+    # fine field's energy
+    e32 = float(np.mean(z32 ** 2))
+    e16 = float(np.mean(z16 ** 2))
+    assert e16 <= e32 * 1.5  # truncation removes energy (up to noise)
+
+
+@pytest.mark.slow
+def test_matern2d_problem_pipeline():
+    from bluest_tpu.models.matern2d import Matern2DProblem
+
+    p = Matern2DProblem(grids=(32, 16, 8), covariance_estimation_samples=2048,
+                        device_batch_size=512, verbose=False)
+    C0 = p.get_covariance(0)
+    assert np.isfinite(np.diag(C0)).all()
+    rho = p.get_correlation(0)
+    assert rho[0, 1] > 0.5
+    eps = [0.1 * np.sqrt(p.get_covariance(n)[0, 0]) for n in range(3)]
+    blue = p.setup_solver(K=2, eps=eps)
+    mus, errs, cost = p.solve(K=2, eps=eps)
+    assert all(np.isfinite(m) for m in mus)
+    Vs = p.MOSAP_output["variances"]
+    assert all(v <= (e ** 2) * 1.05 for v, e in zip(Vs, eps))
