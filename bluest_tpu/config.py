@@ -57,6 +57,21 @@ def allocation_device():
     return None
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def allocation_device_scope():
+    """Context form of on_allocation_device."""
+    import jax
+    dev = allocation_device()
+    if dev is None:
+        yield
+    else:
+        with jax.default_device(dev):
+            yield
+
+
 def on_allocation_device(fn):
     """Decorator pinning a function's JAX work to allocation_device()."""
     import functools

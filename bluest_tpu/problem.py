@@ -581,8 +581,12 @@ class BLUEProblem:
                      tuple(np.asarray(Cn).tobytes() for Cn in C),
                      repr(groups), repr(multi_groups), costs.tobytes())
         if getattr(self, "_mosap_key", None) != cache_key:
-            self.MOSAP = MOSAP(C, K, Ks, groups, multi_groups, costs,
-                               multi_costs, verbose=self.verbose)
+            from .config import allocation_device_scope
+            with allocation_device_scope():
+                # psi assembly runs eagerly at construction; keep it off
+                # the accelerator (per-op dispatch latency dominates)
+                self.MOSAP = MOSAP(C, K, Ks, groups, multi_groups, costs,
+                                   multi_costs, verbose=self.verbose)
             self._mosap_key = cache_key
         self.MOSAP.solve(eps=eps, budget=budget, solver=solver,
                          continuous_relaxation=continuous_relaxation,
