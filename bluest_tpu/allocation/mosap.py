@@ -219,7 +219,7 @@ class MOSAP:
     def sdp_solve(self, budget=None, eps=None, max_model_samples=None,
                   solver_params=None):
         es, rhs = self.get_max_sample_constraints(max_model_samples)
-        params = dict(tol=1e-8, feastol=1e-8, max_iter=120)
+        params = dict(tol=1e-8, feastol=1e-8, max_iter=200)
         if solver_params:
             params.update({k: v for k, v in solver_params.items()
                            if k in ("tol", "feastol", "max_iter")})

@@ -436,7 +436,13 @@ def solve_cone_lp(c: np.ndarray,
             stall += 1
         if pres < feastol and dres < feastol and relgap < tol:
             break
-        if stall >= 12 or float(a_j) < 1e-10:
+        # the pre-feasibility phase routinely wanders in gap while the
+        # residuals shrink steadily; only count stall once near-feasible
+        if pres < 1e-6 and dres < 1e-6:
+            stall_limit = 12
+        else:
+            stall_limit = 40
+        if stall >= stall_limit or float(a_j) < 1e-10:
             break
 
     if best is None:
