@@ -83,3 +83,39 @@ def test_mlblue_beats_mlmc_and_mfmc(problem):
 def test_mlblue_k7_reproduces_paper(problem):
     blue = problem.setup_solver(K=7, eps=EPS)
     assert blue["total_cost"] == pytest.approx(60626.8, rel=0.02)
+
+
+# ------------------------- Navier-Stokes dataset ------------------------- #
+
+NS_REF = ("/root/reference/examples/paper_examples/navier_stokes/"
+          "NS_model_data_full.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(NS_REF),
+                    reason="reference checkout not available")
+def test_navier_stokes_dataset_estimator_ordering():
+    """Second golden dataset: the 12-model 6-output Navier-Stokes study
+    (bluest_NS.py:17-121).  Its npz loads through our reader, and at the
+    study's tolerance (eps_n = 1e-3 sqrt(C_n[0,0]), bluest_NS.py:121) the
+    MLBLUE allocation must satisfy the tolerances and beat both MLMC and
+    MFMC (both are restrictions of the K>=3 MLBLUE feasible set here).
+
+    Measured 2026-08: BLUE K=3 187,174 < MFMC 228,789 < MLMC 232,643.
+    """
+    p = BLUEProblem(12, n_outputs=6, datafile=NS_REF, verbose=False)
+    assert p.M == 12 and p.n_outputs == 6
+    C = p.get_covariances()
+    eps = 1e-3 * np.sqrt([c[0, 0] for c in C])
+
+    blue = p.setup_solver(K=3, eps=eps)
+    mlmc = p.setup_mlmc(eps=eps)
+    mfmc = p.setup_mfmc(eps=eps)
+
+    assert np.all(np.asarray(blue["errors"]) <= eps * 1.05)
+    assert np.all(np.asarray(mlmc["errors"]) <= eps * 1.05)
+    assert blue["total_cost"] < mlmc["total_cost"]
+    assert blue["total_cost"] < mfmc["total_cost"]
+    # regression band around the measured allocation costs
+    assert blue["total_cost"] == pytest.approx(187_174, rel=0.05)
+    assert mlmc["total_cost"] == pytest.approx(232_643, rel=0.02)
+    assert mfmc["total_cost"] == pytest.approx(228_789, rel=0.02)
