@@ -736,14 +736,43 @@ class BLUEProblem:
                       "estimated; the MLMC estimator may be suboptimal.\n")
 
         w = self.get_costs()
-        best_group, best_data = None, None
-        min_err = np.inf
-        min_cost = np.inf
+
+        # Pass 1 -- continuous relaxations.  The continuous optimum of each
+        # per-output program bounds its integer counterpart from below
+        # (more samples never hurt the eps form; fewer never help the
+        # budget form), so max-over-outputs of the continuous objective is
+        # a lower bound on the chain's combined objective.  Rank chains by
+        # that bound and stop the expensive corner searches of pass 2 once
+        # the bound can no longer beat the incumbent -- exact, not a
+        # heuristic.
+        candidates = []
         for group in self._mlmc_chains():
-            data_list = []
+            level_data, bounds = [], []
             feasible = True
             for n in range(self.n_outputs):
                 v, subw = self._mlmc_level_data(group, n)
+                feasible, data = mlmc_allocation(
+                    v, subw, budget=budget, eps=eps[n],
+                    continuous_relaxation=True)
+                if not feasible:
+                    break
+                level_data.append((v, subw))
+                bounds.append(data["error"] if budget is not None
+                              else data["total_cost"])
+            if feasible:
+                candidates.append((max(bounds), group, level_data))
+        candidates.sort(key=lambda t: t[0])
+
+        # Pass 2 -- full (integer unless relaxed) allocation in bound order.
+        best_group, best_data = None, None
+        best_obj = np.inf
+        for bound, group, level_data in candidates:
+            if bound >= best_obj:
+                break
+            data_list = []
+            feasible = True
+            for n in range(self.n_outputs):
+                v, subw = level_data[n]
                 feasible, data = mlmc_allocation(
                     v, subw, budget=budget, eps=eps[n],
                     continuous_relaxation=continuous_relaxation)
@@ -753,14 +782,12 @@ class BLUEProblem:
             if not feasible:
                 continue
             if budget is not None:
-                err = max(d["error"] for d in data_list)
-                if err < min_err:
-                    min_err, best_group, best_data = err, group, data_list
+                obj = max(d["error"] for d in data_list)
             else:
-                cost = np.max(np.vstack([d["samples"] for d in data_list]),
-                              axis=0) @ w[list(group)]
-                if cost < min_cost:
-                    min_cost, best_group, best_data = cost, group, data_list
+                obj = np.max(np.vstack([d["samples"] for d in data_list]),
+                             axis=0) @ w[list(group)]
+            if obj < best_obj:
+                best_obj, best_group, best_data = obj, group, data_list
 
         if best_group is None:
             raise BLUESTError("No feasible MLMC chain found")
@@ -768,10 +795,27 @@ class BLUEProblem:
         samples = np.max(np.vstack([d["samples"] for d in best_data]), axis=0)
         cost = samples @ w[list(best_group)]
         if budget is not None:
+            # The per-output schedules each fit the budget, but their
+            # element-wise max may not; shrink back onto
+            # {m >= 1, m @ w <= budget} by rescaling the free levels (MLMC
+            # variance is homogeneous of degree -1 in m, so a uniform
+            # rescale degrades every output's error by the same
+            # sqrt(cost/budget) factor).  The reference's single additive
+            # -w step (blue_models.py:735-738) can dump the whole
+            # reduction on a level that is then clamped at 1, leaving the
+            # cost far above budget.
             wg = w[list(best_group)]
-            samples = np.floor(samples - (max(cost - budget, 0)
-                                          / (wg @ wg)) * wg).astype(int)
-            samples[0] = max(samples[0], 1)
+            m = samples.astype(float)
+            for _ in range(len(m) + 1):
+                if m @ wg <= budget * (1 + 1e-12):
+                    break
+                free = m > 1.0
+                if not free.any():
+                    break
+                fixed = m[~free] @ wg[~free]
+                scale = (budget - fixed) / (m[free] @ wg[free])
+                m[free] = np.maximum(m[free] * max(scale, 0.0), 1.0)
+            samples = np.maximum(np.floor(m).astype(np.int64), 1)
             cost = samples @ wg
         errs = [np.sqrt(d["variance"](samples)) for d in best_data]
         mlmc_data = {"models": best_group, "samples": samples,
