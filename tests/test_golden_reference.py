@@ -119,3 +119,19 @@ def test_navier_stokes_dataset_estimator_ordering():
     assert blue["total_cost"] == pytest.approx(187_174, rel=0.05)
     assert mlmc["total_cost"] == pytest.approx(232_643, rel=0.02)
     assert mfmc["total_cost"] == pytest.approx(228_789, rel=0.02)
+
+
+@pytest.mark.skipif(not os.path.exists(NS_REF),
+                    reason="reference checkout not available")
+def test_navier_stokes_budget_mode_respects_budget():
+    """Budget-mode MLMC on the NS dataset: the combined multi-output
+    schedule must actually fit the budget (the reference's additive -w
+    correction, blue_models.py:735-738, can overshoot by ~35% here when
+    the projection clamps the high-fidelity level at one sample), and the
+    rescale must spend essentially all of it."""
+    p = BLUEProblem(12, n_outputs=6, datafile=NS_REF, verbose=False)
+    for budget in (1e5, 2e5):
+        out = p.setup_mlmc(budget=budget)
+        assert out["total_cost"] <= budget * (1 + 1e-9)
+        assert out["total_cost"] >= 0.99 * budget
+        assert np.all(np.asarray(out["samples"]) >= 1)
