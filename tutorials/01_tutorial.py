@@ -5,6 +5,11 @@ series (reference tutorials/01_tutorial.py).  Runs on CPU or TPU; on a
 multi-device host set mesh="auto" to shard the sampling.
 
 Run:  python tutorials/01_tutorial.py
+
+The walkthrough compiles one sampling kernel per estimator section, so
+the first run on a remote TPU is dominated by compilation (minutes);
+compiled programs land in the persistent XLA cache and repeat runs are
+much faster.  The math itself is seconds of device time.
 """
 
 import os
@@ -48,7 +53,8 @@ print("Covariance matrix:\n", problem.get_covariance())
 print("\nCorrelation matrix:\n", problem.get_correlation())
 print("\nCost vector:\n", problem.get_costs())
 
-eps = 0.01 * np.sqrt(problem.get_covariance()[0, 0])
+# 2% of the output std-dev keeps the tutorial fast; tighten to taste
+eps = 0.02 * np.sqrt(problem.get_covariance()[0, 0])
 
 sol_mc = problem.solve_mc(eps=eps)
 print("\nStd MC solution:", sol_mc[0], " cost:", sol_mc[2])
@@ -138,7 +144,7 @@ print("(exact: E[e^Z] = %.6f, E[e^2Z] = %.6f)"
       % (np.exp(0.5), np.exp(2.0)))
 
 # statistical self-validation (reference variance_test)
-err_ex, err = mproblem.variance_test(eps=eps2, K=3, N=20)
+err_ex, err = mproblem.variance_test(eps=eps2, K=3, N=10)
 print("\nvariance_test: predicted", err_ex, "empirical", err)
 
 print("\nTutorial completed.")
