@@ -190,6 +190,14 @@ class MOSAP:
             samples = self.cleanup_solution(
                 np.asarray(samples, float).copy(),
                 tol=1e-7 * float(np.max(samples)))
+            if eps is not None:
+                # the walk tolerates a 1e-4 relative variance increase --
+                # enough to push the point past the integer search's
+                # 1.0001*eps^2 slack; one homogeneity rescale restores
+                # max_n V_n = eps_n^2 exactly (and costs one variance eval)
+                resc = self._feasibility_rescale(samples, eps)
+                if resc is not None:
+                    samples = resc
 
         if budget is not None and max_model_samples is None:
             if not hasattr(self, "_ray_cache"):
@@ -291,6 +299,17 @@ class MOSAP:
             alpha = max(
                 Ksc * self.SAPS[n].variance(Ksc * m0[self.mappings[n]])
                 / eps[n] ** 2 for n in range(self.n_outputs))
+            if not np.isfinite(alpha) or alpha <= 0:
+                return None
+            # On ill-conditioned PHI the evaluated variance carries
+            # ~cond*1e-16 relative noise that is NOT scale-invariant, so
+            # the homogeneity rescale can land ~1e-3 off tolerance;
+            # one corrective evaluation at the final scale removes the bias
+            m1 = alpha * m0
+            corr = max(self.SAPS[n].variance(m1[self.mappings[n]])
+                       / eps[n] ** 2 for n in range(self.n_outputs))
+            if np.isfinite(corr) and corr > 0:
+                alpha = alpha * corr
         except (AssertionError, np.linalg.LinAlgError):
             return None
         if not np.isfinite(alpha) or alpha <= 0:

@@ -1,5 +1,5 @@
-"""JAX-native primal-dual interior-point solver for cone programs
-with a nonnegative-orthant block and dense PSD blocks.
+"""JAX-native homogeneous self-dual interior-point solver for cone
+programs with a nonnegative-orthant block and dense PSD blocks.
 
 Replaces cvxopt ``solvers.sdp`` (the reference's default allocation solver,
 sap.py:242-307, mosap.py:395-463) with an on-device implementation.  Solves
@@ -9,28 +9,41 @@ the inequality-form cone program
     subject to  Gl x <= hl                           (componentwise)
                 sum_i x_i * As[b, i]  <=  Hs[b]      (PSD order, per block b)
 
-via an infeasible-start path-following method with Nesterov-Todd scaling
-and a Mehrotra predictor-corrector.  Design notes:
+via the homogeneous self-dual (HSD) embedding of Ye-Todd-Mizuno with
+Nesterov-Todd scaling and a Mehrotra predictor-corrector:
+
+    G^T z + c tau            = 0          (dual)
+    h tau - G x - s          = 0          (primal;  s in K)
+    -c^T x - h^T z - kappa   = 0          (gap;     z in K, tau,kappa > 0)
+
+A solution with tau > 0 recovers (x,s,z)/tau as a primal-dual optimal
+pair; tau -> 0 with kappa > 0 certifies infeasibility.  The embedding is
+what makes degenerate MLBLUE instances (complete group sets, rho -> 1,
+heterogeneous eps) solvable without fallback heuristics: the iterate
+stays bounded on the central path instead of wandering to the extreme
+magnitudes that stall a plain infeasible-start method (and, on CPU,
+drop it into subnormal arithmetic).
+
+Design notes:
 
 * MLBLUE allocation SDPs are small (x-dim <= ~400, PSD blocks of size
   M+1 <= ~20, one per output and all the same size), so PSD blocks are kept
   as one stacked (nb, n, n) array and every cone operation is vmapped.
 * NT scaling for a PSD block only needs the metric geometric mean
   T = S^1/2 (S^1/2 Z S^1/2)^-1/2 S^1/2  (T Z T = S): the Newton system
-  reduces to normal equations
-      Hmat dx = rhs,   Hmat = Gl^T diag(z/s) Gl + sum_b tr(A_i T^-1 A_k T^-1)
-  and the scaling square-root R is never needed.
+  reduces to normal equations with the SAME matrix as the non-embedded
+  method,  Hmat = Gl^T diag(z/s) Gl + sum_b tr(A_i T^-1 A_k T^-1),
+  plus a rank-one tau border handled by a 2-solve Schur complement:
+      Hmat v1 = c - q,   Hmat v2 = rx,      q = G^T (W^T W)^{-1} h
+      dtau = (rt + (c+q)@v2) / ((c+q)@v1 + h'(W^TW)^{-1}h + kappa/tau)
+      dx = v2 - dtau * v1
+  The denominator is c'H^{-1}c + Schur(h) + kappa/tau > 0.
 * TPU f64 has no LU kernel; every solve is Cholesky or eigh based.
-
-Newton system derivation (per iteration, cones handled blockwise):
-    rd = c + G^T z,   rp = h - G x - s,   t = s - sigma*mu*z^{-1} + corr
-    Hmat dx = -rd + G^T (W^T W)^{-1} (rp + t)
-    dz = (W^T W)^{-1} (G dx - rp - t),    ds = rp - G dx
-with (W^T W)^{-1} u = (z/s) u for the LP cone and T^{-1} U T^{-1} for PSD.
-The Mehrotra correction is applied on the LP cone (corr = ds_aff*dz_aff/z);
-the PSD second-order correction is omitted -- on these small, well-scaled
-problems the sigma = (gap_aff/gap)^3 heuristic converges in a few tens of
-iterations to ~1e-12 relative gap.
+* **The entire solve is ONE jitted program**: initialization, the
+  predictor-corrector iteration, and the stall / best-iterate /
+  convergence bookkeeping all live inside a single ``lax.while_loop``,
+  so a solve costs O(1) dispatches (a host-driven loop costs ~6
+  dispatches + 4 device->host syncs per iteration).
 """
 
 from __future__ import annotations
@@ -47,7 +60,7 @@ __all__ = ["ConeLPResult", "solve_cone_lp"]
 
 class ConeLPResult(NamedTuple):
     x: np.ndarray
-    status: str          # "optimal" | "max_iter" | "failed"
+    status: str          # "optimal" | "inaccurate" | "max_iter" | "failed"
     iterations: int
     gap: float
     pres: float
@@ -59,8 +72,8 @@ def _sym(A):
     return (A + jnp.swapaxes(A, -1, -2)) / 2
 
 
-def _chol_solve(H, rhs, jitter=1e-14):
-    """SPD solve with symmetric diagonal equilibration.
+def _chol_solve(H, RHS, jitter=1e-14):
+    """SPD solve with symmetric diagonal equilibration (multi-rhs).
 
     The IPM normal matrix mixes (W^T W)^{-1} scales spanning ~1/mu^2, so a
     trace-proportional ridge would wipe out the small-curvature directions
@@ -68,24 +81,27 @@ def _chol_solve(H, rhs, jitter=1e-14):
     diagonal first makes a ~1e-14 ridge scale-invariant and harmless.
     """
     n = H.shape[0]
-    d = jnp.sqrt(jnp.clip(jnp.diag(H), 1e-300, None))
+    d = jnp.sqrt(jnp.clip(jnp.diag(H), 1e-150, None))
     Hs = H / d[:, None] / d[None, :]
     L = jnp.linalg.cholesky(Hs + jitter * jnp.eye(n, dtype=H.dtype))
+    one_d = RHS.ndim == 1
+    B = RHS[:, None] if one_d else RHS
 
     def solve(b):
-        bs = b / d
+        bs = b / d[:, None]
         y = jax.scipy.linalg.solve_triangular(L, bs, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / d
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / d[:, None]
 
-    x = solve(rhs)
-    return x + solve(rhs - H @ x)  # one step of iterative refinement
+    X = solve(B)
+    X = X + solve(B - H @ X)  # one step of iterative refinement
+    return X[:, 0] if one_d else X
 
 
 # --------------------- batched PSD cone primitives ----------------------- #
 
 def _psd_inv(A):
     w, V = jnp.linalg.eigh(A)
-    w = jnp.maximum(w, 1e-300)
+    w = jnp.maximum(w, 1e-150)
     return jnp.einsum('bij,bj,bkj->bik', V, 1.0 / w, V)
 
 
@@ -101,7 +117,7 @@ def _nt_scaling(S, Z):
     Lz = jnp.linalg.cholesky(Z)
     M = jnp.swapaxes(Ls, -1, -2) @ Lz
     U, sig, Vt = jnp.linalg.svd(M)
-    sig = jnp.maximum(sig, 1e-300)
+    sig = jnp.maximum(sig, 1e-150)
     R = (Ls @ U) / jnp.sqrt(sig)[:, None, :]
     # R^{-1} = Sig^{1/2} U^T L_s^{-1}: compute U^T L_s^{-1} as (L_s^{-T} U)^T
     LsTinvU = jax.vmap(lambda l, u: jax.scipy.linalg.solve_triangular(
@@ -117,7 +133,7 @@ def _max_step_psd(S, dS):
     M1 = jax.vmap(lambda l, d: jax.scipy.linalg.solve_triangular(l, d, lower=True))(L, dS)
     M2 = jax.vmap(lambda l, m: jax.scipy.linalg.solve_triangular(l, m.T, lower=True))(L, M1)
     lam_min = jnp.min(jnp.linalg.eigvalsh(_sym(M2))[:, 0])
-    return jnp.where(lam_min >= 0, jnp.inf, -1.0 / jnp.minimum(lam_min, -1e-300))
+    return jnp.where(lam_min >= 0, jnp.inf, -1.0 / jnp.minimum(lam_min, -1e-150))
 
 
 def _max_step_lp(s, ds):
@@ -125,46 +141,47 @@ def _max_step_lp(s, ds):
     return jnp.min(ratio) if s.shape[0] else jnp.asarray(jnp.inf)
 
 
+def _max_step_scalar(t, dt):
+    return jnp.where(dt < 0, -t / jnp.where(dt < 0, dt, -1.0), jnp.inf)
 
 
-# ------------------- module-level jitted IPM kernels --------------------- #
-# Problem data are ARGUMENTS (not closure constants): XLA then caches the
-# compiled step per problem shape instead of re-tracing -- and re-constant-
-# folding large dot products -- on every solve_cone_lp call.
+# ---------------------- one HSD predictor-corrector step ------------------ #
 
-@jax.jit
-def _ipm_init(cj, Glj, hlj, Aj, Hj, Gall, GtG):
+def _iteration_core(cj, Glj, hlj, Aj, Hj, step_frac,
+                    x, s_lp, S, z_lp, Z, tau, kappa):
+    """One NT-scaled Mehrotra step on the HSD embedding.  Traced inside the
+    fused while_loop; ``p``/``nb`` branches are Python-static (shapes)."""
     p = Glj.shape[0]
     nb, nx, n, _ = Aj.shape
-    hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
-                           if nb else [hlj], axis=0)
-    x0 = _chol_solve(GtG, Gall.T @ hall)
-    z_all = Gall @ _chol_solve(GtG, -cj)
-    s_lp = hlj - Glj @ x0
-    S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
-    z_lp = z_all[:p]
-    Z = _sym(z_all[p:].reshape(nb, n, n)) if nb else Hj
-    return x0, s_lp, S, z_lp, Z
+    nu = p + nb * n + 1
 
+    def Gx(v):
+        """Stacked G @ v: returns (lp part, psd part)."""
+        lp = Glj @ v if p else jnp.zeros(0, dtype=v.dtype)
+        psd = jnp.einsum('i,binm->bnm', v, Aj) if nb else None
+        return lp, psd
 
-@jax.jit
-def _ipm_iteration(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
-                   x, s_lp, S, z_lp, Z):
-    p = Glj.shape[0]
-    nb, nx, n, _ = Aj.shape
-    nu = p + nb * n
-    rd = cj + (Glj.T @ z_lp if p else 0.0)
+    def GT(u_lp, U_psd):
+        out = Glj.T @ u_lp if p else jnp.zeros(nx, dtype=cj.dtype)
+        if nb:
+            out = out + jnp.einsum('binm,bnm->i', Aj, U_psd)
+        return out
+
+    # residuals of the HSD system
+    Ax_lp, Ax_psd = Gx(x)
+    rd = GT(z_lp, Z) + cj * tau                     # G^T z + c tau
+    rp_lp = hlj * tau - Ax_lp - s_lp if p else s_lp[:0]
+    Rp = (Hj * tau - Ax_psd - S) if nb else Hj
+    hz = (hlj @ z_lp if p else 0.0) + (jnp.sum(Hj * Z) if nb else 0.0)
+    rg = -cj @ x - hz - kappa                       # gap residual
+
+    gap_cones = (s_lp @ z_lp if p else 0.0)
     if nb:
-        rd = rd + jnp.einsum('binm,bnm->i', Aj, Z)
-    rp_lp = hlj - Glj @ x - s_lp
-    Rp = (Hj - jnp.einsum('i,binm->bnm', x, Aj) - S) if nb else Hj
+        gap_cones = gap_cones + jnp.sum(S * Z)
+    mu = (gap_cones + tau * kappa) / nu
 
-    gap = (s_lp @ z_lp if p else 0.0)
-    if nb:
-        gap = gap + jnp.sum(S * Z)
-    mu = gap / nu
-
-    d_lp = z_lp / s_lp if p else s_lp
+    # NT scalings and the (tau-free) normal matrix
+    d_lp = z_lp / s_lp if p else s_lp               # (W^T W)^{-1} diag, LP
     if nb:
         Tinv, Rnt, Rinv, lam = _nt_scaling(S, Z)
         Zinv = _psd_inv(Z)
@@ -172,132 +189,293 @@ def _ipm_iteration(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
         Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
         if p:
             Hmat = Hmat + (Glj.T * d_lp) @ Glj
+        TinvH = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Hj, Tinv))
     else:
         Hmat = (Glj.T * d_lp) @ Glj
+        TinvH = Hj
 
-    def direction(sigma_mu, corr_lp, corr_psd):
-        rhs = -rd
-        if p:
-            t_lp = s_lp - sigma_mu / z_lp + corr_lp
-            rhs = rhs + Glj.T @ (d_lp * (rp_lp + t_lp))
-        else:
-            t_lp = s_lp
-        if nb:
-            t_psd = S - sigma_mu * Zinv + corr_psd
-            U = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Rp + t_psd, Tinv))
-            rhs = rhs + jnp.einsum('binm,bnm->i', Aj, U)
-        dx = _chol_solve(Hmat, rhs)
-        if p:
-            ds_lp = rp_lp - Glj @ dx
-            dz_lp = d_lp * (Glj @ dx - rp_lp - t_lp)
-        else:
-            ds_lp = s_lp
-            dz_lp = z_lp
-        if nb:
-            Adx = jnp.einsum('i,binm->bnm', dx, Aj)
-            dS = Rp - Adx
-            dZ = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv,
-                                 Adx - Rp - t_psd, Tinv))
-        else:
-            dS = S
-            dZ = Z
-        return dx, ds_lp, dS, dz_lp, dZ
+    def Winv2(u_lp, U_psd):
+        """(W^T W)^{-1} applied blockwise."""
+        lp = d_lp * u_lp if p else u_lp
+        psd = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, U_psd, Tinv)) \
+            if nb else U_psd
+        return lp, psd
 
-    def max_steps(ds_lp, dS, dz_lp, dZ):
-        ap = ad = jnp.asarray(jnp.inf)
-        if p:
-            ap = _max_step_lp(s_lp, ds_lp)
-            ad = _max_step_lp(z_lp, dz_lp)
-        if nb:
-            ap = jnp.minimum(ap, _max_step_psd(S, dS))
-            ad = jnp.minimum(ad, _max_step_psd(Z, dZ))
-        return ap, ad
+    q = GT(d_lp * hlj if p else hlj[:0], TinvH if nb else None)
+    hWh = (hlj @ (d_lp * hlj) if p else 0.0)
+    if nb:
+        hWh = hWh + jnp.sum(Hj * TinvH)
 
-    # predictor (affine)
+    v1 = _chol_solve(Hmat, cj - q)
+    denom = (cj + q) @ v1 + hWh + kappa / tau
+
+    def direction(fr, bs_lp, Bs_psd, bk):
+        """Newton direction for rhs scale ``fr`` on (rd, rp, rg) and the
+        given complementarity targets.  See module docstring."""
+        bx = fr * rd
+        bz_lp = fr * rp_lp
+        Bz_psd = fr * Rp if nb else Rp
+        bt = fr * rg
+        wb_lp, Wb_psd = Winv2(bz_lp + bs_lp, (Bz_psd + Bs_psd) if nb else Bs_psd)
+        rx = -bx + GT(wb_lp, Wb_psd)
+        v2 = _chol_solve(Hmat, rx)
+        rt = (-bt - bk / tau
+              - (hlj @ wb_lp if p else 0.0)
+              - (jnp.sum(Hj * Wb_psd) if nb else 0.0))
+        dtau = (rt + (cj + q) @ v2) / denom
+        dx = v2 - dtau * v1
+        Adx_lp, Adx_psd = Gx(dx)
+        # dz = (W^T W)^{-1} (G dx - h dtau - (bz + bs))
+        dz_lp, dZ = Winv2(
+            (Adx_lp - hlj * dtau - bz_lp - bs_lp) if p else bz_lp,
+            (Adx_psd - Hj * dtau - Bz_psd - Bs_psd) if nb else Bs_psd)
+        ds_lp = (bz_lp + hlj * dtau - Adx_lp) if p else bz_lp
+        dS = (Bz_psd + Hj * dtau - Adx_psd) if nb else Bs_psd
+        dkappa = (-bk - kappa * dtau) / tau
+        return dx, ds_lp, dS, dz_lp, dZ, dtau, dkappa
+
+    def max_steps(ds_lp, dS, dz_lp, dZ, dtau, dkappa):
+        a = jnp.minimum(_max_step_scalar(tau, dtau),
+                        _max_step_scalar(kappa, dkappa))
+        if p:
+            a = jnp.minimum(a, _max_step_lp(s_lp, ds_lp))
+            a = jnp.minimum(a, _max_step_lp(z_lp, dz_lp))
+        if nb:
+            a = jnp.minimum(a, _max_step_psd(S, dS))
+            a = jnp.minimum(a, _max_step_psd(Z, dZ))
+        return a
+
     zero_psd = jnp.zeros_like(S) if nb else S
     zero_lp = jnp.zeros_like(s_lp)
-    dxa, dsa_lp, dSa, dza_lp, dZa = direction(0.0, zero_lp, zero_psd)
-    ap_a, ad_a = max_steps(dsa_lp, dSa, dza_lp, dZa)
-    ap_a = jnp.minimum(1.0, ap_a)
-    ad_a = jnp.minimum(1.0, ad_a)
 
-    gap_aff = ((s_lp + ap_a * dsa_lp) @ (z_lp + ad_a * dza_lp) if p else 0.0)
+    # predictor (affine scaling): full residual, complementarity -> 0
+    aff = direction(1.0, s_lp, S if nb else zero_psd, tau * kappa)
+    dxa, dsa_lp, dSa, dza_lp, dZa, dtaua, dkappaa = aff
+    a_aff = jnp.minimum(1.0, max_steps(dsa_lp, dSa, dza_lp, dZa,
+                                       dtaua, dkappaa))
+
+    gap_aff = (((s_lp + a_aff * dsa_lp) @ (z_lp + a_aff * dza_lp))
+               if p else 0.0)
     if nb:
-        gap_aff = gap_aff + jnp.sum((S + ap_a * dSa) * (Z + ad_a * dZa))
-    sigma = jnp.clip((gap_aff / gap) ** 3, 1e-8, 1.0)
+        gap_aff = gap_aff + jnp.sum((S + a_aff * dSa) * (Z + a_aff * dZa))
+    gap_aff = gap_aff + (tau + a_aff * dtaua) * (kappa + a_aff * dkappaa)
+    gap_tot = gap_cones + tau * kappa
+    sigma = jnp.clip((gap_aff / gap_tot) ** 3, 1e-8, 1.0)
 
-    # Mehrotra second-order correction, LP cone
+    # Mehrotra second-order corrections
     corr_lp = dsa_lp * dza_lp / z_lp if p else zero_lp
-    # ... and PSD cones: corr = W^T( lam o^{-1} [(W^-T dS) o (W dZ)] )
-    # with lam diagonal so (lam o X)_{ij} = (lam_i + lam_j)/2 X_{ij}
     if nb:
+        # corr = W^T( lam o^{-1} [(W^-T dS) o (W dZ)] ) with lam diagonal
+        # so (lam o X)_{ij} = (lam_i + lam_j)/2 X_{ij}
         dSs = Rinv @ dSa @ jnp.swapaxes(Rinv, -1, -2)       # W^{-T} dS
         dZs = jnp.swapaxes(Rnt, -1, -2) @ dZa @ Rnt         # W dZ
         Q = _sym(dSs @ dZs)
-        denom = (lam[:, :, None] + lam[:, None, :]) / 2.0
-        X = Q / denom
-        corr_psd = _sym(Rnt @ X @ jnp.swapaxes(Rnt, -1, -2))
+        denom_l = (lam[:, :, None] + lam[:, None, :]) / 2.0
+        corr_psd = _sym(Rnt @ (Q / denom_l) @ jnp.swapaxes(Rnt, -1, -2))
     else:
         corr_psd = zero_psd
 
-    dx, ds_lp, dS, dz_lp, dZ = direction(sigma * mu, corr_lp, corr_psd)
-    ap, ad = max_steps(ds_lp, dS, dz_lp, dZ)
+    smu = sigma * mu
+    comb = direction(1.0 - sigma,
+                     (s_lp - smu / z_lp + corr_lp) if p else zero_lp,
+                     (S - smu * Zinv + corr_psd) if nb else zero_psd,
+                     tau * kappa - smu + dtaua * dkappaa)
+    dx, ds_lp, dS, dz_lp, dZ, dtau, dkappa = comb
+    a_comb = max_steps(ds_lp, dS, dz_lp, dZ, dtau, dkappa)
 
     # Mehrotra safeguard: on ill-conditioned problems the second-order
-    # correction can overshoot the cone and collapse the step; fall
-    # back to the pure centering direction when that happens.
-    a_corr = jnp.minimum(ap, ad)
-    a_affm = jnp.minimum(ap_a, ad_a)
-    use_fallback = a_corr < 0.2 * a_affm
-    dx2, ds_lp2, dS2, dz_lp2, dZ2 = direction(
-        jnp.maximum(sigma, 0.5) * mu, zero_lp, zero_psd)
-    ap2, ad2 = max_steps(ds_lp2, dS2, dz_lp2, dZ2)
+    # correction can overshoot the cone and collapse the step; fall back
+    # to the pure centering direction when that happens.
+    use_fallback = a_comb < 0.2 * a_aff
+    smu2 = jnp.maximum(sigma, 0.5) * mu
+    cent = direction(1.0 - jnp.maximum(sigma, 0.5),
+                     (s_lp - smu2 / z_lp) if p else zero_lp,
+                     (S - smu2 * Zinv) if nb else zero_psd,
+                     tau * kappa - smu2)
+    a_cent = max_steps(*cent[1:])
 
     def pick(a, b):
         return jnp.where(use_fallback, b, a)
 
-    dx = pick(dx, dx2)
-    ds_lp = pick(ds_lp, ds_lp2)
-    dS = pick(dS, dS2)
-    dz_lp = pick(dz_lp, dz_lp2)
-    dZ = pick(dZ, dZ2)
-    ap = pick(ap, ap2)
-    ad = pick(ad, ad2)
+    dx = pick(dx, cent[0])
+    ds_lp = pick(ds_lp, cent[1])
+    dS = pick(dS, cent[2])
+    dz_lp = pick(dz_lp, cent[3])
+    dZ = pick(dZ, cent[4])
+    dtau = pick(dtau, cent[5])
+    dkappa = pick(dkappa, cent[6])
+    a_max = pick(a_comb, a_cent)
 
-    # equal primal/dual step: with an infeasible start, unequal steps
-    # let the duality gap wander (grow) while residuals are large
-    a = jnp.minimum(1.0, step_frac * jnp.minimum(ap, ad))
+    a = jnp.minimum(1.0, step_frac * a_max)
 
     x_n = x + a * dx
     s_lp_n = s_lp + a * ds_lp
     z_lp_n = z_lp + a * dz_lp
     S_n = _sym(S + a * dS) if nb else S
     Z_n = _sym(Z + a * dZ) if nb else Z
+    tau_n = tau + a * dtau
+    kappa_n = kappa + a * dkappa
 
-    # dual cleanup: minimum-norm correction restoring G^T z = -c,
-    # applied only when it keeps z strictly inside the cone
-    rd_n = cj + (Glj.T @ z_lp_n if p else 0.0)
-    if nb:
-        rd_n = rd_n + jnp.einsum('binm,bnm->i', Aj, Z_n)
-    delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n))
-    # polish only once the dual residual is already small relative to
-    # the data -- a large projection mid-run throws the iterate off the
-    # central path and stalls the method
-    beta = jnp.where(jnp.linalg.norm(rd_n) < 1e-4 * cnorm, 1.0, 0.0)
-    if p:
-        beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp_n, delta[:p]))
-    if nb:
-        dZc = _sym(delta[p:].reshape(nb, n, n))
-        beta = jnp.minimum(beta, 0.99 * _max_step_psd(Z_n, dZc))
-    beta = jnp.maximum(beta, 0.0)
-    z_lp_n = z_lp_n + beta * delta[:p]
-    if nb:
-        Z_n = _sym(Z_n + beta * dZc)
+    return (x_n, s_lp_n, S_n, z_lp_n, Z_n, tau_n, kappa_n,
+            gap_cones, jnp.linalg.norm(
+                jnp.concatenate([rp_lp, Rp.reshape(-1)])
+                if nb else rp_lp),
+            jnp.linalg.norm(rd), a)
 
-    pres = jnp.sqrt((rp_lp @ rp_lp if p else 0.0)
-                    + (jnp.sum(Rp * Rp) if nb else 0.0))
-    dres = jnp.linalg.norm(rd)
-    return x_n, s_lp_n, S_n, z_lp_n, Z_n, gap, pres, dres, a
+
+# --------------------------- fused full solve ----------------------------- #
+
+@partial(jax.jit, static_argnames=("verbose",))
+def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
+               step_frac, tol, feastol, max_iter, verbose=False):
+    """Full HSD-IPM solve as one compiled program.
+
+    Initialization (least-squares start + cvxopt-style interior shift), the
+    predictor-corrector loop, and stall / best-iterate / convergence
+    bookkeeping all run device-side in a single ``lax.while_loop``.
+    Residuals and objective are tracked on the de-homogenized point x/tau.
+
+    done codes: 0 running, 1 converged, 2 non-finite, 3 stall/tiny-step,
+    4 tau collapse (infeasible or numerically dead embedding).
+    """
+    p = Glj.shape[0]
+    nb, nx, n, _ = Aj.shape
+    eye_n = jnp.eye(n, dtype=Hj.dtype)
+
+    # ----- initialization: least-squares primal/dual start at tau = 1 -----
+    hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
+                           if nb else [hlj], axis=0)
+    x0 = _chol_solve(_GtG_j, _Gall_j.T @ hall)
+    z_all = _Gall_j @ _chol_solve(_GtG_j, -cj)
+    s_lp = hlj - Glj @ x0
+    S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
+    z_lp = z_all[:p]
+    Z = _sym(z_all[p:].reshape(nb, n, n)) if nb else Hj
+
+    # shift initial points into the cone interior (cvxopt-style)
+    def shift_lp(v):
+        if p == 0:
+            return v
+        m = jnp.min(v)
+        return jnp.where(m < 1e-8, v + jnp.maximum(0.0, -m) + 1.0, v)
+
+    def shift_psd(V):
+        if nb == 0:
+            return V
+        lam = jnp.min(jnp.linalg.eigvalsh(V))
+        return jnp.where(lam < 1e-8,
+                         V + (1.0 - jnp.minimum(lam, 0.0)) * eye_n[None], V)
+
+    s_lp = shift_lp(s_lp)
+    z_lp = shift_lp(z_lp)
+    S = shift_psd(S)
+    Z = shift_psd(Z)
+    one = jnp.asarray(1.0, cj.dtype)
+
+    # ----- fused iteration loop with best-iterate tracking -----
+    # on degenerate optimal faces the duality gap can hit the f64 floor
+    # while a residual sits just above tolerance -- keep the best point.
+    inf = jnp.asarray(jnp.inf)
+    state = dict(
+        it=jnp.asarray(0, jnp.int32),
+        x=x0, s_lp=s_lp, S=S, z_lp=z_lp, Z=Z, tau=one, kappa=one,
+        best_merit=inf, best_x=x0, best_gap=inf, best_pres=inf,
+        best_dres=inf, best_pobj=jnp.asarray(jnp.nan),
+        stall=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(st):
+        return (st["it"] < max_iter) & (st["done"] == 0)
+
+    def body(st):
+        (x_n, s_n, S_n, z_n, Z_n, tau_n, kappa_n,
+         gap_r, pres_r, dres_r, a) = _iteration_core(
+            cj, Glj, hlj, Aj, Hj, step_frac,
+            st["x"], st["s_lp"], st["S"], st["z_lp"], st["Z"],
+            st["tau"], st["kappa"])
+        it = st["it"] + 1
+        tau = st["tau"]
+        # de-homogenized metrics of the pre-step iterate
+        gap = gap_r / tau ** 2
+        pres = pres_r / tau / hnorm
+        dres = dres_r / tau / cnorm
+        pobj = (cj @ st["x"]) / tau
+        finite = (jnp.isfinite(gap) & jnp.isfinite(pres)
+                  & jnp.isfinite(dres) & jnp.isfinite(pobj))
+
+        relgap = gap / jnp.maximum(1.0, jnp.abs(pobj))
+        merit = jnp.maximum(relgap, jnp.maximum(pres, dres))
+        improved = finite & (merit < st["best_merit"])
+        if verbose:
+            jax.debug.print(
+                "ipm {it}: gap={g:.2e} pres={p:.2e} dres={d:.2e} "
+                "tau={t:.2e} kappa={k:.2e} step={a:.3f}",
+                it=it, g=relgap, p=pres, d=dres, t=tau,
+                k=st["kappa"], a=a)
+
+        converged = (pres < feastol) & (dres < feastol) & (relgap < tol)
+        stall = jnp.where(improved, 0, st["stall"] + 1).astype(jnp.int32)
+        stall_limit = jnp.where((pres < 1e-6) & (dres < 1e-6), 15, 60)
+        stalled = (stall >= stall_limit) | (a < 1e-10)
+        tau_dead = tau_n < 1e-12
+        done = jnp.where(~finite, 2,
+                         jnp.where(converged, 1,
+                                   jnp.where(tau_dead, 4,
+                                             jnp.where(stalled, 3, 0)))
+                         ).astype(jnp.int32)
+
+        def upd(new, old):
+            return jnp.where(finite, new, old)
+
+        return dict(
+            it=it,
+            x=upd(x_n, st["x"]), s_lp=upd(s_n, st["s_lp"]),
+            S=upd(S_n, st["S"]), z_lp=upd(z_n, st["z_lp"]),
+            Z=upd(Z_n, st["Z"]), tau=upd(tau_n, st["tau"]),
+            kappa=upd(kappa_n, st["kappa"]),
+            best_merit=jnp.where(improved, merit, st["best_merit"]),
+            best_x=jnp.where(improved, st["x"] / tau, st["best_x"]),
+            best_gap=jnp.where(improved, gap, st["best_gap"]),
+            best_pres=jnp.where(improved, pres, st["best_pres"]),
+            best_dres=jnp.where(improved, dres, st["best_dres"]),
+            best_pobj=jnp.where(improved, pobj, st["best_pobj"]),
+            stall=stall,
+            done=done,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+
+    # fold in the final iterate (the loop records metrics pre-step, so the
+    # last point produced would otherwise never be a "best" candidate)
+    tau = st["tau"]
+    x = st["x"]
+    rd = cj * tau + (Glj.T @ st["z_lp"] if p else 0.0)
+    if nb:
+        rd = rd + jnp.einsum('binm,bnm->i', Aj, st["Z"])
+    rp_lp = hlj * tau - Glj @ x - st["s_lp"] if p else st["s_lp"][:0]
+    parts = [rp_lp]
+    if nb:
+        Rp = Hj * tau - jnp.einsum('i,binm->bnm', x, Aj) - st["S"]
+        parts.append(Rp.reshape(-1))
+    gap_f = ((st["s_lp"] @ st["z_lp"] if p else 0.0)
+             + (jnp.sum(st["S"] * st["Z"]) if nb else 0.0)) / tau ** 2
+    pres_f = jnp.linalg.norm(jnp.concatenate(parts)) / tau / hnorm
+    dres_f = jnp.linalg.norm(rd) / tau / cnorm
+    pobj_f = (cj @ x) / tau
+    relgap_f = gap_f / jnp.maximum(1.0, jnp.abs(pobj_f))
+    merit_f = jnp.maximum(relgap_f, jnp.maximum(pres_f, dres_f))
+    fin = (jnp.isfinite(merit_f) & (tau > 1e-12)
+           & (merit_f < st["best_merit"]))
+    best_merit = jnp.where(fin, merit_f, st["best_merit"])
+    best_x = jnp.where(fin, x / tau, st["best_x"])
+    best_gap = jnp.where(fin, gap_f, st["best_gap"])
+    best_pres = jnp.where(fin, pres_f, st["best_pres"])
+    best_dres = jnp.where(fin, dres_f, st["best_dres"])
+    best_pobj = jnp.where(fin, pobj_f, st["best_pobj"])
+
+    return (best_merit, best_x, best_gap, best_pres,
+            best_dres, best_pobj, st["it"], st["done"])
 
 
 # ------------------------------- solver ---------------------------------- #
@@ -316,7 +494,7 @@ def solve_cone_lp(c: np.ndarray,
     """Solve  min c^T x  s.t.  Gl x <= hl,  sum_i x_i As[b,i] <= Hs[b].
 
     ``As``: (nb, nx, n, n) symmetric coefficient slices; ``Hs``: (nb, n, n).
-    Host numpy in, host numpy out; the per-iteration work is jitted.
+    Host numpy in, host numpy out; the entire solve is one fused dispatch.
     """
     c_np = np.asarray(c, dtype=np.float64)
     nx = c_np.shape[0]
@@ -343,7 +521,7 @@ def solve_cone_lp(c: np.ndarray,
     if equilibrate:
         norms = np.sqrt((Gl_np ** 2).sum(axis=0)
                         + (As_np ** 2).sum(axis=(0, 2, 3)))
-        colscale = 1.0 / np.maximum(norms, 1e-300)
+        colscale = 1.0 / np.maximum(norms, 1e-150)
         Gl_np = Gl_np * colscale[None, :]
         As_np = As_np * colscale[None, :, None, None]
         c_np = c_np * colscale
@@ -351,106 +529,33 @@ def solve_cone_lp(c: np.ndarray,
     if nu == 0:
         raise ValueError("empty cone")
 
-    cj = jnp.asarray(c_np)
-    Glj = jnp.asarray(Gl_np)
-    hlj = jnp.asarray(hl_np)
-    Aj = jnp.asarray(As_np)
-    Hj = jnp.asarray(Hs_np)
-    eye_n = jnp.eye(n, dtype=jnp.float64)
-
     hnorm = max(1.0, float(np.linalg.norm(hl_np)) + float(np.linalg.norm(Hs_np)))
     cnorm = max(1.0, float(np.linalg.norm(c_np)))
 
-    # ------------------------- initialization ------------------------- #
-    # The stacked constraint matrix and its Gram factor are also reused by
-    # the per-iteration dual cleanup: correcting z by the minimum-norm
-    # solution of G^T dz = -rd keeps the dual residual at machine
-    # precision; late IPM iterations otherwise lose dual feasibility to
-    # cancellation when recovering dz through (W^T W)^{-1}.
+    # stacked constraint matrix + Gram factor seed the least-squares start
     if nb:
         _Gall = np.concatenate(
             [Gl_np, As_np.reshape(nb, nx, n * n).transpose(0, 2, 1)
              .reshape(nb * n * n, nx)], axis=0)
     else:
         _Gall = Gl_np
-    _GtG_j = jnp.asarray(_Gall.T @ _Gall)
-    _Gall_j = jnp.asarray(_Gall)
 
-    x, s_lp, S, z_lp, Z = _ipm_init(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j)
+    (best_merit, best_x, gap, pres, dres, pobj, it, done) = _ipm_solve(
+        jnp.asarray(c_np), jnp.asarray(Gl_np), jnp.asarray(hl_np),
+        jnp.asarray(As_np), jnp.asarray(Hs_np),
+        jnp.asarray(_Gall), jnp.asarray(_Gall.T @ _Gall),
+        cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose=verbose)
 
-    # shift initial points into the cone interior (cvxopt-style)
-    def _shift_lp(v):
-        if p == 0:
-            return v
-        m = float(jnp.min(v))
-        return v + max(0.0, -m) + 1.0 if m < 1e-8 else v
-
-    def _shift_psd(V):
-        if nb == 0:
-            return V
-        lam = float(jnp.min(jnp.linalg.eigvalsh(V)))
-        if lam < 1e-8:
-            V = V + (1.0 - min(lam, 0.0)) * eye_n[None]
-        return V
-
-    s_lp = _shift_lp(s_lp)
-    z_lp = _shift_lp(z_lp)
-    S = _shift_psd(S)
-    Z = _shift_psd(Z)
-
-    def iteration(x, s_lp, S, z_lp, Z):
-        return _ipm_iteration(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j,
-                              jnp.asarray(float(cnorm)),
-                              jnp.asarray(float(step_frac)),
-                              x, s_lp, S, z_lp, Z)
-
-
-    # main loop with best-iterate tracking: on small problems the iteration
-    # can stall (or blow up) once the duality gap hits f64 floor while a
-    # residual sits just above tolerance -- keep the best point seen.
-    def merit(g, pr, dr, po):
-        return max(g / max(1.0, abs(po)), pr, dr)
-
-    best = None  # (merit, x, gap, pres, dres, pobj, it)
-    stall = 0
-    it = 0
-    for it in range(1, max_iter + 1):
-        x_n, s_lp_n, S_n, z_lp_n, Z_n, gap_j, pres_j, dres_j, a_j = iteration(
-            x, s_lp, S, z_lp, Z)
-        gap = float(gap_j)
-        pres = float(pres_j) / hnorm
-        dres = float(dres_j) / cnorm
-        if not (np.isfinite(gap) and np.isfinite(pres) and np.isfinite(dres)):
-            break
-        x, s_lp, S, z_lp, Z = x_n, s_lp_n, S_n, z_lp_n, Z_n
-        pobj = float(cj @ x)
-        relgap = gap / max(1.0, abs(pobj))
-        m = merit(gap, pres, dres, pobj)
-        if verbose:
-            print("ipm %3d: gap=%9.2e pres=%9.2e dres=%9.2e step=%.3f"
-                  % (it, relgap, pres, dres, float(a_j)))
-        if best is None or m < best[0]:
-            best = (m, np.asarray(x).copy(), gap, pres, dres, pobj, it)
-            stall = 0
-        else:
-            stall += 1
-        if pres < feastol and dres < feastol and relgap < tol:
-            break
-        # the pre-feasibility phase routinely wanders in gap while the
-        # residuals shrink steadily; only count stall once near-feasible
-        if pres < 1e-6 and dres < 1e-6:
-            stall_limit = 12
-        else:
-            stall_limit = 40
-        if stall >= stall_limit or float(a_j) < 1e-10:
-            break
-
-    if best is None:
+    it = int(it)
+    if not np.isfinite(float(best_merit)):
         return ConeLPResult(x=np.full(nx, np.nan), status="failed",
                             iterations=it, gap=np.inf, pres=np.inf,
                             dres=np.inf, pobj=np.nan)
-    m, xb, gap, pres, dres, pobj, itb = best
-    xb = xb * colscale
+    gap = float(gap)
+    pres = float(pres)
+    dres = float(dres)
+    pobj = float(pobj)
+    xb = np.asarray(best_x) * colscale
     relgap = gap / max(1.0, abs(pobj))
     if pres < feastol and dres < feastol and relgap < tol:
         status = "optimal"
