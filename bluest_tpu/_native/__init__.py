@@ -50,6 +50,42 @@ def available() -> bool:
     return _load() is not None
 
 
+def corner_filter(lb, ub, base_cost, w, budget, e_rows, e_base,
+                  cap_rows, cap_rhs):
+    """Feasibility mask over all 2^LL floor/ceil corners, computed in one
+    native pass (budget, coverage, and cap rows together).  Returns a
+    (2^LL,) bool array or None when the shared library is unavailable.
+
+    ``budget <= 0`` disables the budget row.  ``cap_rhs`` must already
+    have the frozen part of the allocation subtracted."""
+    lib = _load()
+    if lib is None:
+        return None
+    lb = np.ascontiguousarray(lb, dtype=np.int64)
+    ub = np.ascontiguousarray(ub, dtype=np.int64)
+    LL = len(lb)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    e_rows = np.ascontiguousarray(np.atleast_2d(e_rows), dtype=np.float64) \
+        if len(e_rows) else np.zeros((0, LL))
+    e_base = np.ascontiguousarray(e_base, dtype=np.float64)
+    cap_rows = np.ascontiguousarray(np.atleast_2d(cap_rows),
+                                    dtype=np.float64) \
+        if len(cap_rows) else np.zeros((0, LL))
+    cap_rhs = np.ascontiguousarray(cap_rhs, dtype=np.float64)
+    keep = np.empty(1 << LL, dtype=np.uint8)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.bluest_corner_filter(
+        lb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), LL,
+        float(base_cost), w.ctypes.data_as(dptr),
+        float(budget) if budget is not None else 0.0,
+        e_rows.ctypes.data_as(dptr), e_base.ctypes.data_as(dptr),
+        e_rows.shape[0], cap_rows.ctypes.data_as(dptr),
+        cap_rhs.ctypes.data_as(dptr), cap_rows.shape[0],
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep.astype(bool)
+
+
 def enumerate_cliques(adj: np.ndarray, max_size: int, nodes=None):
     """Native all-cliques enumeration; returns list of lists or None when
     the shared library is unavailable."""

@@ -263,8 +263,7 @@ class BLUEProblem:
                   for n in range(self.n_outputs)}
         np.savez(filename, M=self.M, n_outputs=self.n_outputs,
                  costs=self.get_costs(), **C_dict,
-                 SG=np.array(self.SG, dtype=object), dV=np.array(self.dV),
-                 allow_pickle=True)
+                 SG=np.array(self.SG, dtype=object), dV=np.array(self.dV))
 
     def load_graph_data(self, filename: str, costs=None):
         """(blue_models.py:273-299); loads reference-produced files too."""
@@ -473,6 +472,23 @@ class BLUEProblem:
                     batch_size=batch, mesh=self.mesh,
                     max_resample=int(self.params["max_resample"]))
             sums = self._engines[key_ls](key, int(N))
+        # Non-finite samples are masked out of the sums, but the estimator
+        # divides by the requested N downstream; top up with fresh batches
+        # so the sums really cover N finite samples (the reference resamples
+        # until all N are finite, blue_fn.py:118-129).
+        rounds = 0
+        while int(sums.n_failed) > 0 and rounds < 4:
+            deficit = int(sums.n_failed)
+            key2 = jax.random.fold_in(self._base_key, self._call_counter)
+            self._call_counter += 1
+            if self._has_factored_jax_model():
+                extra = self._kernel_engine().sample_sums(
+                    key_ls, key2, deficit)
+            else:
+                extra = self._engines[key_ls](key2, deficit)
+            sums = type(sums)(*[a + b for a, b in
+                                zip(sums[:-1], extra[:-1])], extra.n_failed)
+            rounds += 1
         se = np.asarray(sums.sumse)
         if se.ndim == 3 and se.shape[-1] == 1:
             se = se[..., 0]          # scalar outputs: drop the vector dim

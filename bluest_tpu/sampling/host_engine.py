@@ -1,38 +1,130 @@
 """Host-side sampling engine for black-box (non-JAX) models.
 
-Compatibility path preserving the reference blue_fn semantics
+Compatibility path preserving the reference blue_fn return contract
 (blue_fn.py:36-227) without MPI: batching support probed from the
 sampler's signature, resample-on-NaN/Inf, wall-clock cost accumulation,
-and npz sample snapshots.  Use the device engine (jax_engine) whenever the
-model is jax-traceable -- this path exists so that any Python simulator
-(FEniCS-style PDE solvers, legacy codes) keeps working unchanged."""
+and npz sample snapshots.  Use the device engines whenever the model is
+jax-traceable -- this path exists so that any Python simulator
+(FEniCS-style PDE solvers, legacy codes) keeps working unchanged.
+
+Unlike the reference's per-sample accumulation loop, samples are staged
+into windows and contracted with vectorized einsums (per-pair Python
+inner products only when a user-supplied inner product is not the
+standard dot)."""
 
 from __future__ import annotations
 
-import os
+import sys
 from inspect import signature
 from time import time
 from typing import Callable, List, Optional
 
 import numpy as np
 
+from . import snapshots
+
 
 def is_output_finite(Ps):
     """(ok, model_index, output_index) -- reference blue_fn.py:15-29."""
-    No = len(Ps)
-    L = len(Ps[0])
-    for i in range(L):
-        for n in range(No):
-            check = np.isfinite(Ps[n][i])
-            ok = bool(np.all(check))
-            if not ok:
+    for i in range(len(Ps[0])):
+        for n in range(len(Ps)):
+            if not bool(np.all(np.isfinite(Ps[n][i]))):
                 return False, i, n
     return True, None, None
 
 
+def _is_standard_inner(fn) -> bool:
+    """True when ``fn`` computes the scalar/dot inner product, enabling
+    the einsum fast path (vector probe first: scalar `a*b` inners raise
+    or return arrays on vectors, so they only pass the scalar probe)."""
+    try:
+        v = np.array([1.0, 2.0, -3.0])
+        w = np.array([0.5, -1.0, 2.0])
+        if np.ndim(fn(v, w)) == 0 and np.isclose(float(fn(v, w)), v @ w):
+            return True
+    except Exception:
+        pass
+    try:
+        return np.isclose(float(fn(2.0, 3.0)), 6.0)
+    except Exception:
+        return False
+
+
+class _Progress:
+    """Single-line sampling progress (reference UX: blue_fn.py:91-95)."""
+
+    def __init__(self, label: str, total: int, enabled: bool):
+        self.label = label
+        self.total = total
+        self.enabled = enabled and total > 1
+        self.t0 = time()
+        self.last = 0.0
+
+    def update(self, done: int, force: bool = False):
+        if not self.enabled:
+            return
+        now = time()
+        if not force and now - self.last < 1.0:
+            return
+        self.last = now
+        rate = done / max(now - self.t0, 1e-9)
+        eta = (self.total - done) / max(rate, 1e-9)
+        sys.stdout.write("\r  sampling %s: %d/%d (%.0f/s, ETA %.0fs)   "
+                         % (self.label, done, self.total, rate, eta))
+        if force:
+            sys.stdout.write("\n")
+        sys.stdout.flush()
+
+
+def _window_sums(vals, No, L, inners, fast, compute_diffs):
+    """Contract one window of samples into (se, gram, d1, d2) increments.
+
+    ``vals``: list of per-sample (No, L) nested values (entries scalar or
+    array).  Vectorized einsums on the standard inner; per-pair calls on
+    user-supplied inner products."""
+    W = len(vals)
+    se = [[0.0] * L for _ in range(No)]
+    gram = [np.zeros((L, L)) for _ in range(No)]
+    d1 = [[[0.0] * L for _ in range(L)] for _ in range(No)] \
+        if compute_diffs else None
+    d2 = [np.zeros((L, L)) for _ in range(No)] if compute_diffs else None
+
+    for n in range(No):
+        X = np.asarray([[vals[w][n][i] for i in range(L)]
+                        for w in range(W)], dtype=float)
+        if X.ndim == 2:
+            X = X[..., None]                       # (W, L, d)
+        sums = X.sum(axis=0)                       # (L, d)
+        for i in range(L):
+            se[n][i] = sums[i, 0] if sums.shape[1] == 1 else sums[i]
+        if fast[n]:
+            gram[n] += np.einsum('wid,wjd->ij', X, X)
+        else:
+            for w in range(W):
+                row = [vals[w][n][i] for i in range(L)]
+                gram[n] += np.array([[inners[n](row[i], row[j])
+                                      for j in range(L)] for i in range(L)])
+        if compute_diffs:
+            D = X[:, :, None, :] - X[:, None, :, :]    # (W, L, L, d)
+            Dsum = D.sum(axis=0)
+            for i in range(L):
+                for j in range(L):
+                    d1[n][i][j] = (Dsum[i, j, 0] if Dsum.shape[-1] == 1
+                                   else Dsum[i, j])
+            if fast[n]:
+                d2[n] += np.einsum('wijd,wijd->ij', D, D)
+            else:
+                for w in range(W):
+                    row = [vals[w][n][i] for i in range(L)]
+                    for i in range(L):
+                        for j in range(L):
+                            dd = row[i] - row[j]
+                            d2[n][i, j] += inners[n](dd, dd)
+    return se, gram, d1, d2
+
+
 def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
-            N1: int = 1,
-            No: int = 1, verbose: bool = True,
+            N1: int = 1, No: int = 1, verbose: bool = True,
             compute_mlmc_differences: bool = False,
             filename: Optional[str] = None, outputs_to_save=None):
     """Sample the coupled models ``ls`` N times and return sums.
@@ -44,121 +136,106 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
         sumse[n][i]   = sum of outputs of model ls[i], output n
         sumsc[n][i,j] = sum of inner products
         cost          = problem.cost * N if defined, else wall time
-    (reference blue_fn.py:36-227)."""
+    (return contract of reference blue_fn.py:36-227)."""
     L = len(ls)
-    cpu_cost = 0.0
-    sumse = [[0 for _ in range(L)] for _ in range(No)]
-    sumsc = [np.zeros((L, L)) for _ in range(No)]
-    if compute_mlmc_differences:
-        sumsd1 = [[[0 for _ in range(L)] for _ in range(L)] for _ in range(No)]
-        sumsd2 = [[[0 for _ in range(L)] for _ in range(L)] for _ in range(No)]
-
+    N = int(N)
     if inners is None:
         inners = [lambda a, b: a * b for _ in range(No)]
+    fast = [_is_standard_inner(f) for f in inners]
 
     if sampler is None:
         rng = np.random.RandomState(1)
 
         def sampler(ls, N=1):
-            sample = rng.randn(N) if N > 1 else float(rng.randn())
-            return [sample for _ in range(L)]
+            draw = rng.randn(N) if N > 1 else float(rng.randn())
+            return [draw for _ in ls]
 
-    if filename is not None:
-        ext = "." + filename.split(".")[-1]
-        basename = ".".join(filename.split(".")[:-1]) + "".join(
-            str(l) for l in ls)
-        filename = basename + ext
-        outdict = {"values_%d_%d" % (n, i): [] for n in range(No)
-                   for i in range(L)}
-        outdict.update({"inputs_%d" % i: [] for i in range(L)})
-        if outputs_to_save is None:
-            outputs_to_save = list(range(No))
+    batched = len(signature(sampler).parameters) > 1
+    B = max(int(N1), 1) if batched else 1
 
-    nobatch = len(signature(sampler).parameters) == 1
-    if nobatch:
-        N1 = 1
+    snap = filename is not None
+    snap_vals: List = []
+    snap_inputs: List[List] = [[] for _ in range(L)]
 
-    it = 1
-    while it <= N:
-        N2 = min(N1, N - it + 1)
+    se_acc = [[0.0] * L for _ in range(No)]
+    gram_acc = [np.zeros((L, L)) for _ in range(No)]
+    d1_acc = [[[0.0] * L for _ in range(L)] for _ in range(No)]
+    d2_acc = [np.zeros((L, L)) for _ in range(No)]
+    wall = 0.0
+    window: List = []
+    window_cap = max(B, 256)
+    prog = _Progress(str(list(ls)), N, verbose)
 
-        finite = False
-        while not finite:
-            samples = sampler(ls) if nobatch else sampler(ls, N2)
-            start = time()
-            Ps = problem.evaluate(ls, samples)
-            end = time()
-            finite, model_n, output_n = is_output_finite(Ps)
-            if not finite and verbose:
-                print("Warning! evaluation returned non-finite value for "
-                      "model %s output %s; resampling." % (model_n, output_n),
-                      flush=True)
-
-        cpu_cost += end - start
-
-        if filename is not None:
-            for n in range(No):
-                if n in outputs_to_save:
-                    for i in range(L):
-                        if N1 == 1:
-                            outdict["values_%d_%d" % (n, i)].append(Ps[n][i])
-                            outdict["inputs_%d" % i].append(samples[i])
-                        else:
-                            for n2 in range(N2):
-                                outdict["values_%d_%d" % (n, i)].append(
-                                    Ps[n][i][n2])
-                                outdict["inputs_%d" % i].append(samples[i][n2])
-
-        if compute_mlmc_differences:
-            for n in range(No):
-                for i in range(L):
-                    for j in range(i + 1, L):
-                        if N1 == 1:
-                            d = Ps[n][i] - Ps[n][j]
-                            sumsd1[n][i][j] += d
-                            sumsd2[n][i][j] += inners[n](d, d)
-                        else:
-                            for n2 in range(N2):
-                                d = Ps[n][i][n2] - Ps[n][j][n2]
-                                sumsd1[n][i][j] += d
-                                sumsd2[n][i][j] += inners[n](d, d)
-
+    def flush():
+        if not window:
+            return
+        se, gram, d1, d2 = _window_sums(window, No, L, inners, fast,
+                                        compute_mlmc_differences)
         for n in range(No):
-            if N1 == 1:
+            for i in range(L):
+                se_acc[n][i] = se_acc[n][i] + se[n][i]
+            gram_acc[n] += gram[n]
+            if compute_mlmc_differences:
+                d2_acc[n] += d2[n]
                 for i in range(L):
-                    sumse[n][i] += Ps[n][i]
-                sumsc[n] += np.array([[inners[n](Ps[n][i], Ps[n][j])
-                                       for i in range(L)] for j in range(L)])
-            else:
+                    for j in range(L):
+                        d1_acc[n][i][j] = d1_acc[n][i][j] + d1[n][i][j]
+        window.clear()
+
+    accepted = 0
+    while accepted < N:
+        n2 = min(B, N - accepted) if batched else 1
+        while True:
+            inp = sampler(ls, n2) if batched else sampler(ls)
+            t0 = time()
+            Ps = problem.evaluate(ls, inp)
+            wall += time() - t0
+            ok, bad_model, bad_output = is_output_finite(Ps)
+            if ok:
+                break
+            if verbose:
+                print("Warning! evaluation returned non-finite value for "
+                      "model %s output %s; resampling."
+                      % (bad_model, bad_output), flush=True)
+
+        if batched and B > 1:
+            # batch convention: Ps[n][i] is a length-n2 sequence
+            for w in range(n2):
+                window.append([[Ps[n][i][w] for i in range(L)]
+                               for n in range(No)])
+            if snap:
+                for w in range(n2):
+                    snap_vals.append([[Ps[n][i][w] for i in range(L)]
+                                      for n in range(No)])
+                    for i in range(L):
+                        snap_inputs[i].append(inp[i][w])
+        else:
+            window.append([[Ps[n][i] for i in range(L)]
+                           for n in range(No)])
+            if snap:
+                snap_vals.append([[Ps[n][i] for i in range(L)]
+                                  for n in range(No)])
                 for i in range(L):
-                    sumse[n][i] += sum(Ps[n][i])
-                sumsc[n] += np.array(
-                    [[sum(inners[n](Ps[n][i][n2], Ps[n][j][n2])
-                          for n2 in range(N2))
-                      for i in range(L)] for j in range(L)])
-        it += N2
+                    snap_inputs[i].append(inp[i])
+        accepted += n2
+        if len(window) >= window_cap:
+            flush()
+        prog.update(accepted)
+    flush()
+    prog.update(accepted, force=True)
 
-    cost = N * problem.cost if hasattr(problem, "cost") else cpu_cost
+    cost = N * problem.cost if hasattr(problem, "cost") else wall
 
-    if filename is not None:
-        outdict["models"] = np.array([list(ls)])
-        outdict["n_samples"] = np.array([N])
-        outdict["n_outputs"] = np.array([No])
-        if os.path.isfile(filename):
-            old = dict(np.load(filename, allow_pickle=True))
-            old = {k: [item for item in v] for k, v in old.items()}
-            assert list(old["models"][0]) == list(ls)
-            for key in old:
-                if "values" in key or "inputs" in key:
-                    old[key] += outdict[key]
-            old["n_samples"][0] += N
-            old["models"] = np.array([list(ls)])
-            old["n_outputs"] = np.array([No])
-            outdict = old
-        np.savez_compressed(filename, **outdict)
+    if snap:
+        snapshots.append_snapshots(
+            filename, ls, No, np.asarray(snap_vals, dtype=object),
+            None, outputs_to_save=outputs_to_save,
+            per_model_inputs=[np.asarray(x) for x in snap_inputs])
 
+    sumse = se_acc
+    sumsc = gram_acc
     if compute_mlmc_differences:
-        return sumse, sumsc, cost, sumsd1, sumsd2
+        return sumse, sumsc, cost, d1_acc, d2_acc
     return sumse, sumsc, cost
 
 
@@ -171,8 +248,7 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
 
 def _worker_chunk(args):
     problem, ls, n, worker_id, No, compute_diffs = args
-    if hasattr(problem, "set_worker_id"):
-        problem.set_worker_id(worker_id)  # per-rank RNG hook
+    problem.set_worker_id(worker_id)  # per-rank RNG hook
     return blue_fn(ls, n, problem, sampler=problem.sampler,
                    inners=problem.get_models_inner_products(),
                    No=No, verbose=False,
@@ -183,12 +259,21 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                      compute_mlmc_differences: bool = False):
     """Process-pool variant of blue_fn for picklable black-box problems.
 
-    The user's sampler must be seeded per worker: override
-    ``set_worker_id(self, wid)`` to reseed (the reference's per-rank RNG
-    discipline, tutorials/01_tutorial.py:154-167).  Snapshot files are not
-    supported on this path.
+    The user's sampler MUST be reseeded per worker by overriding
+    ``set_worker_id(self, wid)`` (the reference's per-rank RNG discipline,
+    tutorials/01_tutorial.py:154-167): every worker unpickles the same RNG
+    state, so without reseeding all workers draw identical samples and the
+    estimator silently runs on N/n_workers effective samples.  Snapshot
+    files are not supported on this path.
     """
     import multiprocessing as mp
+
+    if not hasattr(problem, "set_worker_id"):
+        raise ValueError(
+            "host_workers > 1 requires the problem to implement "
+            "set_worker_id(worker_id) to reseed its RNG per worker; "
+            "without it all workers would draw identical sample streams "
+            "and the estimate would be statistically invalid.")
 
     NN = [N // n_workers] * n_workers
     for i in range(N % n_workers):

@@ -22,13 +22,16 @@ def snapshot_filename(filename: str, ls: Sequence[int]) -> str:
 
 
 def append_snapshots(filename: str, ls: Sequence[int], No: int,
-                     values: np.ndarray, inputs: np.ndarray,
-                     outputs_to_save: Optional[Sequence[int]] = None) -> str:
+                     values: np.ndarray, inputs,
+                     outputs_to_save: Optional[Sequence[int]] = None,
+                     per_model_inputs: Optional[List] = None) -> str:
     """Append a block of samples to the snapshot file for group ``ls``.
 
     values: (N, No, L) model outputs; inputs: (N, ...) raw random inputs
-    (the same input is shared by all models of the group).  Returns the
-    resolved filename."""
+    shared by all models of the group (device engines), OR
+    ``per_model_inputs``: per-model list of length-N input arrays (host
+    engine, where each model receives its own sample representation).
+    Returns the resolved filename."""
     fname = snapshot_filename(filename, ls)
     L = len(ls)
     N = values.shape[0]
@@ -40,9 +43,13 @@ def append_snapshots(filename: str, ls: Sequence[int], No: int,
         if n in outputs_to_save:
             for i in range(L):
                 out["values_%d_%d" % (n, i)] = list(values[:, n, i])
-    flat_inputs = list(np.asarray(inputs).reshape(N, -1))
-    for i in range(L):
-        out["inputs_%d" % i] = flat_inputs
+    if per_model_inputs is not None:
+        for i in range(L):
+            out["inputs_%d" % i] = list(per_model_inputs[i])
+    else:
+        flat_inputs = list(np.asarray(inputs).reshape(N, -1))
+        for i in range(L):
+            out["inputs_%d" % i] = flat_inputs
     out["models"] = np.array([list(ls)])
     out["n_samples"] = np.array([N])
     out["n_outputs"] = np.array([No])

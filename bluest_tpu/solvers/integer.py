@@ -437,31 +437,61 @@ def _multi_helper(sol, psis, w, e, mappings, budget, eps, lb, ub, idx,
         redmaps.append(np.array(red, dtype=int))
         idxs.append(np.array(loc, dtype=int))
 
-    # intersection of per-output coverage constraints (see module docstring)
-    mask = np.ones(ms.shape[1], dtype=bool)
-    for n in range(No):
-        if basees[n] < 1:
-            mask &= (basees[n] + e[idx][redmaps[n]] @ ms[redmaps[n], :]) >= 1
-    keep = np.where(mask)[0]
-    if len(keep) == 0:
-        return None, np.inf
-    ms = ms[:, keep]
-
-    ms = _apply_max_sample_filter(ms, idx, baseval, max_samples_info)
-    if ms is None:
-        return None, np.inf
-
     if budget is not None and basecost > budget:
         return None, np.inf
 
-    costs = basecost + w[idx] @ ms
-    if budget is not None:
-        keep = np.where(costs <= 1.0001 * budget)[0]
+    # Corner feasibility filter (budget + per-output coverage + caps).
+    # One native pass over the 2^LL corners when the C library is built
+    # (bit order matches corner_matrix); numpy fallback otherwise.
+    ES, rhs = max_samples_info
+    if any(ees @ baseval > rr for ees, rr in zip(ES, rhs)):
+        return None, np.inf
+    keep_mask = None
+    if lb.size:
+        from .. import _native
+        e_rows_l, e_base_l = [], []
+        for n in range(No):
+            if basees[n] < 1:
+                row = np.zeros(len(idx))
+                row[redmaps[n]] = e[idx][redmaps[n]]
+                e_rows_l.append(row)
+                e_base_l.append(basees[n])
+        keep_mask = _native.corner_filter(
+            lb, ub, basecost, w[idx],
+            budget if budget is not None else 0.0,
+            e_rows_l, e_base_l,
+            [np.asarray(ees)[idx] for ees in ES],
+            [rr - ees @ baseval for ees, rr in zip(ES, rhs)])
+    if keep_mask is not None:
+        ms = ms[:, keep_mask]
+        if ms.shape[1] == 0:
+            return None, np.inf
+        costs = basecost + w[idx] @ ms
+        if budget is None:
+            ms = ms[:, np.argsort(costs)[::-1]]
+    else:
+        mask = np.ones(ms.shape[1], dtype=bool)
+        for n in range(No):
+            if basees[n] < 1:
+                mask &= (basees[n]
+                         + e[idx][redmaps[n]] @ ms[redmaps[n], :]) >= 1
+        keep = np.where(mask)[0]
         if len(keep) == 0:
             return None, np.inf
-        ms = ms[:, keep][:, ::-1]
-    else:
-        ms = ms[:, np.argsort(costs)[::-1]]
+        ms = ms[:, keep]
+
+        ms = _apply_max_sample_filter(ms, idx, baseval, max_samples_info)
+        if ms is None:
+            return None, np.inf
+
+        costs = basecost + w[idx] @ ms
+        if budget is not None:
+            keep = np.where(costs <= 1.0001 * budget)[0]
+            if len(keep) == 0:
+                return None, np.inf
+            ms = ms[:, keep][:, ::-1]
+        else:
+            ms = ms[:, np.argsort(costs)[::-1]]
     if ms.size == 0:
         return None, np.inf
 

@@ -147,3 +147,43 @@ def test_mosap_estimator_assembly():
     mus, Vs = mosap.compute_BLUE_estimators(sums, m)
     assert len(mus) == 2 and Vs.shape == (2,)
     assert all(np.isfinite(Vs))
+
+
+def test_native_corner_filter_matches_numpy(rng):
+    """The C corner feasibility filter must reproduce the numpy masks."""
+    from bluest_tpu import _native
+    from bluest_tpu.solvers.integer import corner_matrix
+    if not _native.available():
+        pytest.skip("native library not built")
+
+    LL = 11
+    lb = rng.integers(0, 3, LL)
+    ub = lb + rng.integers(0, 2, LL)
+    w = rng.random(LL) + 0.5
+    base_cost = 3.0
+    budget = base_cost + float(w @ (lb + ub)) / 2
+    e_rows = [rng.random(LL) * (rng.random(LL) > 0.5),
+              rng.random(LL) * (rng.random(LL) > 0.5)]
+    e_base = [0.3, 0.0]
+    cap_rows = [rng.random(LL)]
+    cap_rhs = [float(cap_rows[0] @ ub) * 0.7]
+
+    ms = corner_matrix(np.asarray(lb, np.int64), np.asarray(ub, np.int64))
+    ref = base_cost + w @ ms <= 1.0001 * budget
+    for row, b in zip(e_rows, e_base):
+        ref &= (b + row @ ms) >= 1.0
+    for row, r in zip(cap_rows, cap_rhs):
+        ref &= row @ ms <= r
+
+    got = _native.corner_filter(lb, ub, base_cost, w, budget,
+                                e_rows, e_base, cap_rows, cap_rhs)
+    assert got is not None
+    np.testing.assert_array_equal(got, ref)
+
+    # eps mode: budget row disabled
+    got2 = _native.corner_filter(lb, ub, base_cost, w, None,
+                                 e_rows, e_base, [], [])
+    ref2 = np.ones(ms.shape[1], bool)
+    for row, b in zip(e_rows, e_base):
+        ref2 &= (b + row @ ms) >= 1.0
+    np.testing.assert_array_equal(got2, ref2)

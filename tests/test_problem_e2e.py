@@ -323,3 +323,54 @@ def test_host_parallel_sampling():
     assert abs(mu - np.exp(0.5)) < 0.2
     # cross sums consistent with outputs
     assert sumsc[0][0, 0] > 0
+
+
+def test_vector_outputs_group_engine():
+    """Array-valued QoIs through the per-group engine (sampler_jax /
+    evaluate_jax overloads, i.e. a non-factorable model): the engine must
+    apply the dot-product inner convention (reference blue_fn.py:159-167)."""
+    D = 4
+
+    class VecGroupProblem(BLUEProblem):
+        def sampler_jax(self, key, ls):
+            z = jax.random.normal(key)
+            return [z for _ in ls]
+
+        def evaluate_jax(self, ls, samples):
+            return jnp.stack([
+                jnp.stack([jnp.sin(samples[i] + jnp.arange(D, dtype=jnp.float64))
+                           / (1.0 + 0.1 * l) for i, l in enumerate(ls)])
+            ])  # (No=1, L, D)
+
+        def get_models_inner_products(self):
+            return [lambda a, b: np.dot(a, b)]
+
+    p = VecGroupProblem(3, costs=np.array([4.0, 2.0, 1.0]),
+                        covariance_estimation_samples=2048, verbose=False)
+    C = p.get_covariance()
+    assert np.all(np.isfinite(np.diag(C))) and C[0, 0] > 0
+    eps = 0.05 * np.sqrt(C[0, 0])
+    p.setup_solver(K=2, eps=eps)
+    mus, errs, cost = p.solve(K=2, eps=eps)
+    mu = np.asarray(mus[0])
+    assert mu.shape == (D,)
+    ref = np.sin(np.arange(D)) * np.exp(-0.5)
+    np.testing.assert_allclose(mu, ref, atol=6 * max(errs[0], 0.05))
+
+
+def test_parallel_host_requires_worker_seeding():
+    """blue_fn_parallel must refuse problems without set_worker_id: every
+    worker would otherwise draw the same sample stream."""
+    from bluest_tpu.sampling.host_engine import blue_fn_parallel
+
+    class NoSeed(BLUEProblem):
+        def sampler(self, ls, N=1):
+            return [0.0 for _ in ls]
+
+        def evaluate(self, ls, samples, N=1):
+            return [[1.0 for _ in ls]]
+
+    p = NoSeed(2, C=np.array([[1.0, 0.5], [0.5, 1.0]]),
+               costs=np.array([2.0, 1.0]), verbose=False)
+    with pytest.raises(ValueError, match="set_worker_id"):
+        blue_fn_parallel([0, 1], 16, p, n_workers=2)

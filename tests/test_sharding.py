@@ -56,7 +56,7 @@ def test_exact_n_semantics():
     N = 777
     s = eng(jax.random.key(0), N)
     # sum of N iid normals has std sqrt(N); check plausible magnitude
-    assert abs(float(s.sumse[0, 0])) < 6 * np.sqrt(N)
+    assert abs(float(s.sumse[0, 0, 0])) < 6 * np.sqrt(N)
     # second moment ~ N
     assert abs(float(s.sumsc[0, 0, 0]) - N) < 6 * np.sqrt(2 * N)
 
@@ -75,7 +75,7 @@ def test_nan_resampling():
     assert np.isfinite(np.asarray(s.sumse)).all()
     assert int(s.n_failed) == 0
     # resampled distribution is the truncated normal (z <= 0.5): mean < 0
-    assert float(s.sumse[0, 0]) / 500 < 0
+    assert float(s.sumse[0, 0, 0]) / 500 < 0
 
 
 def test_sample_model_mesh_shapes():
@@ -118,10 +118,10 @@ def test_model_axis_sharded_model():
 
 
 def test_kernel_engine_model_parallel():
-    """KernelEngine on a 2D (samples x model) mesh: the model uses a psum
+    """KernelEngineV2 on a 2D (samples x model) mesh: the model uses a psum
     over the 'model' axis internally (nested-MPI equivalent)."""
     import jax.numpy as jnp
-    from bluest_tpu.sampling.jax_engine import KernelEngine
+    from bluest_tpu.sampling.kernel_engine import KernelEngineV2 as KernelEngine
 
     mesh = sample_model_mesh(4, 2)
     D = 8
