@@ -71,6 +71,7 @@ class MOSAP:
         self.budget = None
         self.eps = None
         self.tot_cost = None
+        self.n_nlp_fallbacks = 0   # times the SDP failed over to scipy
 
     # ------------------------------------------------------------------ #
 
@@ -157,6 +158,7 @@ class MOSAP:
         if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
             # robustness fallback: the host NLP solves instances the IPM
             # stalls on (and vice versa)
+            self.n_nlp_fallbacks += 1
             if self.verbose:
                 print("SDP solver failed; falling back to scipy NLP...")
             if x0 is None and getattr(self, "_sdp_guess", None) is not None \

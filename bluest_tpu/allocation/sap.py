@@ -60,6 +60,7 @@ class SAP:
         self.budget = None
         self.eps = None
         self.tot_cost = None
+        self.n_nlp_fallbacks = 0   # times the SDP failed over to scipy
 
     # ------------------------- variance closures ---------------------- #
 
@@ -136,6 +137,7 @@ class SAP:
         if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
             # robustness fallback: the host NLP solves instances the IPM
             # stalls on (and vice versa)
+            self.n_nlp_fallbacks += 1
             if self.verbose:
                 print("SDP solver failed; falling back to scipy NLP...")
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,

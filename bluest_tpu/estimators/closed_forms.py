@@ -91,6 +91,42 @@ def mlmc_allocation(v, w, budget: Optional[float] = None,
                   "total_cost": float(m @ w), "variance": variance}
 
 
+def mlmc_bounds_batch(V, W, mask, budget: Optional[float] = None,
+                      eps: Optional[float] = None):
+    """Continuous lower bounds for a padded batch of MLMC chains.
+
+    V, W: (B, Lmax) per-level variances/costs, padded entries arbitrary;
+    mask: (B, Lmax) validity.  Returns (feasible (B,), bound (B,)) where
+    ``bound`` is a LOWER bound on the chain's pass-2 objective:
+
+      * budget mode: the error of the m >= 1-clamped continuous optimum
+        (valid: every integer-feasible schedule is dominated by it);
+      * eps mode: q^2 / eps^2 / 1.0001 with q = sum sqrt(v w) -- the
+        UNCLAMPED continuous cost deflated by the integer search's
+        feasibility slack.  The clamped continuous cost is NOT a lower
+        bound here (clamping without redistribution is suboptimal and the
+        corner search accepts variance <= 1.0001 eps^2), so using it could
+        prune the true optimum.
+    """
+    V = np.asarray(V, dtype=float)
+    W = np.asarray(W, dtype=float)
+    feasible = np.all(np.where(mask, np.isfinite(V), True), axis=1)
+    Vs = np.where(mask & np.isfinite(V), V, 0.0)
+    Ws = np.where(mask, W, 0.0)
+    q = np.sqrt(np.clip(Vs * Ws, 0.0, None)).sum(axis=1)
+    ok = feasible & (q > 0)
+    qs = np.where(ok, q, 1.0)
+    if budget is not None:
+        mu = budget / qs
+        ratio = np.divide(Vs, Ws, out=np.zeros_like(Vs), where=Ws > 0)
+        m = np.maximum(mu[:, None] * np.sqrt(ratio), 1.0)
+        var = np.where(mask, Vs / m, 0.0).sum(axis=1)
+        bound = np.sqrt(var)
+    else:
+        bound = qs ** 2 / eps ** 2 / 1.0001
+    return feasible, np.where(ok, bound, np.inf)
+
+
 def _mfmc_prepare(sigmas, rhos, costs):
     """Sort models by |rho| descending and compute the feasibility ratios
     (reference misc.py:52-67, 88-104)."""

@@ -19,6 +19,7 @@ There is no rank-0/broadcast asymmetry: computation is single-controller
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from time import time
 from typing import List, Optional, Sequence
 
@@ -26,8 +27,8 @@ import jax
 import numpy as np
 
 from .allocation import MOSAP, BLUESTError
-from .estimators.closed_forms import (mlmc_allocation, mfmc_allocation,
-                                      mfmc_check)
+from .estimators.closed_forms import (mlmc_allocation, mlmc_bounds_batch,
+                                      mfmc_allocation, mfmc_check)
 from .graph import CovarianceGraph, cliques
 from .linalg.spd import (mark_uncorrelated, project_covariance_full,
                          project_covariance_masked)
@@ -62,6 +63,7 @@ default_params = {
     "device_batch_size": 4096,
     "max_resample": 64,                # 0 = model guaranteed finite
     "host_workers": 1,                 # >1: process pool for black-box models
+    "profile_dir": None,               # jax.profiler.trace dir for solve()
 }
 
 
@@ -668,15 +670,37 @@ class BLUEProblem:
         flattened_groups = self.MOSAP_output["flattened_groups"]
         sample_list = self.MOSAP_output["samples"]
 
+        # optional on-device profiler trace around the sampling phase
+        # (config key: reference-style params dict, SURVEY 5.1)
+        trace_dir = self.params.get("profile_dir")
+        trace_ctx = (jax.profiler.trace(trace_dir) if trace_dir
+                     else _nullcontext())
+
+        n_active = int(sum(1 for N in sample_list if N > 0))
+        total_N = int(sum(int(N) for N in sample_list))
+        done_groups = 0
+        done_N = 0
+        t0 = time()
         sums = [[] for _ in range(self.n_outputs)]
-        for ls, N in zip(flattened_groups, sample_list):
-            if N == 0:
+        with trace_ctx:
+            for ls, N in zip(flattened_groups, sample_list):
+                if N == 0:
+                    for n in range(self.n_outputs):
+                        sums[n].append([0 for _ in range(len(ls))])
+                    continue
+                sumse, _, _ = self.blue_fn(ls, int(N), verbose=verbose)
                 for n in range(self.n_outputs):
-                    sums[n].append([0 for _ in range(len(ls))])
-                continue
-            sumse, _, _ = self.blue_fn(ls, int(N), verbose=verbose)
-            for n in range(self.n_outputs):
-                sums[n].append(sumse[n])
+                    sums[n].append(sumse[n])
+                done_groups += 1
+                done_N += int(N)
+                if self.verbose and verbose:
+                    el = time() - t0
+                    rate = done_N / max(el, 1e-9)
+                    eta = (total_N - done_N) / max(rate, 1e-9)
+                    print("  group %s: %d samples | %d/%d groups, "
+                          "%d/%d samples (%.0f samples/s, ETA %.0fs)"
+                          % (list(ls), int(N), done_groups, n_active,
+                             done_N, total_N, rate, eta), flush=True)
 
         mus, Vs = self.MOSAP.compute_BLUE_estimators(sums, sample_list)
         errs = np.sqrt(Vs)
@@ -705,7 +729,7 @@ class BLUEProblem:
             v = np.array([subC[0, 0]])
         return v, subw
 
-    def _mlmc_chains(self):
+    def _mlmc_chains(self, max_chains: int = 1 << 17):
         """All cost-descending chains through the intersection graph that
         start at model 0 (blue_models.py:662-670).
 
@@ -715,6 +739,11 @@ class BLUEProblem:
         same set falls out of a DFS over descending-cost positions that
         abandons a prefix as soon as an edge is missing -- exponentially
         cheaper on sparse coupling graphs, identical output on dense ones.
+
+        Dense graphs past M ~ 17 models would still enumerate 2^(M-1)
+        chains; the count is capped at ``max_chains`` (longest/cheapest
+        prefixes are explored first by the DFS order) with a warning, so
+        setup_mlmc degrades to a wide heuristic search instead of hanging.
         """
         lme = len(self.check_costs(warning=True))
         w = self.get_costs()
@@ -727,11 +756,46 @@ class BLUEProblem:
         while stack:
             path = stack.pop()
             groups.append([int(idx[p]) for p in path])
+            if len(groups) >= max_chains:
+                if self.verbose:
+                    print("WARNING! MLMC chain enumeration capped at %d "
+                          "chains (M = %d is large for a dense coupling "
+                          "graph); the chain search is now a heuristic."
+                          % (max_chains, self.M))
+                break
             last = path[-1]
             for j in range(last + 1, n):
                 if adj[idx[last], idx[j]]:
                     stack.append(path + [j])
         return groups
+
+    def _mlmc_level_data_batch(self, G, mask, lengths, n):
+        """Vectorized _mlmc_level_data over a padded chain batch.
+
+        G: (B, Lmax) model indices (padded entries 0); mask: validity;
+        lengths: (B,) chain lengths.  Returns V, W: (B, Lmax) with the
+        same per-level semantics as _mlmc_level_data (pairwise difference
+        variances with dV overrides, pairwise costs, singleton tail)."""
+        C = self.get_covariance(n)
+        w = self.get_costs()
+        dV = self.dV[n]
+        B, Lmax = G.shape
+        Cd = np.diag(C)
+        gi = G
+        gj = np.concatenate([G[:, 1:], G[:, :1]], axis=1)  # next level
+        pair = np.concatenate([mask[:, 1:], np.zeros((B, 1), bool)], axis=1) \
+            & mask                                          # l < len-1
+        lo = np.minimum(gi, gj)
+        hi = np.maximum(gi, gj)
+        v_pair = Cd[gi] + Cd[gj] - 2 * C[gi, gj]
+        dv = dV[lo, hi]
+        v = np.where(np.isfinite(dv), dv, v_pair)
+        V = np.where(pair, v, 0.0)
+        W = np.where(pair, w[gi] + w[gj], 0.0)
+        last = (np.arange(Lmax)[None, :] == (lengths - 1)[:, None])
+        V = np.where(last, Cd[gi], V)
+        W = np.where(last, w[gi], W)
+        return V, W
 
     def setup_mlmc(self, budget=None, eps=None, continuous_relaxation=False):
         """(blue_models.py:642-741)"""
@@ -753,42 +817,48 @@ class BLUEProblem:
 
         w = self.get_costs()
 
-        # Pass 1 -- continuous relaxations.  The continuous optimum of each
-        # per-output program bounds its integer counterpart from below
-        # (more samples never hurt the eps form; fewer never help the
-        # budget form), so max-over-outputs of the continuous objective is
-        # a lower bound on the chain's combined objective.  Rank chains by
-        # that bound and stop the expensive corner searches of pass 2 once
-        # the bound can no longer beat the incumbent -- exact, not a
-        # heuristic.
-        candidates = []
-        for group in self._mlmc_chains():
-            level_data, bounds = [], []
-            feasible = True
-            for n in range(self.n_outputs):
-                v, subw = self._mlmc_level_data(group, n)
-                feasible, data = mlmc_allocation(
-                    v, subw, budget=budget, eps=eps[n],
-                    continuous_relaxation=True)
-                if not feasible:
-                    break
-                level_data.append((v, subw))
-                bounds.append(data["error"] if budget is not None
-                              else data["total_cost"])
-            if feasible:
-                candidates.append((max(bounds), group, level_data))
-        candidates.sort(key=lambda t: t[0])
+        # Pass 1 -- continuous lower bounds, batched over all chains at
+        # once (padded (n_chains, Lmax) arrays; see mlmc_bounds_batch for
+        # why the eps-mode bound uses the unclamped cost deflated by the
+        # integer slack).  Rank chains by max-over-outputs of the bound and
+        # stop the expensive corner searches of pass 2 once the bound can
+        # no longer beat the incumbent -- exact, not a heuristic.
+        chains = self._mlmc_chains()
+        B = len(chains)
+        Lmax = max(len(g) for g in chains)
+        G = np.zeros((B, Lmax), dtype=np.int64)
+        mask = np.zeros((B, Lmax), dtype=bool)
+        lengths = np.array([len(g) for g in chains])
+        for b, g in enumerate(chains):
+            G[b, :len(g)] = g
+            mask[b, :len(g)] = True
+        Vb, Wb = [], []
+        bound_all = np.zeros(B)
+        feas_all = np.ones(B, dtype=bool)
+        for n in range(self.n_outputs):
+            Vn, Wn = self._mlmc_level_data_batch(G, mask, lengths, n)
+            Vb.append(Vn)
+            Wb.append(Wn)
+            feas_n, bound_n = mlmc_bounds_batch(Vn, Wn, mask,
+                                                budget=budget, eps=eps[n])
+            feas_all &= feas_n & np.isfinite(bound_n)
+            bound_all = np.maximum(bound_all, bound_n)
+        order = np.argsort(np.where(feas_all, bound_all, np.inf))
 
         # Pass 2 -- full (integer unless relaxed) allocation in bound order.
         best_group, best_data = None, None
         best_obj = np.inf
-        for bound, group, level_data in candidates:
-            if bound >= best_obj:
+        for b in order:
+            if not feas_all[b]:
                 break
+            if bound_all[b] >= best_obj:
+                break
+            group = chains[b]
             data_list = []
             feasible = True
             for n in range(self.n_outputs):
-                v, subw = level_data[n]
+                v = Vb[n][b, :lengths[b]]
+                subw = Wb[n][b, :lengths[b]]
                 feasible, data = mlmc_allocation(
                     v, subw, budget=budget, eps=eps[n],
                     continuous_relaxation=continuous_relaxation)

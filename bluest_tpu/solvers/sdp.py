@@ -147,7 +147,7 @@ def _max_step_scalar(t, dt):
 
 # ---------------------- one HSD predictor-corrector step ------------------ #
 
-def _iteration_core(cj, Glj, hlj, Aj, Hj, step_frac,
+def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
                     x, s_lp, S, z_lp, Z, tau, kappa):
     """One NT-scaled Mehrotra step on the HSD embedding.  Traced inside the
     fused while_loop; ``p``/``nb`` branches are Python-static (shapes)."""
@@ -316,6 +316,29 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, step_frac,
     tau_n = tau + a * dtau
     kappa_n = kappa + a * dkappa
 
+    # dual polish: minimum-norm correction restoring G^T z + c tau = 0,
+    # applied only when it keeps z strictly inside the cone.  Late
+    # iterations otherwise lose dual feasibility to cancellation when
+    # recovering dz through (W^T W)^{-1}, stalling dres at ~1e-4.
+    rd_n = cj * tau_n + GT(z_lp_n, Z_n)
+    delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n))
+    # gate: polish once the dual residual is small relative to the data --
+    # a large projection mid-run throws the iterate off the central path.
+    # The bound is loose (1e-2) because the cone max-step below already
+    # rejects corrections that would leave the interior, and the late-
+    # stage dz recovery through (W^T W)^{-1} can inject O(1e-4) error in
+    # a single step right at convergence.
+    beta = jnp.where(jnp.linalg.norm(rd_n) < 1e-2 * cnorm * tau_n, 1.0, 0.0)
+    if p:
+        beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp_n, delta[:p]))
+    if nb:
+        dZc = _sym(delta[p:].reshape(nb, n, n))
+        beta = jnp.minimum(beta, 0.99 * _max_step_psd(Z_n, dZc))
+    beta = jnp.maximum(beta, 0.0)
+    z_lp_n = z_lp_n + beta * delta[:p]
+    if nb:
+        Z_n = _sym(Z_n + beta * dZc)
+
     return (x_n, s_lp_n, S_n, z_lp_n, Z_n, tau_n, kappa_n,
             gap_cones, jnp.linalg.norm(
                 jnp.concatenate([rp_lp, Rp.reshape(-1)])
@@ -391,7 +414,7 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
     def body(st):
         (x_n, s_n, S_n, z_n, Z_n, tau_n, kappa_n,
          gap_r, pres_r, dres_r, a) = _iteration_core(
-            cj, Glj, hlj, Aj, Hj, step_frac,
+            cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
             st["x"], st["s_lp"], st["S"], st["z_lp"], st["Z"],
             st["tau"], st["kappa"])
         it = st["it"] + 1
@@ -416,7 +439,7 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
 
         converged = (pres < feastol) & (dres < feastol) & (relgap < tol)
         stall = jnp.where(improved, 0, st["stall"] + 1).astype(jnp.int32)
-        stall_limit = jnp.where((pres < 1e-6) & (dres < 1e-6), 15, 60)
+        stall_limit = jnp.where((pres < 1e-6) & (dres < 1e-6), 30, 60)
         stalled = (stall >= stall_limit) | (a < 1e-10)
         tau_dead = tau_n < 1e-12
         done = jnp.where(~finite, 2,
@@ -447,19 +470,38 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
     st = jax.lax.while_loop(cond, body, state)
 
     # fold in the final iterate (the loop records metrics pre-step, so the
-    # last point produced would otherwise never be a "best" candidate)
+    # last point produced would otherwise never be a "best" candidate),
+    # with a last unconditional-gate dual polish: the primal is typically
+    # excellent here while z carries one step's worth of (W^T W)^{-1}
+    # recovery noise
     tau = st["tau"]
     x = st["x"]
-    rd = cj * tau + (Glj.T @ st["z_lp"] if p else 0.0)
+    z_lp_f, Z_f = st["z_lp"], st["Z"]
+    rd0 = cj * tau + (Glj.T @ z_lp_f if p else 0.0)
     if nb:
-        rd = rd + jnp.einsum('binm,bnm->i', Aj, st["Z"])
+        rd0 = rd0 + jnp.einsum('binm,bnm->i', Aj, st["Z"])
+    delta_f = -(_Gall_j @ _chol_solve(_GtG_j, rd0))
+    beta_f = jnp.asarray(1.0)
+    if p:
+        beta_f = jnp.minimum(beta_f, 0.99 * _max_step_lp(z_lp_f,
+                                                         delta_f[:p]))
+    if nb:
+        dZf = _sym(delta_f[p:].reshape(nb, Aj.shape[2], Aj.shape[2]))
+        beta_f = jnp.minimum(beta_f, 0.99 * _max_step_psd(Z_f, dZf))
+    beta_f = jnp.maximum(beta_f, 0.0)
+    z_lp_f = z_lp_f + beta_f * delta_f[:p]
+    if nb:
+        Z_f = _sym(Z_f + beta_f * dZf)
+    rd = cj * tau + (Glj.T @ z_lp_f if p else 0.0)
+    if nb:
+        rd = rd + jnp.einsum('binm,bnm->i', Aj, Z_f)
     rp_lp = hlj * tau - Glj @ x - st["s_lp"] if p else st["s_lp"][:0]
     parts = [rp_lp]
     if nb:
         Rp = Hj * tau - jnp.einsum('i,binm->bnm', x, Aj) - st["S"]
         parts.append(Rp.reshape(-1))
-    gap_f = ((st["s_lp"] @ st["z_lp"] if p else 0.0)
-             + (jnp.sum(st["S"] * st["Z"]) if nb else 0.0)) / tau ** 2
+    gap_f = ((st["s_lp"] @ z_lp_f if p else 0.0)
+             + (jnp.sum(st["S"] * Z_f) if nb else 0.0)) / tau ** 2
     pres_f = jnp.linalg.norm(jnp.concatenate(parts)) / tau / hnorm
     dres_f = jnp.linalg.norm(rd) / tau / cnorm
     pobj_f = (cj @ x) / tau
@@ -559,10 +601,14 @@ def solve_cone_lp(c: np.ndarray,
     relgap = gap / max(1.0, abs(pobj))
     if pres < feastol and dres < feastol and relgap < tol:
         status = "optimal"
-    elif pres < 1e3 * feastol and dres < 1e3 * feastol and relgap < 1e4 * tol:
+    elif pres < 1e3 * feastol and dres < 1e4 * feastol and relgap < 1e4 * tol:
         # the reference's cvxopt defaults run at reltol 1e-4 (sap.py:37-43);
         # on degenerate optimal faces the f64 gap floor sits well above the
-        # nominal tol while feasibility is at machine precision
+        # nominal tol while feasibility is at machine precision.  The dual
+        # residual (certificate side) gets an extra decade: late-stage
+        # (W^T W)^{-1} recovery noise is O(1e-4) relative while the primal
+        # point is excellent, and downstream consumers (homogeneity
+        # rescale, integer projection) re-establish feasibility exactly.
         status = "inaccurate"
     elif it >= max_iter:
         status = "max_iter"

@@ -73,6 +73,9 @@ def test_mlblue_beats_mlmc_and_mfmc(problem):
     # K=7 paper value is 60,627; K=3 must still land well below MFMC
     assert blue["total_cost"] < 90_000
     assert np.all(np.asarray(blue["errors"]) <= np.asarray(EPS) * 1.05)
+    # the HSD solver must handle this degenerate instance without the
+    # scipy NLP crutch (round-1 weak spot, retired in round 2)
+    assert problem.MOSAP.n_nlp_fallbacks == 0
 
 
 @pytest.mark.skip(reason="~20 min: run manually to reproduce the paper "

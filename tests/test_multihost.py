@@ -1,0 +1,112 @@
+"""Multi-process (multi-host surrogate) smoke test.
+
+The reference scales across nodes with `mpiexec -n P` (blue_fn.py:106-110,
+179-187); the TPU-native equivalent is `jax.distributed.initialize` + a
+global mesh whose devices span processes, with the same psum doing the
+allreduce.  This test launches TWO local processes, each owning 4 virtual
+CPU devices, builds the 8-device global mesh through
+``bluest_tpu.parallel.initialize_distributed``, runs the group sampling
+engine across it, and asserts the sums match a single-process 8-device run
+bit-for-bit (the engine keys samples by global index, so the device
+partitioning must be invisible).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]
+
+from bluest_tpu.parallel import initialize_distributed
+initialize_distributed(coordinator_address="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=pid)
+
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from bluest_tpu.sampling import jax_engine
+
+devs = jax.devices()
+assert len(devs) == 4 * nproc, devs
+mesh = Mesh(np.array(devs), ("samples",))
+
+def model_fn(key):
+    z = jax.random.normal(key)
+    return jnp.stack([jnp.stack([jnp.exp(z), z * z + 1.0])])   # (1, 2)
+
+eng = jax_engine.build_group_engine(model_fn, 1, 2, batch_size=32, mesh=mesh)
+s = eng(jax.random.key(7), 1000)
+if pid == 0:
+    np.savez(out, sumse=np.asarray(s.sumse), sumsc=np.asarray(s.sumsc))
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh_matches_single(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from bluest_tpu.sampling import jax_engine
+
+    # single-process 8-device reference (conftest provides 8 CPU devices)
+    def model_fn(key):
+        z = jax.random.normal(key)
+        return jnp.stack([jnp.stack([jnp.exp(z), z * z + 1.0])])
+
+    mesh = Mesh(np.array(jax.devices()), ("samples",))
+    ref = jax_engine.build_group_engine(model_fn, 1, 2, batch_size=32,
+                                        mesh=mesh)(jax.random.key(7), 1000)
+
+    wfile = tmp_path / "worker.py"
+    wfile.write_text(WORKER)
+    out = tmp_path / "result.npz"
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, str(wfile), str(pid), "2", port, str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=240)
+            outs.append(o.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed 2-process run timed out in this "
+                    "environment")
+    if any(p.returncode != 0 for p in procs):
+        msg = "\n".join(o[-2000:] for o in outs)
+        if "UNAVAILABLE" in msg or "DEADLINE" in msg:
+            pytest.skip("jax.distributed unavailable here:\n" + msg)
+        raise AssertionError("worker failed:\n" + msg)
+
+    got = np.load(out)
+    np.testing.assert_allclose(got["sumse"], np.asarray(ref.sumse),
+                               rtol=1e-12)
+    np.testing.assert_allclose(got["sumsc"], np.asarray(ref.sumsc),
+                               rtol=1e-12)
