@@ -271,8 +271,11 @@ class MOSAP:
             candidates.append(m)
 
         # (b) scaled weighted min-max (budget epigraph) + exact rescale --
-        # only valid without caps
-        if len(es) == 0:
+        # only valid without caps.  At large L an extra 3000-variable SDP
+        # costs minutes; the direct form (a) is the better-conditioned one
+        # on degenerate sets, so (b) is only worth running as a
+        # cross-check/cost-race when it is cheap or (a) failed.
+        if len(es) == 0 and (not candidates or self.L <= 600):
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, [], 1.0,
                 eps_weights=np.asarray(eps, dtype=float))

@@ -216,8 +216,9 @@ class SAP:
                 m = feasibility_rescale(m)
             if m is not None:
                 candidates.append(m)
-        # (b) scaled budget epigraph (homogeneity) -- no caps only
-        if len(es) == 0:
+        # (b) scaled budget epigraph (homogeneity) -- no caps only; at
+        # large L only as a fallback when (a) failed (see MOSAP.sdp_solve)
+        if len(es) == 0 and (not candidates or self.L <= 600):
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [], 1.0,
                 eps_weights=np.array([eps]))

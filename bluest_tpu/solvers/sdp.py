@@ -72,18 +72,29 @@ def _sym(A):
     return (A + jnp.swapaxes(A, -1, -2)) / 2
 
 
-def _chol_solve(H, RHS, jitter=1e-14):
-    """SPD solve with symmetric diagonal equilibration (multi-rhs).
+def _chol_factor(H, jitter=1e-14):
+    """Equilibrated Cholesky factor of an SPD matrix.
 
     The IPM normal matrix mixes (W^T W)^{-1} scales spanning ~1/mu^2, so a
     trace-proportional ridge would wipe out the small-curvature directions
     (exactly the active-constraint information).  Equilibrating to unit
     diagonal first makes a ~1e-14 ridge scale-invariant and harmless.
+
+    Factored once and reused across every solve against the same matrix --
+    at L ~ 3000 group variables the O(L^3) factorization dominates an IPM
+    iteration, and one iteration needs solves against the same Hmat for
+    the predictor, corrector, centering fallback, and tau border.
     """
     n = H.shape[0]
     d = jnp.sqrt(jnp.clip(jnp.diag(H), 1e-150, None))
     Hs = H / d[:, None] / d[None, :]
     L = jnp.linalg.cholesky(Hs + jitter * jnp.eye(n, dtype=H.dtype))
+    return H, L, d
+
+
+def _chol_apply(fac, RHS):
+    """Solve with a _chol_factor result (+ one refinement step)."""
+    H, L, d = fac
     one_d = RHS.ndim == 1
     B = RHS[:, None] if one_d else RHS
 
@@ -95,6 +106,10 @@ def _chol_solve(H, RHS, jitter=1e-14):
     X = solve(B)
     X = X + solve(B - H @ X)  # one step of iterative refinement
     return X[:, 0] if one_d else X
+
+
+def _chol_solve(H, RHS, jitter=1e-14):
+    return _chol_apply(_chol_factor(H, jitter), RHS)
 
 
 # --------------------- batched PSD cone primitives ----------------------- #
@@ -147,10 +162,18 @@ def _max_step_scalar(t, dt):
 
 # ---------------------- one HSD predictor-corrector step ------------------ #
 
-def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
-                    x, s_lp, S, z_lp, Z, tau, kappa):
+def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
+                    gl_diag, Rj, x, s_lp, S, z_lp, Z, tau, kappa):
     """One NT-scaled Mehrotra step on the HSD embedding.  Traced inside the
-    fused while_loop; ``p``/``nb`` branches are Python-static (shapes)."""
+    fused while_loop; ``p``/``nb`` branches are Python-static (shapes).
+
+    ``gl_diag``/``Rj``: when the caller detects Gl = [diag(gl_diag); R]
+    (the MLBLUE form: m >= 0 rows plus a handful of budget/coverage/cap
+    rows), the LP block of the normal matrix is assembled as
+    diag(d * gl_diag^2) + R^T diag(d_R) R instead of the dense
+    O(nx^2 p) product -- the difference between 9 s and ~2 s per
+    iteration at L ~ 3300 group variables.  ``gl_diag`` has size 0 when
+    the structure does not apply."""
     p = Glj.shape[0]
     nb, nx, n, _ = Aj.shape
     nu = p + nb * n + 1
@@ -182,16 +205,26 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
 
     # NT scalings and the (tau-free) normal matrix
     d_lp = z_lp / s_lp if p else s_lp               # (W^T W)^{-1} diag, LP
+    structured = gl_diag.shape[0] == nx
+
+    def hmat_lp():
+        if not structured:
+            return (Glj.T * d_lp) @ Glj
+        H = jnp.diag(d_lp[:nx] * gl_diag ** 2)
+        if Rj.shape[0]:
+            H = H + jnp.einsum('ri,r,rj->ij', Rj, d_lp[nx:], Rj)
+        return H
+
     if nb:
         Tinv, Rnt, Rinv, lam = _nt_scaling(S, Z)
         Zinv = _psd_inv(Z)
         Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
         Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
         if p:
-            Hmat = Hmat + (Glj.T * d_lp) @ Glj
+            Hmat = Hmat + hmat_lp()
         TinvH = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Hj, Tinv))
     else:
-        Hmat = (Glj.T * d_lp) @ Glj
+        Hmat = hmat_lp()
         TinvH = Hj
 
     def Winv2(u_lp, U_psd):
@@ -206,7 +239,8 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
     if nb:
         hWh = hWh + jnp.sum(Hj * TinvH)
 
-    v1 = _chol_solve(Hmat, cj - q)
+    Hfac = _chol_factor(Hmat)
+    v1 = _chol_apply(Hfac, cj - q)
     denom = (cj + q) @ v1 + hWh + kappa / tau
 
     def direction(fr, bs_lp, Bs_psd, bk):
@@ -218,7 +252,7 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
         bt = fr * rg
         wb_lp, Wb_psd = Winv2(bz_lp + bs_lp, (Bz_psd + Bs_psd) if nb else Bs_psd)
         rx = -bx + GT(wb_lp, Wb_psd)
-        v2 = _chol_solve(Hmat, rx)
+        v2 = _chol_apply(Hfac, rx)
         rt = (-bt - bk / tau
               - (hlj @ wb_lp if p else 0.0)
               - (jnp.sum(Hj * Wb_psd) if nb else 0.0))
@@ -321,7 +355,7 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
     # iterations otherwise lose dual feasibility to cancellation when
     # recovering dz through (W^T W)^{-1}, stalling dres at ~1e-4.
     rd_n = cj * tau_n + GT(z_lp_n, Z_n)
-    delta = -(_Gall_j @ _chol_solve(_GtG_j, rd_n))
+    delta = -(_Gall_j @ _chol_apply(_Gfac, rd_n))
     # gate: polish once the dual residual is small relative to the data --
     # a large projection mid-run throws the iterate off the central path.
     # The bound is loose (1e-2) because the cone max-step below already
@@ -349,8 +383,9 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
 # --------------------------- fused full solve ----------------------------- #
 
 @partial(jax.jit, static_argnames=("verbose",))
-def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
-               step_frac, tol, feastol, max_iter, verbose=False):
+def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
+               cnorm, hnorm, step_frac, tol, feastol, max_iter,
+               verbose=False):
     """Full HSD-IPM solve as one compiled program.
 
     Initialization (least-squares start + cvxopt-style interior shift), the
@@ -368,8 +403,9 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
     # ----- initialization: least-squares primal/dual start at tau = 1 -----
     hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
                            if nb else [hlj], axis=0)
-    x0 = _chol_solve(_GtG_j, _Gall_j.T @ hall)
-    z_all = _Gall_j @ _chol_solve(_GtG_j, -cj)
+    Gfac = _chol_factor(_GtG_j)   # constant: factor once per solve
+    x0 = _chol_apply(Gfac, _Gall_j.T @ hall)
+    z_all = _Gall_j @ _chol_apply(Gfac, -cj)
     s_lp = hlj - Glj @ x0
     S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
     z_lp = z_all[:p]
@@ -414,7 +450,8 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
     def body(st):
         (x_n, s_n, S_n, z_n, Z_n, tau_n, kappa_n,
          gap_r, pres_r, dres_r, a) = _iteration_core(
-            cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, step_frac,
+            cj, Glj, hlj, Aj, Hj, _Gall_j, Gfac, cnorm, step_frac,
+            gl_diag, Rj,
             st["x"], st["s_lp"], st["S"], st["z_lp"], st["Z"],
             st["tau"], st["kappa"])
         it = st["it"] + 1
@@ -480,7 +517,7 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, cnorm, hnorm,
     rd0 = cj * tau + (Glj.T @ z_lp_f if p else 0.0)
     if nb:
         rd0 = rd0 + jnp.einsum('binm,bnm->i', Aj, st["Z"])
-    delta_f = -(_Gall_j @ _chol_solve(_GtG_j, rd0))
+    delta_f = -(_Gall_j @ _chol_apply(Gfac, rd0))
     beta_f = jnp.asarray(1.0)
     if p:
         beta_f = jnp.minimum(beta_f, 0.99 * _max_step_lp(z_lp_f,
@@ -582,10 +619,20 @@ def solve_cone_lp(c: np.ndarray,
     else:
         _Gall = Gl_np
 
+    # structured-Gl detection: MLBLUE programs are [-diag; few rows]
+    if p >= nx and np.count_nonzero(
+            Gl_np[:nx] - np.diag(np.diag(Gl_np[:nx]))) == 0:
+        gl_diag = np.diag(Gl_np[:nx]).copy()
+        R_np = Gl_np[nx:]
+    else:
+        gl_diag = np.zeros(0)
+        R_np = np.zeros((0, nx))
+
     (best_merit, best_x, gap, pres, dres, pobj, it, done) = _ipm_solve(
         jnp.asarray(c_np), jnp.asarray(Gl_np), jnp.asarray(hl_np),
         jnp.asarray(As_np), jnp.asarray(Hs_np),
         jnp.asarray(_Gall), jnp.asarray(_Gall.T @ _Gall),
+        jnp.asarray(gl_diag), jnp.asarray(R_np),
         cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose=verbose)
 
     it = int(it)

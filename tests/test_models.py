@@ -147,3 +147,23 @@ def test_matern2d_problem_pipeline():
     assert all(np.isfinite(m) for m in mus)
     Vs = p.MOSAP_output["variances"]
     assert all(v <= (e ** 2) * 1.05 for v, e in zip(Vs, eps))
+
+
+@pytest.mark.slow
+def test_matern2d_model_axis_sharded_matches_single():
+    """Production model-parallel path: Matern2D with spectral modes sharded
+    over the 'model' mesh axis must reproduce the single-device pilot
+    covariance to rounding (the psum-assembled field equals the dense
+    synthesis; the nested-MPI analog, restrictions_matern.py:19-37)."""
+    from bluest_tpu.models.matern2d import Matern2DProblem
+    from bluest_tpu.parallel import sample_model_mesh
+
+    kw = dict(grids=(16, 8), covariance_estimation_samples=256,
+              device_batch_size=64, verbose=False, seed=11)
+    p1 = Matern2DProblem(**kw)
+    p2 = Matern2DProblem(mesh=sample_model_mesh(4, 2), **kw)
+    assert p2._model_shards == 2
+    np.testing.assert_allclose(p2.get_covariance(0), p1.get_covariance(0),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(p2.get_covariance(2), p1.get_covariance(2),
+                               rtol=1e-9, atol=1e-12)
