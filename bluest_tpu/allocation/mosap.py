@@ -16,6 +16,7 @@ from ..config import on_allocation_device
 from ..solvers.sdp import solve_cone_lp
 from ..solvers.integer import best_integer_blue_multi
 from . import cones
+from . import certificate as certmod
 from .sap import SAP, _OK_STATUSES
 
 
@@ -72,6 +73,8 @@ class MOSAP:
         self.eps = None
         self.tot_cost = None
         self.n_nlp_fallbacks = 0   # times the SDP failed over to scipy
+        self.certificates = []     # per-cone-solve IPM certificates
+        self.continuous_solution = None
 
     # ------------------------------------------------------------------ #
 
@@ -95,6 +98,32 @@ class MOSAP:
                                         nohess=nohess)
                for n in range(self.n_outputs)]
         return ([o[0] for o in out], [o[1] for o in out], [o[2] for o in out])
+
+    def kkt_certificate(self, m=None, eps=None):
+        """Independent first-order KKT report for a continuous allocation
+        (defaults to the last ``solve``'s pre-rounding point).  Verifies
+        the IPM's "optimal" claim through the variance/gradient closures
+        only -- the role the reference's cross-vendor ``solver_test``
+        blocks play (bluest_NS.py:124-140)."""
+        if m is None:
+            m = self.continuous_solution
+        if m is None:
+            raise ValueError("no continuous solution available; solve first")
+        m = np.asarray(m, dtype=float)
+        if eps is None and self.eps is not None:
+            eps = self.eps
+
+        def make_grad(n):
+            def g(x):
+                gl = np.zeros(self.L)
+                gl[self.mappings[n]] = self.SAPS[n].variance_GH(
+                    x[self.mappings[n]], nohess=True)[1]
+                return gl
+            return g
+
+        grads = [make_grad(n) for n in range(self.n_outputs)]
+        return certmod.kkt_certificate(m, self.costs, grads,
+                                       self.variances(m), eps=eps)
 
     def get_cleanup_matrices(self, m, delta: float = 0.0) -> np.ndarray:
         Xs = []
@@ -135,6 +164,7 @@ class MOSAP:
               continuous_relaxation: bool = False, max_model_samples=None,
               solver_params: Optional[dict] = None):
         budget, eps = self.check_input(budget, eps)
+        self.certificates = []
 
         # Budget-mode solutions form a ray: V is homogeneous of degree -1
         # in m, so the continuous optimum scales linearly with the budget.
@@ -177,6 +207,8 @@ class MOSAP:
         if samples is None:
             self.samples = None
             return None
+
+        self.continuous_solution = np.asarray(samples, dtype=float).copy()
 
         # Complete group sets make the continuous optimum massively
         # degenerate and interior-point solvers return a diffuse point of
@@ -254,6 +286,7 @@ class MOSAP:
                 budget, es, rhs)
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
+            certmod.record(self.certificates, "budget-epigraph", res)
             if res.status not in _OK_STATUSES:
                 self._stash_guess(res, budget)
                 return None
@@ -281,6 +314,7 @@ class MOSAP:
                 eps_weights=np.asarray(eps, dtype=float))
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
+            certmod.record(self.certificates, "scaled-budget-epigraph", res)
             if res.status in _OK_STATUSES:
                 m = self._feasibility_rescale(res.x[1:], eps)
                 if m is not None:
@@ -331,6 +365,7 @@ class MOSAP:
             np.asarray(eps) / meps, meps, es, rhs)
         res = solve_cone_lp(c, Gl, hl, As, Hs, verbose=self.verbose,
                             **params)
+        certmod.record(self.certificates, "direct-eps", res)
         if res.status not in _OK_STATUSES:
             return None
         m = np.maximum(res.x, 0) / meps ** 2

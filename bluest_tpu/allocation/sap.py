@@ -24,6 +24,7 @@ from ..core import psi as psimod
 from ..solvers.sdp import solve_cone_lp
 from ..solvers.integer import best_integer_blue
 from . import cones
+from . import certificate as certmod
 
 _OK_STATUSES = ("optimal", "inaccurate")
 
@@ -61,6 +62,8 @@ class SAP:
         self.eps = None
         self.tot_cost = None
         self.n_nlp_fallbacks = 0   # times the SDP failed over to scipy
+        self.certificates = []     # per-cone-solve IPM certificates
+        self.continuous_solution = None
 
     # ------------------------- variance closures ---------------------- #
 
@@ -96,6 +99,25 @@ class SAP:
                                           jnp.asarray(np.asarray(m, float)),
                                           delta))
 
+    def kkt_certificate(self, m=None, eps=None):
+        """Independent first-order KKT report for a continuous allocation
+        (defaults to the last ``solve``'s pre-rounding point).  Verifies
+        the IPM's "optimal" claim through the variance/gradient closures
+        only -- a separate code path from the cone solver (the role the
+        reference's cross-vendor ``solver_test`` blocks play,
+        bluest_NS.py:124-140)."""
+        if m is None:
+            m = self.continuous_solution
+        if m is None:
+            raise ValueError("no continuous solution available; solve first")
+        if eps is None and self.eps is not None:
+            eps = self.eps
+        grad = lambda x: self.variance_GH(x, nohess=True)[1]
+        v = self.variance(np.asarray(m, dtype=float))
+        return certmod.kkt_certificate(
+            m, self.costs, [grad], [v],
+            eps=None if eps is None else [eps])
+
     # --------------------------- constraints -------------------------- #
 
     def get_max_sample_constraints(self, max_model_samples):
@@ -122,6 +144,7 @@ class SAP:
               max_model_samples=None, solver_params: Optional[dict] = None):
         if budget is None and eps is None:
             raise ValueError("Need to specify either budget or RMSE tolerance")
+        self.certificates = []
         # reference solver names map onto ours: its cvxopt/cvxpy SDP paths
         # are served by the JAX IPM
         if solver in ("cvxopt", "cvxpy", "sdp"):
@@ -146,6 +169,8 @@ class SAP:
         if samples is None:
             self.samples = None
             return None
+
+        self.continuous_solution = np.asarray(samples, dtype=float).copy()
 
         if not continuous_relaxation:
             try:
@@ -185,6 +210,7 @@ class SAP:
                 budget, es, rhs)
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
+            certmod.record(self.certificates, "budget-epigraph", res)
             if res.status not in _OK_STATUSES:
                 return None
             return np.maximum(res.x[1:], 0) * budget
@@ -210,6 +236,7 @@ class SAP:
             np.array([eps / meps]), meps, es, rhs)
         res = solve_cone_lp(c, Gl, hl, As, Hs,
                             verbose=self.verbose, **params)
+        certmod.record(self.certificates, "direct-eps", res)
         if res.status in _OK_STATUSES:
             m = np.maximum(res.x, 0) / meps ** 2
             if len(es) == 0:
@@ -224,6 +251,7 @@ class SAP:
                 eps_weights=np.array([eps]))
             res = solve_cone_lp(c, Gl, hl, As, Hs,
                                 verbose=self.verbose, **params)
+            certmod.record(self.certificates, "scaled-budget-epigraph", res)
             if res.status in _OK_STATUSES:
                 m = feasibility_rescale(res.x[1:])
                 if m is not None:

@@ -84,11 +84,14 @@ class GroupStructure:
         for k in range(1, self.K + 1):
             gk = self.groups[k - 1]
             Lk = gk.shape[0]
-            blocks = np.zeros((Lk, k, k), dtype=REAL)
-            for i in range(Lk):
-                sub = C[np.ix_(gk[i], gk[i])]
-                blocks[i] = np.linalg.pinv(sub)
-            ics.append(blocks)
+            if Lk == 0:
+                ics.append(np.zeros((0, k, k), dtype=REAL))
+                continue
+            # one batched pinv per size class (numpy broadcasts over the
+            # leading dim) instead of Lk tiny host factorizations --
+            # construction is O(K) LAPACK calls even at L in the thousands
+            subs = C[gk[:, :, None], gk[:, None, :]]
+            ics.append(np.linalg.pinv(subs).astype(REAL, copy=False))
         self.invcovs = ics
 
     # ------------------------------------------------------------------ #

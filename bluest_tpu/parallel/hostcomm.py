@@ -1,0 +1,101 @@
+"""Intra-group communicator for internally-parallel black-box models.
+
+The reference lets a user model be *itself* MPI-parallel: ``get_comm()``
+returns the communicator the sampling loop splits samples over, while the
+model keeps its intra-group communicator for domain decomposition
+(reference blue_models.py:121-130, demonstrated in
+examples/paper_examples/restrictions_matern.py:19-37).  JAX-traceable
+models get this for free from the 2D (sample x model) device mesh; this
+module restores the capability for *black-box* host models: the process
+pool launches workers in groups of ``model_workers`` processes, every
+rank of a group runs the same sampling loop on the same sample stream,
+and the user's ``evaluate`` coordinates internally through the
+``HostComm`` returned by ``problem.get_comm()``.
+
+``HostComm`` implements the MPI subset the reference examples use --
+``rank``/``size``, ``barrier``, ``bcast``, ``gather``, ``allgather``,
+``allreduce`` -- over multiprocessing queues (one queue per ordered pair,
+so SPMD-ordered collectives never cross-talk).  ``Split`` is not needed:
+the engine itself does the splitting into groups.
+"""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+from typing import Any, List, Optional
+
+
+class HostComm:
+    """MPI-like communicator over multiprocessing queues.
+
+    All members must call collectives in the same order (SPMD), exactly
+    as with MPI.  Construct via :func:`make_group_comms`; instances are
+    picklable into spawned children.
+    """
+
+    def __init__(self, rank: int, size: int, queues, barrier):
+        self.rank = int(rank)
+        self.size = int(size)
+        self._q = queues           # _q[src][dst] one-directional queue
+        self._barrier = barrier
+
+    # mpi4py-style aliases
+    def Get_rank(self) -> int:
+        return self.rank
+
+    def Get_size(self) -> int:
+        return self.size
+
+    def barrier(self) -> None:
+        self._barrier.wait()
+
+    Barrier = barrier
+
+    def _send(self, obj: Any, dst: int) -> None:
+        self._q[self.rank][dst].put(obj)
+
+    def _recv(self, src: int) -> Any:
+        return self._q[src][self.rank].get()
+
+    def bcast(self, obj: Any = None, root: int = 0) -> Any:
+        if self.size == 1:
+            return obj
+        if self.rank == root:
+            for dst in range(self.size):
+                if dst != root:
+                    self._send(obj, dst)
+            return obj
+        return self._recv(root)
+
+    def gather(self, obj: Any, root: int = 0) -> Optional[List[Any]]:
+        if self.size == 1:
+            return [obj]
+        if self.rank != root:
+            self._send(obj, root)
+            return None
+        out = []
+        for src in range(self.size):
+            out.append(obj if src == root else self._recv(src))
+        return out
+
+    def allgather(self, obj: Any) -> List[Any]:
+        return self.bcast(self.gather(obj, root=0), root=0)
+
+    def allreduce(self, val: Any, op=operator.add) -> Any:
+        vals = self.allgather(val)
+        return reduce(op, vals[1:], vals[0])
+
+
+def make_group_comms(size: int, ctx) -> List[HostComm]:
+    """Build the ``size`` per-rank HostComm handles for one group.
+
+    ``ctx`` is a multiprocessing context (spawn); the queue mesh and
+    barrier are created in the parent and inherited by the children
+    through Process args."""
+    if size == 1:
+        return [HostComm(0, 1, None, None)]
+    queues = [[ctx.SimpleQueue() if src != dst else None
+               for dst in range(size)] for src in range(size)]
+    barrier = ctx.Barrier(size)
+    return [HostComm(r, size, queues, barrier) for r in range(size)]

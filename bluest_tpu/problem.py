@@ -63,6 +63,8 @@ default_params = {
     "device_batch_size": 4096,
     "max_resample": 64,                # 0 = model guaranteed finite
     "host_workers": 1,                 # >1: process pool for black-box models
+    "model_workers": 1,                # >1: processes per model evaluation
+                                       # (nested parallelism via get_comm)
     "profile_dir": None,               # jax.profiler.trace dir for solve()
 }
 
@@ -173,8 +175,14 @@ class BLUEProblem:
         return [lambda a, b: a * b for _ in range(self.n_outputs)]
 
     def get_comm(self):
-        """MPI compat hook; always None here (distribution is the mesh)."""
-        return None
+        """Intra-group communicator for internally-parallel black-box
+        models (reference blue_models.py:121-130): with
+        ``params['model_workers'] > 1`` each model evaluation owns a
+        group of processes and this returns its
+        :class:`~bluest_tpu.parallel.hostcomm.HostComm`; ``None`` for
+        JAX models (distribution is the device mesh) and single-process
+        sampling."""
+        return getattr(self, "_host_comm", None)
 
     # --------------------------- utilities ----------------------------- #
 
@@ -241,9 +249,10 @@ class BLUEProblem:
 
     def reorder_all_graph_nodes(self, ordering=None):
         for n in range(self.n_outputs):
-            self.reorder_graph_nodes(n, ordering=ordering)
+            self.reorder_graph_nodes(n, ordering=ordering,
+                                     _part_of_all=True)
 
-    def reorder_graph_nodes(self, n=0, ordering=None):
+    def reorder_graph_nodes(self, n=0, ordering=None, _part_of_all=False):
         M = self.M
         if ordering is None or (isinstance(ordering, str) and "asc" in ordering):
             p = np.arange(M)
@@ -254,6 +263,15 @@ class BLUEProblem:
         else:
             raise ValueError("ordering must be None, 'asc', 'desc' or a "
                              "permutation of the model indices")
+        # costs are shared across outputs and permuted once (at n == 0);
+        # permuting a single n != 0 graph would silently desync it from
+        # the shared costs -- only reorder_all_graph_nodes may do that
+        if (n != 0 and not _part_of_all
+                and not np.array_equal(p, np.arange(M))):
+            raise ValueError(
+                "reordering a single output graph (n=%d) would desync it "
+                "from the shared model costs; use reorder_all_graph_nodes"
+                % n)
         self.G[n].permute(p)
         self.dV[n] = self.dV[n][np.ix_(p, p)]
         if n == 0:
@@ -413,17 +431,26 @@ class BLUEProblem:
         self.mesh = None
         self.MOSAP = None
         self.MOSAP_output = None
-        import jax as _jax
-        self._base_key = _jax.random.key(self.params.get("seed", 0))
+        # lazy: black-box sampling workers must not initialize a JAX
+        # backend (each would grab the accelerator) just to hold a key
+        self._base_key = None
+
+    def _ensure_base_key(self):
+        if self._base_key is None:
+            self._base_key = jax.random.key(self.params.get("seed", 0))
+        return self._base_key
 
     def blue_fn(self, ls, N, verbose=True, compute_mlmc_differences=False):
         if self._has_jax_model():
             return self._blue_fn_device(ls, N, compute_mlmc_differences)
         n_workers = int(self.params.get("host_workers", 1))
-        if n_workers > 1 and self.params["samplefile"] is None:
+        model_workers = int(self.params.get("model_workers", 1))
+        if ((n_workers > 1 or model_workers > 1)
+                and self.params["samplefile"] is None):
             return host_engine.blue_fn_parallel(
                 ls, N, self, n_workers, No=self.n_outputs,
-                compute_mlmc_differences=compute_mlmc_differences)
+                compute_mlmc_differences=compute_mlmc_differences,
+                model_workers=model_workers)
         return host_engine.blue_fn(
             ls, N, self, sampler=self.sampler,
             inners=self.get_models_inner_products(),
@@ -449,7 +476,7 @@ class BLUEProblem:
 
     def _blue_fn_device(self, ls, N, compute_mlmc_differences=False):
         key_ls = tuple(int(l) for l in ls)
-        key = jax.random.fold_in(self._base_key, self._call_counter)
+        key = jax.random.fold_in(self._ensure_base_key(), self._call_counter)
         self._call_counter += 1
         t0 = time()
         if self._has_factored_jax_model():
@@ -481,7 +508,8 @@ class BLUEProblem:
         rounds = 0
         while int(sums.n_failed) > 0 and rounds < 4:
             deficit = int(sums.n_failed)
-            key2 = jax.random.fold_in(self._base_key, self._call_counter)
+            key2 = jax.random.fold_in(self._ensure_base_key(),
+                                      self._call_counter)
             self._call_counter += 1
             if self._has_factored_jax_model():
                 extra = self._kernel_engine().sample_sums(
@@ -624,7 +652,16 @@ class BLUEProblem:
         self.MOSAP_output = {"budget": budget, "eps": eps,
                              "samples": self.MOSAP.samples,
                              "flattened_groups": self.MOSAP.flattened_groups,
-                             "variances": np.asarray(Vs), "cost": cost_BLUE}
+                             "variances": np.asarray(Vs), "cost": cost_BLUE,
+                             "certificates": list(self.MOSAP.certificates)}
+        if self.verbose and self.MOSAP.certificates:
+            best = min(self.MOSAP.certificates,
+                       key=lambda cc: max(cc["relgap"], cc["pres"],
+                                          cc["dres"]))
+            print("SDP certificate [%s]: status=%s relgap=%.2e "
+                  "pres=%.2e dres=%.2e (%d iters)"
+                  % (best["form"], best["status"], best["relgap"],
+                     best["pres"], best["dres"], best["iterations"]))
 
         sel = np.where(self.MOSAP_output["samples"] > 0)[0]
         which_groups = [self.MOSAP_output["flattened_groups"][i] for i in sel]

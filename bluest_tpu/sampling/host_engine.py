@@ -255,8 +255,26 @@ def _worker_chunk(args):
                    compute_mlmc_differences=compute_diffs)
 
 
+def _group_member(problem, ls, n, group_id, comm, out_queue, No,
+                  compute_diffs):
+    """One rank of a model group: every rank runs the same sampling loop
+    on the same (group-seeded) sample stream; the user's evaluate
+    coordinates its ranks through problem.get_comm().  Only rank 0's sums
+    are reported (the others' are duplicates by construction)."""
+    problem._host_comm = comm
+    try:
+        res = _worker_chunk((problem, ls, n, group_id, No, compute_diffs))
+        if comm.rank == 0:
+            out_queue.put((group_id, res))
+    except BaseException as exc:                    # pragma: no cover
+        if comm.rank == 0:
+            out_queue.put((group_id, exc))
+        raise
+
+
 def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
-                     compute_mlmc_differences: bool = False):
+                     compute_mlmc_differences: bool = False,
+                     model_workers: int = 1):
     """Process-pool variant of blue_fn for picklable black-box problems.
 
     The user's sampler MUST be reseeded per worker by overriding
@@ -265,6 +283,14 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
     state, so without reseeding all workers draw identical samples and the
     estimator silently runs on N/n_workers effective samples.  Snapshot
     files are not supported on this path.
+
+    ``model_workers > 1`` restores the reference's *nested* parallelism
+    for internally-parallel black-box models (blue_models.py:121-130,
+    restrictions_matern.py:19-37): samples are split over ``n_workers``
+    groups of ``model_workers`` processes each; within a group every rank
+    runs the same sample stream (``set_worker_id`` receives the group id)
+    and the user's ``evaluate`` coordinates its ranks through the
+    ``HostComm`` returned by ``problem.get_comm()``.
     """
     import multiprocessing as mp
 
@@ -278,11 +304,42 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
     NN = [N // n_workers] * n_workers
     for i in range(N % n_workers):
         NN[i] += 1
-    jobs = [(problem, ls, n, wid, No, compute_mlmc_differences)
-            for wid, n in enumerate(NN) if n > 0]
     ctx = mp.get_context("spawn")
-    with ctx.Pool(processes=len(jobs)) as pool:
-        results = pool.map(_worker_chunk, jobs)
+
+    if model_workers > 1:
+        from ..parallel.hostcomm import make_group_comms
+        out_queue = ctx.SimpleQueue()
+        procs = []
+        all_comms = []   # keep queue/barrier handles alive until join:
+        # spawned children attach to the named semaphores lazily (jax/numpy
+        # imports take seconds), and the parent dropping its references
+        # first unlinks them out from under the unpickler
+        active = [(gid, n) for gid, n in enumerate(NN) if n > 0]
+        for gid, n in active:
+            comms = make_group_comms(model_workers, ctx)
+            all_comms.append(comms)
+            for r in range(model_workers):
+                p = ctx.Process(target=_group_member,
+                                args=(problem, ls, n, gid, comms[r],
+                                      out_queue, No,
+                                      compute_mlmc_differences))
+                p.start()
+                procs.append(p)
+        results = []
+        for _ in active:
+            gid, res = out_queue.get()
+            if isinstance(res, BaseException):
+                for p in procs:
+                    p.terminate()
+                raise res
+            results.append(res)
+        for p in procs:
+            p.join()
+    else:
+        jobs = [(problem, ls, n, wid, No, compute_mlmc_differences)
+                for wid, n in enumerate(NN) if n > 0]
+        with ctx.Pool(processes=len(jobs)) as pool:
+            results = pool.map(_worker_chunk, jobs)
 
     out = list(results[0])
     for r in results[1:]:

@@ -187,3 +187,49 @@ def test_native_corner_filter_matches_numpy(rng):
     for row, b in zip(e_rows, e_base):
         ref2 &= (b + row @ ms) >= 1.0
     np.testing.assert_array_equal(got2, ref2)
+
+
+# ------------------------- optimality certificates ---------------------- #
+
+def test_sap_certificate_and_kkt():
+    """Every cone solve records its IPM certificate, and the independent
+    first-order KKT verifier confirms the continuous point (the role the
+    reference's cross-vendor solver_test blocks play)."""
+    sap, C, costs = make_sap(M=5, K=2)
+    eps = np.sqrt(C[0, 0]) / 50
+    m = sap.solve(eps=eps, solver="sdp", continuous_relaxation=True)
+    assert m is not None
+    assert len(sap.certificates) >= 1
+    best = min(sap.certificates,
+               key=lambda cc: max(cc["relgap"], cc["pres"], cc["dres"]))
+    assert best["status"] in ("optimal", "inaccurate")
+    assert best["relgap"] < 1e-4 and best["pres"] < 1e-5
+
+    kkt = sap.kkt_certificate()
+    assert kkt["stationarity"] < 1e-3
+    assert kkt["primal_feasibility"] < 1e-6
+    assert kkt["dual_infeasibility"] < 1e-3
+    assert kkt["complementarity"] < 1e-3
+
+
+def test_mosap_certificate_and_kkt():
+    mosap, Cs, costs = make_mosap()
+    eps = [np.sqrt(Cs[n][0, 0]) / 30 for n in range(2)]
+    m = mosap.solve(eps=eps, solver="sdp", continuous_relaxation=True)
+    assert m is not None
+    assert len(mosap.certificates) >= 1
+    best = min(mosap.certificates,
+               key=lambda cc: max(cc["relgap"], cc["pres"], cc["dres"]))
+    assert best["status"] in ("optimal", "inaccurate")
+    assert best["relgap"] < 1e-4
+
+    kkt = mosap.kkt_certificate()
+    assert kkt["stationarity"] < 1e-3
+    assert kkt["primal_feasibility"] < 1e-6
+    # budget mode: verified against its own achieved variances
+    mb = mosap.solve(budget=200 * max(costs), solver="sdp",
+                     continuous_relaxation=True)
+    assert mb is not None
+    kkt_b = mosap.kkt_certificate()
+    assert kkt_b["stationarity"] < 1e-3
+    assert kkt_b["primal_feasibility"] < 1e-8

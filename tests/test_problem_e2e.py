@@ -374,3 +374,50 @@ def test_parallel_host_requires_worker_seeding():
                costs=np.array([2.0, 1.0]), verbose=False)
     with pytest.raises(ValueError, match="set_worker_id"):
         blue_fn_parallel([0, 1], 16, p, n_workers=2)
+
+
+class NestedParProblem(BLUEProblem):
+    """Internally-parallel black-box model (module-level so worker
+    processes can unpickle it): evaluate() partitions a mode sum across
+    the ranks of its model group and combines with comm.allreduce --
+    the reference's nested-MPI pattern (blue_models.py:121-130,
+    restrictions_matern.py:19-37)."""
+
+    def set_worker_id(self, wid):
+        self._rng = np.random.default_rng(7000 + wid)
+
+    def sampler(self, ls, N=1):
+        if not hasattr(self, "_rng"):
+            self._rng = np.random.default_rng(0)
+        z = float(self._rng.standard_normal())
+        return [z for _ in ls]
+
+    def evaluate(self, ls, samples, N=1):
+        comm = self.get_comm()
+        rank = comm.rank if comm is not None else 0
+        size = comm.size if comm is not None else 1
+        out = []
+        for i, l in enumerate(ls):
+            partial = sum(np.cos(samples[i] + k) / (k + 1.0)
+                          for k in range(rank, 10, size)) / (l + 1.0)
+            total = comm.allreduce(partial) if comm is not None else partial
+            out.append(total)
+        return [out]
+
+
+def test_nested_model_parallelism_hostcomm():
+    """model_workers > 1: every rank of a model group runs the same
+    sample stream and evaluate() coordinates through get_comm(); the
+    result must equal the single-process-per-model run on the identical
+    streams."""
+    C = np.eye(2) + 0.5
+    costs = np.array([2.0, 1.0])
+    p1 = NestedParProblem(2, C=C.copy(), costs=costs.copy(),
+                          host_workers=2, model_workers=1, verbose=False)
+    s1, c1, _ = p1.blue_fn([0, 1], 64, verbose=False)
+    p2 = NestedParProblem(2, C=C.copy(), costs=costs.copy(),
+                          host_workers=2, model_workers=2, verbose=False)
+    s2, c2, _ = p2.blue_fn([0, 1], 64, verbose=False)
+    np.testing.assert_allclose(np.asarray(s1, float),
+                               np.asarray(s2, float), rtol=1e-12)
+    np.testing.assert_allclose(c1[0], c2[0], rtol=1e-12)
