@@ -36,14 +36,39 @@ BASELINE_SAMPLE_CAP = 2000
 
 
 def build_problem(verbose=False):
+    import os
     import jax.numpy as jnp
     from bluest_tpu.models.diffusion import DiffusionProblem
     # model solves in f32 (QoI error ~1e-8 relative, far below MC noise;
     # estimator sums accumulate in f64) -- 2x on TPU over emulated f64
-    return DiffusionProblem(grids=GRIDS, n_kl=N_KL, sigma=SIGMA, nu=NU,
-                            multi_output=True, verbose=verbose,
-                            covariance_estimation_samples=PILOT,
-                            device_batch_size=16384, dtype=jnp.float32)
+    kw = dict(grids=GRIDS, n_kl=N_KL, sigma=SIGMA, nu=NU,
+              multi_output=True, verbose=verbose,
+              device_batch_size=16384, dtype=jnp.float32)
+    # the pilot covariance phase is deterministic (fixed seed) and takes
+    # minutes; it is NOT part of the timed metric (alloc + estimation),
+    # so cache the estimated model graph between runs (the library's own
+    # reference-format npz persistence, problem.save/load_graph_data)
+    cachefile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_graph_%s_%d.npz" % (
+                                 "x".join(str(g) for g in GRIDS), PILOT))
+    if os.path.exists(cachefile):
+        problem = DiffusionProblem(datafile=cachefile, **kw)
+        # the skipped pilot phase is also what warms the per-model
+        # sampling kernels and per-size combiners; warm them here so the
+        # timed estimation phase measures sampling, not compile-cache
+        # loads (matching the no-cache run, where the pilot warms them)
+        M = len(GRIDS)
+        for l in range(M):
+            problem.blue_fn([l], 1, verbose=False)
+        for k in range(2, min(M, K) + 1):
+            problem.blue_fn(list(range(k)), 1, verbose=False)
+        return problem
+    problem = DiffusionProblem(covariance_estimation_samples=PILOT, **kw)
+    try:
+        problem.save_graph_data(cachefile)
+    except Exception:
+        pass
+    return problem
 
 
 def total_evaluations(problem):
@@ -117,10 +142,16 @@ def run_baseline_sampling(problem):
     t_model = []
     for l in range(len(GRIDS)):
         xis = rng.standard_normal((reps, N_KL))
-        t0 = time.time()
-        for r in range(reps):
-            numpy_model_eval((l,), xis[r])
-        t_model.append((time.time() - t0) / reps)
+        # best-of-3 chunked timing: per-model unit costs are the pricing
+        # basis for the whole baseline, and a single pass is at the mercy
+        # of transient machine load (observed 1.8x swings between runs)
+        best_t = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            for r in range(reps):
+                numpy_model_eval((l,), xis[r])
+            best_t = min(best_t, (time.time() - t0) / reps)
+        t_model.append(best_t)
     out = problem.MOSAP_output
     total = 0.0
     for g, n in zip(out["flattened_groups"], out["samples"]):
@@ -163,11 +194,21 @@ def _np_variance_gh(psi, m, nohess=False):
     return var, grad, 2.0 * (W @ invPHI @ W.T)
 
 
-def run_baseline_allocation(problem):
+def run_baseline_allocation(problem, quality_rtol=0.05):
     """Reference-architecture allocation solve (PROXY): scipy trust-constr
     on the budget-mode epigraph NLP with numpy variance/grad/Hessian --
     the reference's non-SDP solver path (sap.py:387-418, mosap.py:562-613)
-    configured independently of bluest_tpu's own kernels."""
+    configured independently of bluest_tpu's own kernels.
+
+    Time-to-comparable-quality protocol: at its default tolerance the NLP
+    returns a point whose max variance is up to ~45% above the SDP
+    optimum at the same budget (i.e. a 45% more expensive estimator), so
+    timing it alone would flatter the baseline.  The solve is re-run at
+    tighter tolerances until the max variance is within ``quality_rtol``
+    of bluest_tpu's continuous optimum; the time of the first comparable
+    solve is reported, with the achieved quality ratio.  Scope note: this
+    is the continuous solve only (no integer projection, no structure
+    construction), both of which bluest_tpu's alloc_s includes."""
     from scipy.optimize import minimize, LinearConstraint, \
         NonlinearConstraint, Bounds
 
@@ -175,8 +216,10 @@ def run_baseline_allocation(problem):
     budget = problem.MOSAP.budget
     L, No, w = mos.L, mos.n_outputs, mos.costs
     psis = [np.asarray(s.psi) for s in mos.SAPS]
-
-    t0 = time.time()
+    ours_mx = None
+    if getattr(mos, "continuous_solution", None) is not None:
+        ours_mx = max(mos.variances(np.maximum(
+            np.asarray(mos.continuous_solution, float), 0)))
     bounds = Bounds(np.zeros(L + 1), np.inf * np.ones(L + 1),
                     keep_feasible=True)
     cons = [LinearConstraint(np.concatenate([[0], w]), -np.inf, budget)]
@@ -211,12 +254,34 @@ def run_baseline_allocation(problem):
               for n in range(No))
     x0 = np.concatenate([[t0v], m0])
     eee = np.zeros(L + 1); eee[0] = 1.0
-    r = minimize(lambda x: (x[0], eee), x0, jac=True,
-                 hessp=lambda x, p: np.zeros(L + 1), bounds=bounds,
-                 constraints=cons, method="trust-constr",
-                 options={"maxiter": 1000}, tol=1e-7)
-    elapsed = time.time() - t0
-    return elapsed, r.x[1:]
+
+    elapsed = None
+    quality = None
+    xb = None
+    x_start = x0
+    for tol in (1e-7, 1e-9, 1e-11):
+        t0 = time.time()
+        r = minimize(lambda x: (x[0], eee), x_start, jac=True,
+                     hessp=lambda x, p: np.zeros(L + 1), bounds=bounds,
+                     constraints=cons, method="trust-constr",
+                     options={"maxiter": 1000}, tol=tol)
+        elapsed = time.time() - t0
+        xb = r.x[1:]
+        # warm-started continuation (interiorized to keep trust-constr's
+        # strict-feasibility start valid): the baseline's best shot
+        x_start = 0.99 * np.maximum(r.x, 0) + 0.01 * x0
+        x_start[0] = max(
+            1.0001 * max(_np_variance_gh(psis[n], x_start[1:][mos.mappings[n]],
+                                         nohess=True)[0] for n in range(No)),
+            x_start[0])
+        if ours_mx is None:
+            quality = None
+            break
+        mx = max(mos.variances(np.maximum(xb, 0)))
+        quality = float(mx / ours_mx)
+        if quality <= 1.0 + quality_rtol:
+            break
+    return elapsed, xb, quality
 
 
 def main():
@@ -240,7 +305,7 @@ def main():
     problem.setup_solver(K=K, budget=1.1 * float(problem.MOSAP.budget or 1.0))
     alloc_warm_s = time.time() - t0
 
-    base_alloc_s, _ = run_baseline_allocation(problem)
+    base_alloc_s, _, base_alloc_quality = run_baseline_allocation(problem)
     base_sample_s, tier_check = run_baseline_sampling(problem)
     baseline = base_alloc_s + base_sample_s
 
@@ -257,9 +322,13 @@ def main():
             "n_samples": n_samples,
             "evals_per_s": round(n_evals / max(sample_s, 1e-9)),
             "baseline_kind": ("reference-architecture PROXY on this host "
-                              "(per-sample scipy loop + trust-constr NLP; "
-                              "the real reference needs mpi4py/cvxopt)"),
+                              "(per-sample scipy loop + trust-constr NLP "
+                              "at matched solution quality -- see "
+                              "baseline_alloc_quality; the real reference "
+                              "needs mpi4py/cvxopt)"),
             "baseline_alloc_s": round(base_alloc_s, 3),
+            "baseline_alloc_quality": (None if base_alloc_quality is None
+                                       else round(base_alloc_quality, 4)),
             "baseline_sample_s_priced": round(base_sample_s, 3),
             "baseline_tier_check": tier_check,
             "max_rel_err": float(np.max(errs) / abs(mus[0])),

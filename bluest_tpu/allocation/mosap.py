@@ -182,8 +182,12 @@ class MOSAP:
         elif solver in ("scipy", "ipopt"):
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                        max_model_samples=max_model_samples)
+        elif solver == "spg":
+            samples = self.spg_solve(budget=budget, eps=eps,
+                                     max_model_samples=max_model_samples)
         else:
-            raise ValueError("solvers available: 'sdp' (default), 'scipy'")
+            raise ValueError("solvers available: 'sdp' (default), "
+                             "'scipy', 'spg'")
 
         if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
             # robustness fallback: the host NLP solves instances the IPM
@@ -384,6 +388,23 @@ class MOSAP:
             if budget is not None:
                 m = m * budget
             self._sdp_guess = m
+
+    @on_allocation_device
+    def spg_solve(self, budget=None, eps=None, max_model_samples=None):
+        """Third continuous solver family (projected spectral gradient on
+        the smoothed max-variance, solvers/spg_alloc.py) for
+        cross-validation; eps mode by homogeneity; caps unsupported."""
+        if max_model_samples is not None:
+            return None
+        from ..solvers.spg_alloc import solve_budget_spg_multi
+        datas = [s.data for s in self.SAPS]
+        if budget is None:
+            m0 = self.spg_solve(budget=10.0 * float(self.costs.sum()))
+            if m0 is None:
+                return None
+            return self._feasibility_rescale(m0, eps)
+        return solve_budget_spg_multi(datas, self.mappings, self.L,
+                                      self.costs, float(budget))
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None, eps_weights=None):

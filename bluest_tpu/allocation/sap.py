@@ -154,8 +154,12 @@ class SAP:
         elif solver in ("scipy", "ipopt"):
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                        max_model_samples=max_model_samples)
+        elif solver == "spg":
+            samples = self.spg_solve(budget=budget, eps=eps,
+                                     max_model_samples=max_model_samples)
         else:
-            raise ValueError("solvers available: 'sdp' (default), 'scipy'")
+            raise ValueError("solvers available: 'sdp' (default), "
+                             "'scipy', 'spg'")
 
         if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
             # robustness fallback: the host NLP solves instances the IPM
@@ -259,6 +263,31 @@ class SAP:
         if not candidates:
             return None
         return min(candidates, key=lambda m: float(m @ self.costs))
+
+    @on_allocation_device
+    def spg_solve(self, budget=None, eps=None, max_model_samples=None):
+        """Third continuous solver family (projected spectral gradient,
+        solvers/spg_alloc.py) for cross-validation against the IPM and
+        the scipy NLP -- the reference's interchangeable-solver story
+        (sap.py:242-456).  Budget mode native; eps mode by homogeneity;
+        per-model caps unsupported (use 'sdp' or 'scipy')."""
+        if max_model_samples is not None:
+            return None
+        from ..solvers.spg_alloc import solve_budget_spg
+        if budget is None:
+            m0 = self.spg_solve(budget=10.0 * float(self.costs.sum()))
+            if m0 is None:
+                return None
+            m0 = np.maximum(m0, 0)
+            Ksc = 1.0 / max(m0.max(), 1e-300)
+            try:
+                alpha = Ksc * self.variance(Ksc * m0) / eps ** 2
+            except (AssertionError, np.linalg.LinAlgError):
+                return None
+            if not np.isfinite(alpha) or alpha <= 0:
+                return None
+            return alpha * m0
+        return solve_budget_spg(self.data, self.costs, float(budget))
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):

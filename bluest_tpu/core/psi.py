@@ -62,16 +62,22 @@ class GroupData:
 
 def assemble_psi(M: int, onehots, invcovs) -> jnp.ndarray:
     """psi matrix (M^2, L): column g is vec(R_g^T C_g^{-1} R_g)
-    (reference assemble_psi, misc.py:591-604 / cmisc.cpp:10-23)."""
+    (reference assemble_psi, misc.py:591-604 / cmisc.cpp:10-23).
+
+    Computed in numpy: this runs eagerly at SAP construction and the
+    arrays are tiny (M <= tens), so a jitted version only adds one
+    compile/cache-load per size class to the allocation cold start."""
     cols = []
     for E, ic in zip(onehots, invcovs):
+        E = np.asarray(E)
+        ic = np.asarray(ic)
         if E.shape[0] == 0:
             continue
-        slab = jnp.einsum('gjm,gjl,gln->gmn', E, ic, E)
+        slab = np.einsum('gjm,gjl,gln->gmn', E, ic, E)
         cols.append(slab.reshape(E.shape[0], M * M).T)
     if not cols:
         return jnp.zeros((M * M, 0))
-    return jnp.concatenate(cols, axis=1)
+    return jnp.asarray(np.concatenate(cols, axis=1))
 
 
 def phi_of_m(psi: jnp.ndarray, m: jnp.ndarray, delta: float = 0.0) -> jnp.ndarray:

@@ -477,7 +477,13 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
         converged = (pres < feastol) & (dres < feastol) & (relgap < tol)
         stall = jnp.where(improved, 0, st["stall"] + 1).astype(jnp.int32)
         stall_limit = jnp.where((pres < 1e-6) & (dres < 1e-6), 30, 60)
-        stalled = (stall >= stall_limit) | (a < 1e-10)
+        # endgame: once the best iterate is already deep inside the
+        # "inaccurate" acceptance zone (relgap/res floors of f64 on
+        # degenerate faces), a short no-improvement plateau means the
+        # floors are reached -- running to the full stall limit only
+        # burns iterations and usually ends in a NaN factorization
+        endgame = (st["best_merit"] < 1e2 * tol) & (stall >= 4)
+        stalled = (stall >= stall_limit) | (a < 1e-10) | endgame
         tau_dead = tau_n < 1e-12
         done = jnp.where(~finite, 2,
                          jnp.where(converged, 1,

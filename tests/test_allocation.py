@@ -233,3 +233,53 @@ def test_mosap_certificate_and_kkt():
     kkt_b = mosap.kkt_certificate()
     assert kkt_b["stationarity"] < 1e-3
     assert kkt_b["primal_feasibility"] < 1e-8
+
+
+# ------------------- third solver family: projected gradient ------------ #
+
+def test_sap_spg_matches_sdp_budget():
+    """The SPG path is an algorithmically unrelated solver family; on a
+    smooth instance it must land on the same optimum as the IPM (the
+    reference's cross-solver agreement pattern, sap.py __main__ test)."""
+    sap, C, costs = make_sap(M=5, K=2)
+    budget = 100 * costs.sum()
+    m_sdp = sap.solve(budget=budget, solver="sdp", continuous_relaxation=True)
+    m_spg = sap.solve(budget=budget, solver="spg", continuous_relaxation=True)
+    assert m_spg is not None
+    assert m_spg @ costs <= budget * (1 + 1e-9)
+    v_sdp, v_spg = sap.variance(m_sdp), sap.variance(m_spg)
+    np.testing.assert_allclose(v_spg, v_sdp, rtol=2e-3)
+
+
+def test_sap_spg_eps_mode():
+    sap, C, costs = make_sap(M=5, K=2)
+    eps = np.sqrt(C[0, 0]) / 50
+    m = sap.solve(eps=eps, solver="spg", continuous_relaxation=True)
+    assert m is not None
+    v = sap.variance(m)
+    np.testing.assert_allclose(v, eps ** 2, rtol=1e-6)
+    # cost within a whisker of the SDP optimum
+    m_sdp = sap.solve(eps=eps, solver="sdp", continuous_relaxation=True)
+    assert m @ costs <= (m_sdp @ costs) * 1.01
+
+
+def test_mosap_spg_matches_sdp():
+    mosap, Cs, costs = make_mosap()
+    budget = 200 * max(costs)
+    m_sdp = mosap.solve(budget=budget, solver="sdp",
+                        continuous_relaxation=True)
+    m_spg = mosap.solve(budget=budget, solver="spg",
+                        continuous_relaxation=True)
+    assert m_spg is not None
+    assert m_spg @ costs <= budget * (1 + 1e-9)
+    v_sdp = max(mosap.variances(m_sdp))
+    v_spg = max(mosap.variances(m_spg))
+    # smoothed-max bias at the final temperature bounds the gap
+    np.testing.assert_allclose(v_spg, v_sdp, rtol=2e-2)
+
+    eps = [np.sqrt(Cs[n][0, 0]) / 30 for n in range(2)]
+    m_eps = mosap.solve(eps=eps, solver="spg", continuous_relaxation=True)
+    assert m_eps is not None
+    Vs = mosap.variances(m_eps)
+    for n in range(2):
+        assert Vs[n] <= (eps[n] ** 2) * 1.0001
