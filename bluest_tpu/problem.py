@@ -445,12 +445,13 @@ class BLUEProblem:
             return self._blue_fn_device(ls, N, compute_mlmc_differences)
         n_workers = int(self.params.get("host_workers", 1))
         model_workers = int(self.params.get("model_workers", 1))
-        if ((n_workers > 1 or model_workers > 1)
-                and self.params["samplefile"] is None):
+        if n_workers > 1 or model_workers > 1:
             return host_engine.blue_fn_parallel(
                 ls, N, self, n_workers, No=self.n_outputs,
                 compute_mlmc_differences=compute_mlmc_differences,
-                model_workers=model_workers)
+                model_workers=model_workers,
+                filename=self.params["samplefile"],
+                outputs_to_save=self.params["outputs_to_save"])
         return host_engine.blue_fn(
             ls, N, self, sampler=self.sampler,
             inners=self.get_models_inner_products(),

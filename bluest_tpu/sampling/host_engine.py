@@ -247,23 +247,33 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
 # --------------------------------------------------------------------- #
 
 def _worker_chunk(args):
-    problem, ls, n, worker_id, No, compute_diffs = args
+    (problem, ls, n, worker_id, No, compute_diffs,
+     filename, outputs_to_save) = args
     problem.set_worker_id(worker_id)  # per-rank RNG hook
     return blue_fn(ls, n, problem, sampler=problem.sampler,
                    inners=problem.get_models_inner_products(),
                    No=No, verbose=False,
-                   compute_mlmc_differences=compute_diffs)
+                   compute_mlmc_differences=compute_diffs,
+                   filename=filename, outputs_to_save=outputs_to_save)
+
+
+def _worker_snapfile(filename, wid):
+    parts = filename.split(".")
+    return ".".join(parts[:-1]) + (".w%d." % wid) + parts[-1]
 
 
 def _group_member(problem, ls, n, group_id, comm, out_queue, No,
-                  compute_diffs):
+                  compute_diffs, filename, outputs_to_save):
     """One rank of a model group: every rank runs the same sampling loop
     on the same (group-seeded) sample stream; the user's evaluate
     coordinates its ranks through problem.get_comm().  Only rank 0's sums
-    are reported (the others' are duplicates by construction)."""
+    are reported (the others' are duplicates by construction), and only
+    rank 0 writes snapshots."""
     problem._host_comm = comm
     try:
-        res = _worker_chunk((problem, ls, n, group_id, No, compute_diffs))
+        res = _worker_chunk((problem, ls, n, group_id, No, compute_diffs,
+                             filename if comm.rank == 0 else None,
+                             outputs_to_save))
         if comm.rank == 0:
             out_queue.put((group_id, res))
     except BaseException as exc:                    # pragma: no cover
@@ -274,15 +284,21 @@ def _group_member(problem, ls, n, group_id, comm, out_queue, No,
 
 def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                      compute_mlmc_differences: bool = False,
-                     model_workers: int = 1):
+                     model_workers: int = 1,
+                     filename: Optional[str] = None,
+                     outputs_to_save=None):
     """Process-pool variant of blue_fn for picklable black-box problems.
 
     The user's sampler MUST be reseeded per worker by overriding
     ``set_worker_id(self, wid)`` (the reference's per-rank RNG discipline,
     tutorials/01_tutorial.py:154-167): every worker unpickles the same RNG
     state, so without reseeding all workers draw identical samples and the
-    estimator silently runs on N/n_workers effective samples.  Snapshot
-    files are not supported on this path.
+    estimator silently runs on N/n_workers effective samples.
+
+    ``filename`` streams sample snapshots: each sample-stream leader
+    writes its own npz and the parent merges them into the target file,
+    exactly the reference's per-rank write + rank-0 merge
+    (blue_fn.py:189-222).
 
     ``model_workers > 1`` restores the reference's *nested* parallelism
     for internally-parallel black-box models (blue_models.py:121-130,
@@ -318,11 +334,14 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
         for gid, n in active:
             comms = make_group_comms(model_workers, ctx)
             all_comms.append(comms)
+            wf = (_worker_snapfile(filename, gid)
+                  if filename is not None else None)
             for r in range(model_workers):
                 p = ctx.Process(target=_group_member,
                                 args=(problem, ls, n, gid, comms[r],
                                       out_queue, No,
-                                      compute_mlmc_differences))
+                                      compute_mlmc_differences,
+                                      wf, outputs_to_save))
                 p.start()
                 procs.append(p)
         results = []
@@ -336,10 +355,18 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
         for p in procs:
             p.join()
     else:
-        jobs = [(problem, ls, n, wid, No, compute_mlmc_differences)
+        jobs = [(problem, ls, n, wid, No, compute_mlmc_differences,
+                 _worker_snapfile(filename, wid)
+                 if filename is not None else None, outputs_to_save)
                 for wid, n in enumerate(NN) if n > 0]
         with ctx.Pool(processes=len(jobs)) as pool:
             results = pool.map(_worker_chunk, jobs)
+
+    if filename is not None:
+        snapshots.merge_snapshot_files(
+            filename, ls,
+            [_worker_snapfile(filename, wid)
+             for wid, n in enumerate(NN) if n > 0])
 
     out = list(results[0])
     for r in results[1:]:

@@ -69,3 +69,36 @@ def append_snapshots(filename: str, ls: Sequence[int], No: int,
 
     np.savez_compressed(fname, **out)
     return fname
+
+
+def merge_snapshot_files(filename: str, ls: Sequence[int],
+                         worker_files: Sequence[str]) -> Optional[str]:
+    """Merge per-worker snapshot files into the target file for group
+    ``ls`` and delete them -- the parallel host engine's analog of the
+    reference's per-rank npz merge on rank 0 (blue_fn.py:189-222)."""
+    fname = snapshot_filename(filename, ls)
+    acc = None
+    if os.path.isfile(fname):
+        acc = {k: [x for x in v]
+               for k, v in dict(np.load(fname, allow_pickle=True)).items()}
+    for wf in worker_files:
+        wname = snapshot_filename(wf, ls)
+        if not os.path.isfile(wname):
+            continue
+        d = dict(np.load(wname, allow_pickle=True))
+        if acc is None:
+            acc = {k: [x for x in v] for k, v in d.items()}
+        else:
+            assert list(np.asarray(d["models"][0])) == \
+                list(np.asarray(acc["models"][0]))
+            for key in d:
+                if "values" in key or "inputs" in key:
+                    acc[key] = acc[key] + [x for x in d[key]]
+            acc["n_samples"] = np.array(
+                [int(np.asarray(acc["n_samples"]).ravel()[0])
+                 + int(np.asarray(d["n_samples"]).ravel()[0])])
+        os.remove(wname)
+    if acc is None:
+        return None
+    np.savez_compressed(fname, **acc)
+    return fname

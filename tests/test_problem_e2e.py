@@ -6,6 +6,7 @@ and budget modes, user groups, save/load, and the statistical
 variance_test -- on the host engine (black-box path) and the device
 engine (jax path), single- and multi-output."""
 
+import os
 import numpy as np
 import pytest
 
@@ -421,3 +422,31 @@ def test_nested_model_parallelism_hostcomm():
     np.testing.assert_allclose(np.asarray(s1, float),
                                np.asarray(s2, float), rtol=1e-12)
     np.testing.assert_allclose(c1[0], c2[0], rtol=1e-12)
+
+
+def test_parallel_host_snapshots(tmp_path):
+    """Sample snapshots under the process pool: per-worker npz files
+    merged into the target, the reference's per-rank write + rank-0
+    merge (blue_fn.py:189-222)."""
+    C = np.eye(2) + 0.5
+    costs = np.array([2.0, 1.0])
+    p = ParProblem(2, C=C.copy(), costs=costs.copy(),
+                   host_workers=3, verbose=False,
+                   samplefile=str(tmp_path / "snap.npz"))
+    N = 25
+    sumse, sumsc, _ = p.blue_fn([0, 1], N, verbose=False)
+    from bluest_tpu.sampling.snapshots import snapshot_filename
+    fname = snapshot_filename(str(tmp_path / "snap.npz"), [0, 1])
+    d = dict(np.load(fname, allow_pickle=True))
+    assert int(np.asarray(d["n_samples"]).ravel()[0]) == N
+    vals = np.asarray([float(v) for v in d["values_0_0"]])
+    assert vals.shape == (N,)
+    # snapshot values reproduce the accumulated sums exactly
+    np.testing.assert_allclose(vals.sum(), sumse[0][0], rtol=1e-12)
+    # no stray per-worker files left behind
+    leftovers = [f for f in os.listdir(tmp_path) if ".w" in f]
+    assert leftovers == []
+    # appending a second run grows the same file
+    p.blue_fn([0, 1], 10, verbose=False)
+    d2 = dict(np.load(fname, allow_pickle=True))
+    assert int(np.asarray(d2["n_samples"]).ravel()[0]) == N + 10
