@@ -203,8 +203,16 @@ class KernelEngineV2:
         def warm_combiner(arg):
             k, n_pad = arg
             total = n_pad * self.n_sample_shards
-            dummy = jnp.zeros((k, total) + out_shape, out_dtype)
-            jax.block_until_ready(self._combine(dummy, 0, 1))
+            # jnp.stack of the k sweep outputs is its own compiled op --
+            # warm it with the exact solve-path shapes
+            dummy = jnp.stack([jnp.zeros((total,) + out_shape, out_dtype)
+                               for _ in range(k)])
+            part = self._combine(dummy, 0, 1)
+            # multi-bucket accumulation adds (sample_sums) and the
+            # problem-level non-finite top-up adds are tiny per-shape
+            # programs too; on remote-dispatch setups each costs a
+            # compile round-trip if it first appears mid-solve
+            jax.block_until_ready(tuple(a + b for a, b in zip(part, part)))
 
         jobs = [(l, t) for l in models for t in tiers]
         cjobs = [(k, t) for k in sizes for t in tiers]
