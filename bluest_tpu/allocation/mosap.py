@@ -175,6 +175,10 @@ class MOSAP:
         if (budget is not None and max_model_samples is None
                 and getattr(self, "_ray_cache", {}).get(ray_key) is not None):
             samples = self._ray_cache[ray_key] * budget
+            # the cached ray's certificates still certify this solve
+            # (the continuous optimum scales linearly with the budget)
+            self.certificates = list(
+                getattr(self, "_ray_certs", {}).get(ray_key, []))
         elif solver in ("cvxopt", "cvxpy", "sdp"):
             samples = self.sdp_solve(budget=budget, eps=eps,
                                      max_model_samples=max_model_samples,
@@ -240,8 +244,11 @@ class MOSAP:
         if budget is not None and max_model_samples is None:
             if not hasattr(self, "_ray_cache"):
                 self._ray_cache = {}
+            if not hasattr(self, "_ray_certs"):
+                self._ray_certs = {}
             self._ray_cache.setdefault(
                 ray_key, np.asarray(samples, float) / budget)
+            self._ray_certs.setdefault(ray_key, list(self.certificates))
 
         if not continuous_relaxation:
             try:

@@ -565,6 +565,19 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
 
 # ------------------------------- solver ---------------------------------- #
 
+def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
+             verbose):
+    """Dispatch the fused IPM program.
+
+    (A jax.export StableHLO disk cache was tried here to skip the ~1s
+    per-process trace+lower of the while_loop program -- the persistent
+    XLA cache only skips backend compilation -- but deserialized exports
+    of this module crash/hang this jax build's XLA:CPU; the direct call
+    stands until the toolchain supports it.)"""
+    return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
+                      max_iter, verbose=verbose)
+
+
 def solve_cone_lp(c: np.ndarray,
                   Gl: Optional[np.ndarray],
                   hl: Optional[np.ndarray],
@@ -634,12 +647,12 @@ def solve_cone_lp(c: np.ndarray,
         gl_diag = np.zeros(0)
         R_np = np.zeros((0, nx))
 
-    (best_merit, best_x, gap, pres, dres, pobj, it, done) = _ipm_solve(
-        jnp.asarray(c_np), jnp.asarray(Gl_np), jnp.asarray(hl_np),
-        jnp.asarray(As_np), jnp.asarray(Hs_np),
-        jnp.asarray(_Gall), jnp.asarray(_Gall.T @ _Gall),
-        jnp.asarray(gl_diag), jnp.asarray(R_np),
-        cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose=verbose)
+    arrays = (jnp.asarray(c_np), jnp.asarray(Gl_np), jnp.asarray(hl_np),
+              jnp.asarray(As_np), jnp.asarray(Hs_np),
+              jnp.asarray(_Gall), jnp.asarray(_Gall.T @ _Gall),
+              jnp.asarray(gl_diag), jnp.asarray(R_np))
+    (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
+        arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose)
 
     it = int(it)
     if not np.isfinite(float(best_merit)):

@@ -88,10 +88,23 @@ blue_data = problem.setup_solver(K=n_models, budget=budget)
 print("Budget-mode cost:", blue_data["total_cost"], "<= budget", budget)
 
 # solver selection and parameters (reference cvxopt/cvxpy names accepted;
-# both map to the JAX interior-point SDP, "scipy" to the NLP path)
+# both map to the JAX interior-point SDP, "scipy"/"ipopt" to the NLP
+# path, and "spg" to the projected spectral-gradient path -- three
+# algorithmically independent families for cross-validation)
 problem.setup_solver(K=n_models, budget=budget, solver="sdp",
                      optimization_solver_params={"tol": 1e-8})
 problem.setup_solver(K=n_models, budget=budget, solver="scipy")
+problem.setup_solver(K=n_models, budget=budget, solver="spg")
+
+# every cone solve records its interior-point certificate, and an
+# independent first-order KKT verifier re-checks the continuous optimum
+# (the role cross-vendor solver comparisons play in the reference)
+problem.setup_solver(K=n_models, budget=budget)
+cert = min(problem.MOSAP_output["certificates"],
+           key=lambda c: max(c["relgap"], c["pres"], c["dres"]))
+kkt = problem.MOSAP.kkt_certificate()
+print("SDP certificate: %s (relgap %.1e); KKT stationarity %.1e"
+      % (cert["status"], cert["relgap"], kkt["stationarity"]))
 
 # ---------------- Part 2: persistence ----------------------------------- #
 
