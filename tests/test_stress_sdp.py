@@ -24,7 +24,8 @@ import pytest
 
 from bluest_tpu.allocation.mosap import MOSAP
 
-N_INSTANCES = 30   # ~2 min on the 8-device CPU mesh; bump locally for deeper sweeps
+N_INSTANCES = 120  # ~8 min on the 8-device CPU mesh (the round-2 gate:
+                   # 100+ degenerate instances, zero NLP fallbacks)
 
 
 def make_cov(rng, M, kind):
@@ -91,3 +92,11 @@ def test_degenerate_instance_no_fallback(seed):
 
     # the round-1 scipy crutch must stay cold
     assert mos.n_nlp_fallbacks == 0
+    # and the accepted cone solve must carry a certificate at least as
+    # tight as the reference's cvxopt operating point (reltol 1e-4,
+    # sap.py:37-43); median here is ~1e-7
+    assert mos.certificates, "no cone-solve certificate recorded"
+    best = min(mos.certificates,
+               key=lambda c: max(c["relgap"], c["pres"], c["dres"]))
+    assert best["status"] in ("optimal", "inaccurate")
+    assert best["relgap"] <= 1e-4 and best["pres"] <= 1e-5
