@@ -175,6 +175,11 @@ def run_baseline_sampling(problem):
                       "predicted_s": round(pred, 3),
                       "measured_s": round(measured, 3),
                       "ratio": round(measured / pred, 3)}
+        # anchor the priced total to the exact tier measurement: the
+        # per-model unit timings drift with machine load run-to-run; the
+        # tier run is a real uninterrupted execution of the largest
+        # affordable slice of the actual workload
+        total = total * (measured / pred)
     return total, tier_check
 
 

@@ -59,17 +59,24 @@ class KernelEngineV2:
 
     # ------------------------------------------------------------------ #
 
-    def _bucket(self, N: int):
-        """(n_pad_per_shard, n_buckets): the buffer size is FIXED at the
-        cap so every model compiles exactly one sweep; the sweep's inner
-        fori_loop bound is dynamic, so compute still scales with N."""
+    def _tiers(self):
+        """Padded buffer sizes per shard, smallest to largest.  Fixed
+        tiers keep the compile count at O(tiers) per model; the sweep's
+        inner fori_loop bound is dynamic, so compute scales with N --
+        but the combiner contracts the FULL padded buffer, so a mid tier
+        matters for the (common) groups sized well under the cap."""
         S = self.n_sample_shards
         B = self.batch
+        big = max(1, self.max_bucket // (S * B)) * B
+        mid = min(8 * B, big)
+        return sorted({B, mid, big})
+
+    def _bucket(self, N: int):
+        """(n_pad_per_shard, n_buckets) for a request of N samples."""
+        S = self.n_sample_shards
         per_shard = -(-int(N) // S)
-        if per_shard <= B:
-            n_pad = B                      # small tier: pilot / tail groups
-        else:
-            n_pad = max(1, self.max_bucket // (S * B)) * B
+        tiers = self._tiers()
+        n_pad = next((t for t in tiers if per_shard <= t), tiers[-1])
         total = n_pad * S
         n_buckets = -(-int(N) // total)
         return n_pad, n_buckets
@@ -187,9 +194,7 @@ class KernelEngineV2:
         concurrently (XLA compilation releases the GIL; sequential cold
         compiles otherwise land in the middle of the first solve)."""
         import concurrent.futures as cf
-        small = self._bucket(1)[0]
-        big = self._bucket(self.n_sample_shards * self.batch + 1)[0]
-        tiers = sorted({small, big})
+        tiers = self._tiers()
         key = jax.random.key(0)
         models = list(range(self.n_models) if models is None else models)
         out_shape, out_dtype, _ = self._out_struct()
