@@ -413,6 +413,24 @@ class MOSAP:
         return solve_budget_spg_multi(datas, self.mappings, self.L,
                                       self.costs, float(budget))
 
+    # --- reference method-name aliases (mosap.py:395, 500, 615) ---
+    def cvxopt_solve(self, budget=None, eps=None, delta=0.0,
+                     max_model_samples=None, cvxopt_params=None):
+        return self.sdp_solve(budget=budget, eps=eps,
+                              max_model_samples=max_model_samples,
+                              solver_params=cvxopt_params)
+
+    def cvxpy_solve(self, budget=None, eps=None, delta=0.0,
+                    max_model_samples=None, cvxpy_params=None):
+        return self.sdp_solve(budget=budget, eps=eps,
+                              max_model_samples=max_model_samples,
+                              solver_params=cvxpy_params)
+
+    def ipopt_solve(self, budget=None, eps=None, x0=None,
+                    max_model_samples=None):
+        return self.scipy_solve(budget=budget, eps=eps, x0=x0,
+                                max_model_samples=max_model_samples)
+
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None, eps_weights=None):
         """Epigraph NLP (reference mosap.py:562-613).

@@ -245,6 +245,17 @@ class BLUEProblem:
                 out[i, j] = inner(a[i], b[j])
         return out
 
+    def get_model_graph(self, C, costs=None):
+        """Model graph from a (possibly partial) covariance (reference
+        blue_models.py:232-263).  Returns a CovarianceGraph -- the
+        sentinel semantics (NaN = estimate, inf = never couple,
+        0 = uncorrelated) match the reference; the networkx object is
+        replaced by the mask-based graph the device kernels consume."""
+        G = CovarianceGraph(np.array(C, dtype=float))
+        if costs is not None:
+            self.costs = np.asarray(costs, dtype=float)
+        return G
+
     # ------------------------ graph manipulation ----------------------- #
 
     def reorder_all_graph_nodes(self, ordering=None):

@@ -5,7 +5,8 @@ reduction, estimated jointly for five QoIs.
 
 Run:  python examples/multi_output_hodgkin_huxley.py [--full]
 (--full uses all 12 models; default is a 6-model subset to keep compile
-time reasonable on first run)
+time reasonable on first run.  On CPU the default config takes ~7 min,
+dominated by the ODE pilot; on TPU the sampling phase is seconds.)
 """
 
 import os

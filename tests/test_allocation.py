@@ -283,3 +283,26 @@ def test_mosap_spg_matches_sdp():
     Vs = mosap.variances(m_eps)
     for n in range(2):
         assert Vs[n] <= (eps[n] ** 2) * 1.0001
+
+
+def test_reference_method_name_aliases():
+    """The reference's vendor-named solver methods exist and route to the
+    equivalent paths (cvxopt/cvxpy -> IPM, ipopt -> scipy NLP;
+    reference sap.py:242/332/420, mosap.py:395/500/615)."""
+    sap, C, costs = make_sap(M=4, K=2)
+    budget = 50 * costs.sum()
+    m1 = sap.cvxopt_solve(budget=budget)
+    m2 = sap.cvxpy_solve(budget=budget)
+    assert m1 is not None and m2 is not None
+    np.testing.assert_allclose(sap.variance(m1), sap.variance(m2), rtol=1e-6)
+    m3 = sap.ipopt_solve(budget=budget)
+    assert m3 is not None
+    get_phi, variance, variance_GH = sap.get_variance_functions()
+    v = variance(m1)
+    v2, g, H = variance_GH(m1)
+    assert np.isclose(v, v2)
+    assert get_phi(m1).shape == (4, 4)
+
+    mosap, Cs, costs_m = make_mosap(M=4, K=2)
+    mm = mosap.cvxopt_solve(budget=50 * max(costs_m))
+    assert mm is not None

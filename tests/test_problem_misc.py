@@ -104,3 +104,23 @@ def test_max_model_samples_through_problem():
     groups = p.MOSAP_output["flattened_groups"]
     n_last = sum(int(n) for g, n in zip(groups, samples) if 3 in g)
     assert n_last <= 50
+
+
+def test_get_model_graph_sentinels():
+    """Reference get_model_graph surface (blue_models.py:232-263):
+    sentinel semantics preserved through the mask-based graph."""
+    from bluest_tpu import BLUEProblem
+
+    class P(BLUEProblem):
+        pass
+
+    C_known = np.eye(3) + 0.5
+    p = P(3, C=C_known, costs=np.array([4.0, 2.0, 1.0]), verbose=False)
+    C = np.array([[2.0, np.nan, np.inf],
+                  [np.nan, 1.0, 0.0],
+                  [np.inf, 0.0, 1.0]])
+    G = p.get_model_graph(C.copy())
+    back = G.covariance()
+    assert np.isnan(back[0, 1])        # to-estimate stays NaN
+    assert back[1, 2] == 0.0           # uncorrelated stays 0
+    assert np.isnan(back[0, 2]) or np.isinf(back[0, 2])  # uncouplable
