@@ -318,8 +318,15 @@ class MOSAP:
         # only valid without caps.  At large L an extra 3000-variable SDP
         # costs minutes; the direct form (a) is the better-conditioned one
         # on degenerate sets, so (b) is only worth running as a
-        # cross-check/cost-race when it is cheap or (a) failed.
-        if len(es) == 0 and (not candidates or self.L <= 600):
+        # cross-check/cost-race when (a) failed or its certificate is
+        # loose (each extra cone program costs a per-process trace+lower
+        # on top of the solve -- the dominant cold-allocation cost).
+        a_tight = bool(self.certificates) and (
+            self.certificates[-1]["status"] in _OK_STATUSES
+            and self.certificates[-1]["relgap"] <= 1e-5
+            and self.certificates[-1]["pres"] <= 1e-7)
+        if len(es) == 0 and (not candidates
+                             or (self.L <= 600 and not a_tight)):
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, [], 1.0,
                 eps_weights=np.asarray(eps, dtype=float))

@@ -247,9 +247,16 @@ class SAP:
                 m = feasibility_rescale(m)
             if m is not None:
                 candidates.append(m)
-        # (b) scaled budget epigraph (homogeneity) -- no caps only; at
-        # large L only as a fallback when (a) failed (see MOSAP.sdp_solve)
-        if len(es) == 0 and (not candidates or self.L <= 600):
+        # (b) scaled budget epigraph (homogeneity) -- no caps only; run as
+        # a cross-check/cost-race when (a) failed or its certificate is
+        # loose (see MOSAP.sdp_solve: every extra cone program costs a
+        # per-process trace+lower on top of the solve)
+        a_tight = bool(self.certificates) and (
+            self.certificates[-1]["status"] in _OK_STATUSES
+            and self.certificates[-1]["relgap"] <= 1e-5
+            and self.certificates[-1]["pres"] <= 1e-7)
+        if len(es) == 0 and (not candidates
+                             or (self.L <= 600 and not a_tight)):
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [], 1.0,
                 eps_weights=np.array([eps]))
