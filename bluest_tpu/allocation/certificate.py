@@ -107,3 +107,14 @@ def kkt_certificate(m, costs, grad_fns, variances, eps=None,
         "multipliers": lam,
         "n_active": int(active.sum()),
     }
+
+
+def is_tight(cert, relgap: float = 1e-5, pres: float = 1e-7,
+             dres: float = 1e-6) -> bool:
+    """Certificate quality gate for skipping redundant cross-check
+    solves.  All three residuals must be certified: without dual
+    feasibility (dres) the duality gap does not bound suboptimality."""
+    return (cert["status"] in ("optimal", "inaccurate")
+            and cert["relgap"] <= relgap
+            and cert["pres"] <= pres
+            and cert["dres"] <= dres)

@@ -110,8 +110,8 @@ class MOSAP:
         if m is None:
             raise ValueError("no continuous solution available; solve first")
         m = np.asarray(m, dtype=float)
-        if eps is None and self.eps is not None:
-            eps = self.eps
+        if eps is None:
+            eps = getattr(self, "_continuous_eps", None)
 
         def make_grad(n):
             def g(x):
@@ -217,6 +217,9 @@ class MOSAP:
             return None
 
         self.continuous_solution = np.asarray(samples, dtype=float).copy()
+        self._continuous_eps = eps   # kkt_certificate's default tolerance
+        # (self.eps is only set on full success, so it can go stale when
+        # the integer projection fails after a good continuous solve)
 
         # Complete group sets make the continuous optimum massively
         # degenerate and interior-point solvers return a diffuse point of
@@ -321,10 +324,8 @@ class MOSAP:
         # cross-check/cost-race when (a) failed or its certificate is
         # loose (each extra cone program costs a per-process trace+lower
         # on top of the solve -- the dominant cold-allocation cost).
-        a_tight = bool(self.certificates) and (
-            self.certificates[-1]["status"] in _OK_STATUSES
-            and self.certificates[-1]["relgap"] <= 1e-5
-            and self.certificates[-1]["pres"] <= 1e-7)
+        a_tight = bool(self.certificates) and certmod.is_tight(
+            self.certificates[-1])
         if len(es) == 0 and (not candidates
                              or (self.L <= 600 and not a_tight)):
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(

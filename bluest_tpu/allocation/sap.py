@@ -110,8 +110,8 @@ class SAP:
             m = self.continuous_solution
         if m is None:
             raise ValueError("no continuous solution available; solve first")
-        if eps is None and self.eps is not None:
-            eps = self.eps
+        if eps is None:
+            eps = getattr(self, "_continuous_eps", None)
         grad = lambda x: self.variance_GH(x, nohess=True)[1]
         v = self.variance(np.asarray(m, dtype=float))
         return certmod.kkt_certificate(
@@ -175,6 +175,9 @@ class SAP:
             return None
 
         self.continuous_solution = np.asarray(samples, dtype=float).copy()
+        self._continuous_eps = eps   # kkt_certificate's default tolerance
+        # (self.eps is only set on full success, so it can go stale when
+        # the integer projection fails after a good continuous solve)
 
         if not continuous_relaxation:
             try:
@@ -251,10 +254,8 @@ class SAP:
         # a cross-check/cost-race when (a) failed or its certificate is
         # loose (see MOSAP.sdp_solve: every extra cone program costs a
         # per-process trace+lower on top of the solve)
-        a_tight = bool(self.certificates) and (
-            self.certificates[-1]["status"] in _OK_STATUSES
-            and self.certificates[-1]["relgap"] <= 1e-5
-            and self.certificates[-1]["pres"] <= 1e-7)
+        a_tight = bool(self.certificates) and certmod.is_tight(
+            self.certificates[-1])
         if len(es) == 0 and (not candidates
                              or (self.L <= 600 and not a_tight)):
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(

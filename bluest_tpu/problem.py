@@ -275,14 +275,15 @@ class BLUEProblem:
             raise ValueError("ordering must be None, 'asc', 'desc' or a "
                              "permutation of the model indices")
         # costs are shared across outputs and permuted once (at n == 0);
-        # permuting a single n != 0 graph would silently desync it from
-        # the shared costs -- only reorder_all_graph_nodes may do that
-        if (n != 0 and not _part_of_all
-                and not np.array_equal(p, np.arange(M))):
+        # permuting a single output's graph would silently desync the
+        # others from the shared costs (n != 0: that graph from the
+        # costs; n == 0 with several outputs: the costs from every other
+        # graph) -- only reorder_all_graph_nodes may permute directly
+        if (not _part_of_all and not np.array_equal(p, np.arange(M))
+                and (n != 0 or self.n_outputs > 1)):
             raise ValueError(
-                "reordering a single output graph (n=%d) would desync it "
-                "from the shared model costs; use reorder_all_graph_nodes"
-                % n)
+                "reordering a single output graph (n=%d) would desync the "
+                "shared model costs; use reorder_all_graph_nodes" % n)
         self.G[n].permute(p)
         self.dV[n] = self.dV[n][np.ix_(p, p)]
         if n == 0:

@@ -324,7 +324,11 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
 
     if model_workers > 1:
         from ..parallel.hostcomm import make_group_comms
-        out_queue = ctx.SimpleQueue()
+        import queue as _queue
+        out_queue = ctx.Queue()   # Queue (not SimpleQueue): get(timeout)
+        # lets the parent poll child liveness -- a crash on a non-rank-0
+        # group member would otherwise deadlock rank 0 in a collective
+        # and the parent in a blocking get forever
         procs = []
         all_comms = []   # keep queue/barrier handles alive until join:
         # spawned children attach to the named semaphores lazily (jax/numpy
@@ -345,8 +349,22 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                 p.start()
                 procs.append(p)
         results = []
-        for _ in active:
-            gid, res = out_queue.get()
+        while len(results) < len(active):
+            try:
+                gid, res = out_queue.get(timeout=5.0)
+            except _queue.Empty:
+                dead = [p for p in procs
+                        if not p.is_alive() and p.exitcode not in (0, None)]
+                if dead:
+                    for p in procs:
+                        p.terminate()
+                    raise RuntimeError(
+                        "model-group worker process died with exit code "
+                        "%s; sampling aborted (an exception on a "
+                        "non-rank-0 group member, or an OOM kill, "
+                        "deadlocks its group's collectives)"
+                        % dead[0].exitcode)
+                continue
             if isinstance(res, BaseException):
                 for p in procs:
                     p.terminate()

@@ -77,28 +77,35 @@ def merge_snapshot_files(filename: str, ls: Sequence[int],
     ``ls`` and delete them -- the parallel host engine's analog of the
     reference's per-rank npz merge on rank 0 (blue_fn.py:189-222)."""
     fname = snapshot_filename(filename, ls)
+    # load everything first, merge tolerantly, and only delete the
+    # per-worker files after the merged file is written -- a mid-merge
+    # failure must never lose already-deleted worker data
     acc = None
     if os.path.isfile(fname):
         acc = {k: [x for x in v]
                for k, v in dict(np.load(fname, allow_pickle=True)).items()}
+    loaded = []
     for wf in worker_files:
         wname = snapshot_filename(wf, ls)
-        if not os.path.isfile(wname):
-            continue
-        d = dict(np.load(wname, allow_pickle=True))
+        if os.path.isfile(wname):
+            loaded.append((wname, dict(np.load(wname, allow_pickle=True))))
+    for _, d in loaded:
         if acc is None:
             acc = {k: [x for x in v] for k, v in d.items()}
-        else:
-            assert list(np.asarray(d["models"][0])) == \
-                list(np.asarray(acc["models"][0]))
-            for key in d:
-                if "values" in key or "inputs" in key:
-                    acc[key] = acc[key] + [x for x in d[key]]
-            acc["n_samples"] = np.array(
-                [int(np.asarray(acc["n_samples"]).ravel()[0])
-                 + int(np.asarray(d["n_samples"]).ravel()[0])])
-        os.remove(wname)
+            continue
+        assert list(np.asarray(d["models"][0])) == \
+            list(np.asarray(acc["models"][0]))
+        for key in d:
+            if "values" in key or "inputs" in key:
+                # keys may differ across runs (e.g. a changed
+                # outputs_to_save filter); merge what is present
+                acc[key] = acc.get(key, []) + [x for x in d[key]]
+        acc["n_samples"] = np.array(
+            [int(np.asarray(acc["n_samples"]).ravel()[0])
+             + int(np.asarray(d["n_samples"]).ravel()[0])])
     if acc is None:
         return None
     np.savez_compressed(fname, **acc)
+    for wname, _ in loaded:
+        os.remove(wname)
     return fname

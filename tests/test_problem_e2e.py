@@ -450,3 +450,23 @@ def test_parallel_host_snapshots(tmp_path):
     p.blue_fn([0, 1], 10, verbose=False)
     d2 = dict(np.load(fname, allow_pickle=True))
     assert int(np.asarray(d2["n_samples"]).ravel()[0]) == N + 10
+
+
+class CrashRank1Problem(NestedParProblem):
+    """Module-level: raises only on rank 1 of each model group."""
+
+    def evaluate(self, ls, samples, N=1):
+        comm = self.get_comm()
+        if comm is not None and comm.rank == 1:
+            raise RuntimeError("injected rank-1 failure")
+        return super().evaluate(ls, samples, N)
+
+
+def test_nested_parallel_detects_dead_member():
+    """A crash on a non-rank-0 group member must surface as an error,
+    not deadlock rank 0's collectives and the parent's result wait."""
+    C = np.eye(2) + 0.5
+    p = CrashRank1Problem(2, C=C.copy(), costs=np.array([2.0, 1.0]),
+                          host_workers=1, model_workers=2, verbose=False)
+    with pytest.raises(RuntimeError, match="died|injected"):
+        p.blue_fn([0, 1], 8, verbose=False)
