@@ -410,7 +410,8 @@ class MOSAP:
         the smoothed max-variance, solvers/spg_alloc.py) for
         cross-validation; eps mode by homogeneity; caps unsupported."""
         if max_model_samples is not None:
-            return None
+            raise ValueError("solver='spg' does not support "
+                             "max_model_samples; use 'sdp' or 'scipy'")
         from ..solvers.spg_alloc import solve_budget_spg_multi
         datas = [s.data for s in self.SAPS]
         if budget is None:

@@ -280,7 +280,8 @@ class SAP:
         (sap.py:242-456).  Budget mode native; eps mode by homogeneity;
         per-model caps unsupported (use 'sdp' or 'scipy')."""
         if max_model_samples is not None:
-            return None
+            raise ValueError("solver='spg' does not support "
+                             "max_model_samples; use 'sdp' or 'scipy'")
         from ..solvers.spg_alloc import solve_budget_spg
         if budget is None:
             m0 = self.spg_solve(budget=10.0 * float(self.costs.sum()))
