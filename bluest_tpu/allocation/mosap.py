@@ -422,21 +422,28 @@ class MOSAP:
         return solve_budget_spg_multi(datas, self.mappings, self.L,
                                       self.costs, float(budget))
 
-    # --- reference method-name aliases (mosap.py:395, 500, 615) ---
+    # --- reference method-name aliases (mosap.py:395, 500, 615).  Like
+    # the reference they normalize eps via check_input (scalar accepted)
+    # and start a fresh certificate list (solve() is not on this path).
     def cvxopt_solve(self, budget=None, eps=None, delta=0.0,
                      max_model_samples=None, cvxopt_params=None):
+        budget, eps = self.check_input(budget, eps)
+        self.certificates = []
         return self.sdp_solve(budget=budget, eps=eps,
                               max_model_samples=max_model_samples,
                               solver_params=cvxopt_params)
 
     def cvxpy_solve(self, budget=None, eps=None, delta=0.0,
                     max_model_samples=None, cvxpy_params=None):
+        budget, eps = self.check_input(budget, eps)
+        self.certificates = []
         return self.sdp_solve(budget=budget, eps=eps,
                               max_model_samples=max_model_samples,
                               solver_params=cvxpy_params)
 
     def ipopt_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):
+        budget, eps = self.check_input(budget, eps)
         return self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                 max_model_samples=max_model_samples)
 

@@ -300,37 +300,37 @@ class SAP:
 
     # --- reference method-name aliases (sap.py:242, 332, 420): the
     # cvxopt/cvxpy vendor paths are served by the JAX IPM, ipopt by the
-    # scipy NLP; ``delta`` regularization is handled inside the solvers
+    # scipy NLP; ``delta`` regularization is handled inside the solvers.
+    # Each starts a fresh certificate list (solve() is not on this path).
     def cvxopt_solve(self, budget=None, eps=None, delta=0.0,
                      max_model_samples=None, cvxopt_params=None):
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        self.certificates = []
         return self.sdp_solve(budget=budget, eps=eps,
                               max_model_samples=max_model_samples,
                               solver_params=cvxopt_params)
 
     def cvxpy_solve(self, budget=None, eps=None, delta=0.0,
                     max_model_samples=None, cvxpy_params=None):
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        self.certificates = []
         return self.sdp_solve(budget=budget, eps=eps,
                               max_model_samples=max_model_samples,
                               solver_params=cvxpy_params)
 
     def ipopt_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
         return self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                 max_model_samples=max_model_samples)
 
     def get_variance_functions(self):
-        """Reference helper (sap.py:121-143): closures over the group
-        structure for external optimizers/inspection."""
-        def get_phi(m, delta=0.0):
-            return self.get_phi(m, delta=delta)
-
-        def variance(m, delta=0.0):
-            return self.variance(m, delta=delta)
-
-        def variance_GH(m, delta=0.0, nohess=False):
-            return self.variance_GH(m, delta=delta, nohess=nohess)
-
-        return get_phi, variance, variance_GH
+        """Reference helper (sap.py:121-143): the variance closures over
+        the group structure, for external optimizers/inspection."""
+        return self.get_phi, self.variance, self.variance_GH
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):

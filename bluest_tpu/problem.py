@@ -250,10 +250,17 @@ class BLUEProblem:
         blue_models.py:232-263).  Returns a CovarianceGraph -- the
         sentinel semantics (NaN = estimate, inf = never couple,
         0 = uncorrelated) match the reference; the networkx object is
-        replaced by the mask-based graph the device kernels consume."""
-        G = CovarianceGraph(np.array(C, dtype=float))
+        replaced by the mask-based graph the device kernels consume.
+        Like the reference (which stores costs as node attributes), the
+        optional ``costs`` are attached to the returned graph, not to
+        the problem."""
+        C = np.array(C, dtype=float)
+        G = CovarianceGraph(C)
         if costs is not None:
-            self.costs = np.asarray(costs, dtype=float)
+            costs = np.asarray(costs, dtype=float)
+            if costs.shape != (C.shape[0],):
+                raise ValueError("costs must have one entry per model")
+            G.costs = costs
         return G
 
     # ------------------------ graph manipulation ----------------------- #

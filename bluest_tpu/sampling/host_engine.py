@@ -335,11 +335,13 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
         # imports take seconds), and the parent dropping its references
         # first unlinks them out from under the unpickler
         active = [(gid, n) for gid, n in enumerate(NN) if n > 0]
+        group_procs = {}
         for gid, n in active:
             comms = make_group_comms(model_workers, ctx)
             all_comms.append(comms)
             wf = (_worker_snapfile(filename, gid)
                   if filename is not None else None)
+            group_procs[gid] = []
             for r in range(model_workers):
                 p = ctx.Process(target=_group_member,
                                 args=(problem, ls, n, gid, comms[r],
@@ -348,27 +350,47 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                                       wf, outputs_to_save))
                 p.start()
                 procs.append(p)
+                group_procs[gid].append(p)
         results = []
+        done_gids = set()
         while len(results) < len(active):
             try:
                 gid, res = out_queue.get(timeout=5.0)
             except _queue.Empty:
-                dead = [p for p in procs
+                # fatal only when a *pending* group lost a member --
+                # a worker dying after its group already reported must
+                # not abort the remaining healthy groups
+                dead = [(g, p) for g, ps in group_procs.items()
+                        if g not in done_gids for p in ps
                         if not p.is_alive() and p.exitcode not in (0, None)]
                 if dead:
+                    # prefer the real exception if rank 0 managed to
+                    # report it before dying
+                    try:
+                        gid, res = out_queue.get(timeout=1.0)
+                        if isinstance(res, BaseException):
+                            for p in procs:
+                                p.terminate()
+                            raise res
+                        done_gids.add(gid)
+                        results.append(res)
+                        continue
+                    except _queue.Empty:
+                        pass
                     for p in procs:
                         p.terminate()
                     raise RuntimeError(
-                        "model-group worker process died with exit code "
-                        "%s; sampling aborted (an exception on a "
-                        "non-rank-0 group member, or an OOM kill, "
-                        "deadlocks its group's collectives)"
-                        % dead[0].exitcode)
+                        "model-group %d worker died with exit code %s; "
+                        "sampling aborted (an exception on a non-rank-0 "
+                        "group member, or an OOM kill, deadlocks its "
+                        "group's collectives)"
+                        % (dead[0][0], dead[0][1].exitcode))
                 continue
             if isinstance(res, BaseException):
                 for p in procs:
                     p.terminate()
                 raise res
+            done_gids.add(gid)
             results.append(res)
         for p in procs:
             p.join()

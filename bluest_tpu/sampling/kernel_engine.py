@@ -190,9 +190,10 @@ class KernelEngineV2:
 
     def precompile(self, models=None, parallel: bool = True,
                    group_sizes=(1, 2, 3, 4)):
-        """Warm both buffer tiers of every model sweep and the combiners,
-        concurrently (XLA compilation releases the GIL; sequential cold
-        compiles otherwise land in the middle of the first solve)."""
+        """Warm every buffer tier (see _tiers: up to three per model) of
+        every model sweep and the combiners, concurrently (XLA
+        compilation releases the GIL; sequential cold compiles otherwise
+        land in the middle of the first solve)."""
         import concurrent.futures as cf
         tiers = self._tiers()
         key = jax.random.key(0)

@@ -89,23 +89,37 @@ def merge_snapshot_files(filename: str, ls: Sequence[int],
         wname = snapshot_filename(wf, ls)
         if os.path.isfile(wname):
             loaded.append((wname, dict(np.load(wname, allow_pickle=True))))
+    def data_keys(dd):
+        return {k for k in dd if "values" in k or "inputs" in k}
+
     for _, d in loaded:
         if acc is None:
             acc = {k: [x for x in v] for k, v in d.items()}
             continue
         assert list(np.asarray(d["models"][0])) == \
             list(np.asarray(acc["models"][0]))
-        for key in d:
-            if "values" in key or "inputs" in key:
-                # keys may differ across runs (e.g. a changed
-                # outputs_to_save filter); merge what is present
-                acc[key] = acc.get(key, []) + [x for x in d[key]]
+        if data_keys(d) != data_keys(acc):
+            # appending with a different outputs_to_save filter would
+            # leave per-key lists of different lengths with no alignment
+            # metadata -- silent misassociation of outputs and inputs.
+            # The per-worker files are preserved (nothing deleted yet).
+            raise ValueError(
+                "snapshot file %s was written with a different "
+                "outputs_to_save filter than this run (%s vs %s); "
+                "use a fresh samplefile" %
+                (fname, sorted(data_keys(acc)), sorted(data_keys(d))))
+        for key in data_keys(d):
+            acc[key] = acc[key] + [x for x in d[key]]
         acc["n_samples"] = np.array(
             [int(np.asarray(acc["n_samples"]).ravel()[0])
              + int(np.asarray(d["n_samples"]).ravel()[0])])
     if acc is None:
         return None
-    np.savez_compressed(fname, **acc)
+    # atomic replace: a crash mid-write must not destroy prior runs'
+    # merged data
+    tmp = fname + ".tmp.npz"   # np.savez appends .npz to bare names
+    np.savez_compressed(tmp, **acc)
+    os.replace(tmp, fname)
     for wname, _ in loaded:
         os.remove(wname)
     return fname

@@ -306,3 +306,12 @@ def test_reference_method_name_aliases():
     mosap, Cs, costs_m = make_mosap(M=4, K=2)
     mm = mosap.cvxopt_solve(budget=50 * max(costs_m))
     assert mm is not None
+    # scalar eps through the reference calling convention (normalized
+    # via check_input, mosap.py:395-396)
+    eps_s = float(np.sqrt(Cs[0][0, 0]) / 20)
+    me = mosap.cvxpy_solve(eps=eps_s)
+    assert me is not None and len(mosap.certificates) >= 1
+    mi = mosap.ipopt_solve(eps=eps_s)
+    assert mi is not None
+    with pytest.raises(ValueError):
+        mosap.cvxopt_solve()
