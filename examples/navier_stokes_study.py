@@ -64,6 +64,26 @@ def main():
           % (mlmc["total_cost"] / blue["total_cost"],
              mfmc["total_cost"] / blue["total_cost"]))
 
+    if "--solver-test" in sys.argv:
+        # the reference's solver_test block (bluest_NS.py:124-140):
+        # time every continuous solver on the same instance and compare
+        # the resulting max-variance at a common budget
+        import time
+        budget = blue["total_cost"]
+        mos = p.MOSAP
+        print("\nsolver_test at budget %.0f:" % budget)
+        for name in ("sdp", "scipy", "spg"):
+            t0 = time.time()
+            m = mos.solve(budget=budget, solver=name,
+                          continuous_relaxation=True)
+            dt = time.time() - t0
+            if m is None:
+                print("  %-6s FAILED (%.2fs)" % (name, dt))
+                continue
+            mx = max(mos.variances(np.maximum(np.asarray(m, float), 0)))
+            print("  %-6s %7.2fs  max variance %.6e" % (name, dt, mx))
+            mos._ray_cache = {}        # time each solver cold
+
     # ---------------- online: Gaussian surrogate sampling ---------------- #
     Ls = [np.linalg.cholesky(c + 1e-10 * np.trace(c) / 12 * np.eye(12))
           for c in C]
