@@ -470,3 +470,38 @@ def test_nested_parallel_detects_dead_member():
                           host_workers=1, model_workers=2, verbose=False)
     with pytest.raises(RuntimeError, match="died|injected"):
         p.blue_fn([0, 1], 8, verbose=False)
+
+
+def test_vector_outputs_mlmc_mfmc():
+    """Array-valued QoIs through the MLMC/MFMC solve paths (the
+    reference supports array outputs everywhere, blue_fn.py:159-167)."""
+    D = 3
+
+    class VecMLProblem(BLUEProblem):
+        def sampler_jax(self, key, ls):
+            z = jax.random.normal(key)
+            return [z for _ in ls]
+
+        def evaluate_jax(self, ls, samples):
+            return jnp.stack([
+                jnp.stack([jnp.sin(samples[i] + jnp.arange(D, dtype=jnp.float64))
+                           * (1.0 + 0.02 * l) for i, l in enumerate(ls)])
+            ])  # (No=1, L, D)
+
+        def get_models_inner_products(self):
+            return [lambda a, b: np.dot(a, b)]
+
+    p = VecMLProblem(3, costs=np.array([9.0, 3.0, 1.0]),
+                     covariance_estimation_samples=1024, verbose=False)
+    eps = 0.1 * np.sqrt(p.get_covariance()[0, 0])
+    ref = np.sin(np.arange(D)) * np.exp(-0.5)
+
+    mus, errs, _ = p.solve_mlmc(eps=eps)
+    mu = np.asarray(mus[0])
+    assert mu.shape == (D,)
+    np.testing.assert_allclose(mu, ref, atol=8 * max(float(errs[0]), 0.05))
+
+    mus2, errs2, _ = p.solve_mfmc(eps=eps)
+    mu2 = np.asarray(mus2[0])
+    assert mu2.shape == (D,)
+    np.testing.assert_allclose(mu2, ref, atol=8 * max(float(errs2[0]), 0.05))
