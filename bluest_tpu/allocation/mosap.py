@@ -415,7 +415,13 @@ class MOSAP:
         from ..solvers.spg_alloc import solve_budget_spg_multi
         datas = [s.data for s in self.SAPS]
         if budget is None:
-            m0 = self.spg_solve(budget=10.0 * float(self.costs.sum()))
+            # homogeneity reduction with per-output weights eps_n^2:
+            # min max_n V_n/eps_n^2 at a fixed budget + exact rescale is
+            # the min-cost point at the heterogeneous tolerances
+            m0 = solve_budget_spg_multi(
+                datas, self.mappings, self.L, self.costs,
+                10.0 * float(self.costs.sum()),
+                weights=np.asarray(eps, dtype=float) ** 2)
             if m0 is None:
                 return None
             return self._feasibility_rescale(m0, eps)

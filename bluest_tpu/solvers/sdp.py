@@ -108,17 +108,7 @@ def _chol_apply(fac, RHS):
     return X[:, 0] if one_d else X
 
 
-def _chol_solve(H, RHS, jitter=1e-14):
-    return _chol_apply(_chol_factor(H, jitter), RHS)
-
-
 # --------------------- batched PSD cone primitives ----------------------- #
-
-def _psd_inv(A):
-    w, V = jnp.linalg.eigh(A)
-    w = jnp.maximum(w, 1e-150)
-    return jnp.einsum('bij,bj,bkj->bik', V, 1.0 / w, V)
-
 
 def _nt_scaling(S, Z):
     """Batched NT scaling via the Todd-Toh-Tutuncu recipe.
@@ -217,7 +207,9 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
 
     if nb:
         Tinv, Rnt, Rinv, lam = _nt_scaling(S, Z)
-        Zinv = _psd_inv(Z)
+        # R^T Z R = diag(lam)  =>  Z^{-1} = R diag(1/lam) R^T -- free from
+        # the NT factors (replaces a per-iteration batched eigh)
+        Zinv = _sym(jnp.einsum('bij,bj,bkj->bik', Rnt, 1.0 / lam, Rnt))
         Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
         Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
         if p:
@@ -319,26 +311,24 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
 
     # Mehrotra safeguard: on ill-conditioned problems the second-order
     # correction can overshoot the cone and collapse the step; fall back
-    # to the pure centering direction when that happens.
+    # to the pure centering direction when that happens.  The fallback is
+    # rarely taken, so its third direction() solve + cone line search run
+    # under lax.cond instead of unconditionally every iteration.
     use_fallback = a_comb < 0.2 * a_aff
-    smu2 = jnp.maximum(sigma, 0.5) * mu
-    cent = direction(1.0 - jnp.maximum(sigma, 0.5),
-                     (s_lp - smu2 / z_lp) if p else zero_lp,
-                     (S - smu2 * Zinv) if nb else zero_psd,
-                     tau * kappa - smu2)
-    a_cent = max_steps(*cent[1:])
 
-    def pick(a, b):
-        return jnp.where(use_fallback, b, a)
+    def cent_branch(_):
+        smu2 = jnp.maximum(sigma, 0.5) * mu
+        cent = direction(1.0 - jnp.maximum(sigma, 0.5),
+                         (s_lp - smu2 / z_lp) if p else zero_lp,
+                         (S - smu2 * Zinv) if nb else zero_psd,
+                         tau * kappa - smu2)
+        return cent + (max_steps(*cent[1:]),)
 
-    dx = pick(dx, cent[0])
-    ds_lp = pick(ds_lp, cent[1])
-    dS = pick(dS, cent[2])
-    dz_lp = pick(dz_lp, cent[3])
-    dZ = pick(dZ, cent[4])
-    dtau = pick(dtau, cent[5])
-    dkappa = pick(dkappa, cent[6])
-    a_max = pick(a_comb, a_cent)
+    def comb_branch(_):
+        return comb + (a_comb,)
+
+    (dx, ds_lp, dS, dz_lp, dZ, dtau, dkappa, a_max) = jax.lax.cond(
+        use_fallback, cent_branch, comb_branch, None)
 
     a = jnp.minimum(1.0, step_frac * a_max)
 
@@ -619,7 +609,10 @@ def solve_cone_lp(c: np.ndarray,
     if equilibrate:
         norms = np.sqrt((Gl_np ** 2).sum(axis=0)
                         + (As_np ** 2).sum(axis=(0, 2, 3)))
-        colscale = 1.0 / np.maximum(norms, 1e-150)
+        # a variable appearing in no constraint has norm 0; leave it
+        # unscaled (1/1e-150 would overflow c and the Gram matrix)
+        colscale = np.where(norms > 1e-150, 1.0 / np.maximum(norms, 1e-150),
+                            1.0)
         Gl_np = Gl_np * colscale[None, :]
         As_np = As_np * colscale[None, :, None, None]
         c_np = c_np * colscale
@@ -678,6 +671,12 @@ def solve_cone_lp(c: np.ndarray,
         status = "inaccurate"
     elif it >= max_iter:
         status = "max_iter"
+    elif int(done) == 4:
+        # tau collapse: the HSD embedding's (in)feasibility certificate.
+        # Distinguished from generic numerical failure so callers and
+        # certificates can report it (downstream still treats it as
+        # not-OK; e.g. caps contradicting the coverage constraint).
+        status = "infeasible"
     else:
         status = "failed"
     return ConeLPResult(x=xb, status=status, iterations=it,

@@ -102,18 +102,21 @@ def solve_budget_spg(data, costs, budget):
     x, f, it = _spg_budget_single(data, jnp.asarray(w), budget,
                                   jnp.asarray(x0), f0, delta0, gtol)
     x = np.asarray(x)
-    if not np.all(np.isfinite(x)):
+    if not np.all(np.isfinite(x)) or int(it) == 0:
+        # it == 0: the very first line search failed (NaN objective near
+        # a singular PHI) and SPG returned the projected start -- finite
+        # but not a solve
         return None
     return np.maximum(x, 0.0)
 
 
 @partial(jax.jit, static_argnames=("datas", "temp"))
-def _spg_budget_multi(datas, mappings, w, budget, x0, s0, delta0s,
+def _spg_budget_multi(datas, mappings, w, budget, x0, wts, delta0s,
                       temp, gtol):
     def feval(m):
         vs = jnp.stack([
-            _reg_variance(d, m[mp], dd) / s0
-            for d, mp, dd in zip(datas, mappings, delta0s)])
+            _reg_variance(d, m[mp], dd) / wt
+            for d, mp, dd, wt in zip(datas, mappings, delta0s, wts)])
         return jax.scipy.special.logsumexp(temp * vs) / temp
 
     geval = jax.grad(feval)
@@ -123,24 +126,38 @@ def _spg_budget_multi(datas, mappings, w, budget, x0, s0, delta0s,
 
 
 def solve_budget_spg_multi(datas: Sequence, mappings: Sequence,
-                           L: int, costs, budget):
-    """Multi-output budget mode: min (smoothed) max_n V_n(m) over the
-    union allocation, with temperature continuation 16 -> 1024."""
+                           L: int, costs, budget, weights=None):
+    """Multi-output budget mode: min (smoothed) max_n V_n(m)/weights_n
+    over the union allocation, with temperature continuation 16 -> 1024.
+
+    ``weights`` (default all-ones) make the eps-mode homogeneity
+    reduction correct for heterogeneous tolerances: minimizing
+    max_n V_n/eps_n^2 at a fixed budget and rescaling lands on the
+    min-cost point for the *per-output* tolerances, whereas the
+    unweighted max would over-serve the loosest output (same role as
+    eps_weights on the NLP path)."""
     w = np.asarray(costs, dtype=float)
+    No = len(datas)
+    weights = (np.ones(No) if weights is None
+               else np.asarray(weights, dtype=float))
     x0 = np.full(L, 0.95 * budget / w.sum())
     delta0s = tuple(_delta0_for(d, x0[mp])
                     for d, mp in zip(datas, mappings))
-    v0 = [float(_reg_variance(d, jnp.asarray(x0[mp]), dd))
-          for d, mp, dd in zip(datas, mappings, delta0s)]
+    v0 = [float(_reg_variance(d, jnp.asarray(x0[mp]), dd)) / wt
+          for d, mp, dd, wt in zip(datas, mappings, delta0s, weights)]
     s0 = float(max(v0))
     if not np.isfinite(s0) or s0 <= 0:
         return None
+    # normalize so the smoothed objective is O(1) at the start
+    wts = tuple(float(wt * s0) for wt in weights)
     gtol = 1e-10 / (budget / w.sum())
     mapp = tuple(jnp.asarray(mp) for mp in mappings)
     x = jnp.asarray(x0)
     for temp in (16.0, 128.0, 1024.0):
+        # a failed stage returns its (finite) warm start unchanged, so
+        # continuation degrades gracefully rather than losing progress
         x, f, it = _spg_budget_multi(tuple(datas), mapp, jnp.asarray(w),
-                                     budget, x, s0, delta0s, temp, gtol)
+                                     budget, x, wts, delta0s, temp, gtol)
     x = np.asarray(x)
     if not np.all(np.isfinite(x)):
         return None

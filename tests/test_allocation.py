@@ -315,3 +315,33 @@ def test_reference_method_name_aliases():
     assert mi is not None
     with pytest.raises(ValueError):
         mosap.cvxopt_solve()
+
+
+def test_mosap_spg_heterogeneous_eps():
+    """Heterogeneous per-output tolerances through the SPG path: the
+    homogeneity reduction must weight the smoothed max by eps_n^2, or
+    the loosest output gets oversampled ~100x (review finding: 1.84x
+    cost blow-up with the unweighted max)."""
+    rng = np.random.default_rng(3)
+    M = 3
+    # output 0 helped by model 1, output 1 by model 2
+    C0 = np.array([[1.0, 0.95, 0.1], [0.95, 1.0, 0.1], [0.1, 0.1, 1.0]])
+    C1 = np.array([[1.0, 0.1, 0.95], [0.1, 1.0, 0.1], [0.95, 0.1, 1.0]])
+    groups = [[[i] for i in range(M)],
+              [list(c) for c in combinations(range(M), 2)]]
+    L = sum(len(g) for g in groups)
+    flat = [g for gk in groups for g in gk]
+    costs = np.array([10.0, 1.0, 1.0])
+    gcosts = np.array([sum(costs[i] for i in g) for g in flat])
+    mosap = MOSAP([C0, C1], 2, [2, 2], groups, [groups] * 2, gcosts,
+                  [gcosts] * 2, verbose=False)
+    eps = [0.02, 0.2]
+    m_sdp = mosap.solve(eps=eps, solver="sdp", continuous_relaxation=True)
+    m_spg = mosap.solve(eps=eps, solver="spg", continuous_relaxation=True)
+    assert m_spg is not None
+    Vs = mosap.variances(m_spg)
+    for n in range(2):
+        assert Vs[n] <= (eps[n] ** 2) * 1.0001
+    c_sdp = float(m_sdp @ gcosts)
+    c_spg = float(m_spg @ gcosts)
+    assert c_spg <= 1.10 * c_sdp, (c_spg, c_sdp)
