@@ -345,3 +345,15 @@ def test_mosap_spg_heterogeneous_eps():
     c_sdp = float(m_sdp @ gcosts)
     c_spg = float(m_spg @ gcosts)
     assert c_spg <= 1.10 * c_sdp, (c_spg, c_sdp)
+
+
+def test_infeasible_caps_certified():
+    """Contradictory per-model caps: the HSD embedding's tau collapse is
+    surfaced as status='infeasible' in the certificate (distinguishable
+    from numerical failure), and the solve returns None."""
+    sap, C, costs = make_sap(M=5, K=2)
+    eps = np.sqrt(C[0, 0]) / 100.0          # needs ~1e4 samples
+    caps = np.full(5, 2.0)                  # every model capped at 2
+    m = sap.sdp_solve(eps=eps, max_model_samples=caps)
+    assert m is None
+    assert any(c["status"] == "infeasible" for c in sap.certificates)
