@@ -210,6 +210,14 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
         # R^T Z R = diag(lam)  =>  Z^{-1} = R diag(1/lam) R^T -- free from
         # the NT factors (replaces a per-iteration batched eigh)
         Zinv = _sym(jnp.einsum('bij,bj,bkj->bik', Rnt, 1.0 / lam, Rnt))
+        # (A kron reformulation of this contraction -- vec(T A T) =
+        # (T (x) T) vec(A) as one (nx, n^2)@(n^2, n^2) matmul per block
+        # -- was measured in-program at L=3301 and is NOT faster than
+        # the einsum once machine-speed drift is controlled for:
+        # einsum 1.69s/iter vs kron 1.91s/iter in the same window, with
+        # the Y contraction ~0.5s/iter of either (by ablation).  Host
+        # machine throughput here swings ~2x between runs; only
+        # same-window comparisons are meaningful.)
         Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
         Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
         if p:
