@@ -17,7 +17,7 @@ from ..solvers.sdp import solve_cone_lp
 from ..solvers.integer import best_integer_blue_multi
 from . import cones
 from . import certificate as certmod
-from .sap import SAP, _OK_STATUSES
+from .sap import SAP, _OK_STATUSES, validated_nlp_point
 
 
 class BLUESTError(RuntimeError):
@@ -44,6 +44,24 @@ class MOSAP:
         self.sizes = [0] + [len(gk) for gk in groups]
         self.cumsizes = np.cumsum(self.sizes)
         self.L = int(self.cumsizes[-1])
+
+        # overlap the IPM program's per-process trace+lower (~1.3 s at
+        # large L, the dominant cold-allocation cost) with the psi /
+        # invcovs host assembly below: the program shape is fully
+        # determined by (L, No, N) already (solvers/sdp.py prewarm doc)
+        from ..solvers.sdp import prewarm_mlblue
+        from ..config import allocation_device_scope
+        import threading
+
+        def _prewarm(L=self.L, No=self.n_outputs, n=self.N + 1):
+            # default_device is thread-local: re-enter the allocation
+            # scope or the dummy would compile for the main accelerator
+            with allocation_device_scope():
+                prewarm_mlblue(L, No, n)
+
+        import os as _os
+        if _os.environ.get("BLUEST_TPU_IPM_PREWARM", "1") != "0":
+            threading.Thread(target=_prewarm, daemon=True).start()
 
         self.SAPS = [SAP(self.C[n], self.Ks[n], multi_groups[n],
                          multi_costs[n], verbose=verbose)
@@ -408,12 +426,15 @@ class MOSAP:
     def spg_solve(self, budget=None, eps=None, max_model_samples=None):
         """Third continuous solver family (projected spectral gradient on
         the smoothed max-variance, solvers/spg_alloc.py) for
-        cross-validation; eps mode by homogeneity; caps unsupported."""
-        if max_model_samples is not None:
-            raise ValueError("solver='spg' does not support "
-                             "max_model_samples; use 'sdp' or 'scipy'")
-        from ..solvers.spg_alloc import solve_budget_spg_multi
+        cross-validation; eps mode by homogeneity, or budget bisection
+        when per-model caps break the homogeneity reduction."""
+        from ..solvers.spg_alloc import (solve_budget_spg_multi,
+                                         eps_caps_budget_search)
         datas = [s.data for s in self.SAPS]
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+        cr = (np.asarray(es, dtype=float).reshape(-1, self.L)
+              if es else None)
+        crhs = np.asarray(rhs, dtype=float) if es else None
         if budget is None:
             # homogeneity reduction with per-output weights eps_n^2:
             # min max_n V_n/eps_n^2 at a fixed budget + exact rescale is
@@ -424,34 +445,69 @@ class MOSAP:
                 weights=np.asarray(eps, dtype=float) ** 2)
             if m0 is None:
                 return None
-            return self._feasibility_rescale(m0, eps)
+            m0 = self._feasibility_rescale(m0, eps)
+            if m0 is None:
+                return None
+            if cr is None or np.all(cr @ m0 <= crhs * 1.0 + 1e-9):
+                return m0
+
+            def ratio_of(m):
+                m = np.maximum(m, 0)
+                Ksc = 1.0 / max(m.max(), 1e-300)
+                try:
+                    r = max(Ksc * self.SAPS[n].variance(
+                        Ksc * m[self.mappings[n]]) / eps[n] ** 2
+                        for n in range(self.n_outputs))
+                except (AssertionError, np.linalg.LinAlgError):
+                    return np.inf
+                return r if np.isfinite(r) and r > 0 else np.inf
+
+            wts = np.asarray(eps, dtype=float) ** 2
+            return eps_caps_budget_search(
+                lambda B, x0: solve_budget_spg_multi(
+                    datas, self.mappings, self.L, self.costs, B,
+                    weights=wts, cap_rows=cr, cap_rhs=crhs, x0=x0),
+                ratio_of, float(self.costs @ m0))
         return solve_budget_spg_multi(datas, self.mappings, self.L,
-                                      self.costs, float(budget))
+                                      self.costs, float(budget),
+                                      cap_rows=cr, cap_rhs=crhs)
 
     # --- reference method-name aliases (mosap.py:395, 500, 615).  Like
     # the reference they normalize eps via check_input (scalar accepted)
     # and start a fresh certificate list (solve() is not on this path).
+    # Each records its result as the current continuous solution so a
+    # subsequent kkt_certificate() verifies THIS point, not a stale one
+    # from an earlier solve().
+    def _record_continuous(self, samples, eps):
+        if samples is not None:
+            self.continuous_solution = np.asarray(samples, float).copy()
+            self._continuous_eps = eps
+        return samples
+
     def cvxopt_solve(self, budget=None, eps=None, delta=0.0,
                      max_model_samples=None, cvxopt_params=None):
         budget, eps = self.check_input(budget, eps)
         self.certificates = []
-        return self.sdp_solve(budget=budget, eps=eps,
-                              max_model_samples=max_model_samples,
-                              solver_params=cvxopt_params)
+        return self._record_continuous(
+            self.sdp_solve(budget=budget, eps=eps,
+                           max_model_samples=max_model_samples,
+                           solver_params=cvxopt_params), eps)
 
     def cvxpy_solve(self, budget=None, eps=None, delta=0.0,
                     max_model_samples=None, cvxpy_params=None):
         budget, eps = self.check_input(budget, eps)
         self.certificates = []
-        return self.sdp_solve(budget=budget, eps=eps,
-                              max_model_samples=max_model_samples,
-                              solver_params=cvxpy_params)
+        return self._record_continuous(
+            self.sdp_solve(budget=budget, eps=eps,
+                           max_model_samples=max_model_samples,
+                           solver_params=cvxpy_params), eps)
 
     def ipopt_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):
         budget, eps = self.check_input(budget, eps)
-        return self.scipy_solve(budget=budget, eps=eps, x0=x0,
-                                max_model_samples=max_model_samples)
+        return self._record_continuous(
+            self.scipy_solve(budget=budget, eps=eps, x0=x0,
+                             max_model_samples=max_model_samples), eps)
 
     def scipy_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None, eps_weights=None):
@@ -545,7 +601,9 @@ class MOSAP:
                          options={"maxiter": 5000,
                                   "verbose": 3 * int(self.verbose)},
                          tol=1e-7)
-            return r.x[1:]
+            x = validated_nlp_point(
+                r, lambda x: w @ np.maximum(x[1:], 0) <= 1.0001 * budget)
+            return None if x is None else x[1:]
 
         bounds = Bounds(np.zeros(L), np.inf * np.ones(L), keep_feasible=True)
         cons = [LinearConstraint(ee, 1, np.inf, keep_feasible=True)
@@ -575,7 +633,16 @@ class MOSAP:
                      constraints=cons, method="trust-constr",
                      options={"maxiter": 5000,
                               "verbose": 3 * int(self.verbose)}, tol=1e-7)
-        return r.x
+
+        def feasible(x):
+            m = np.maximum(x, 0)
+            try:
+                return all(
+                    self.SAPS[n].variance(m[self.mappings[n]], delta=delta)
+                    <= 1.001 * eps[n] ** 2 for n in range(No))
+            except (AssertionError, np.linalg.LinAlgError):
+                return False
+        return validated_nlp_point(r, feasible)
 
     # ------------------------ cleanup sparsifier ----------------------- #
 

@@ -29,6 +29,23 @@ from . import certificate as certmod
 _OK_STATUSES = ("optimal", "inaccurate")
 
 
+def validated_nlp_point(r, feasible):
+    """Validate a trust-constr result before handing it downstream.
+
+    The reference returns ``r.x`` unchecked (sap.py:418, mosap.py:613);
+    here the NLP is also the *fallback for IPM failures*, where a quietly
+    non-converged point matters more.  A point is rejected (-> ``None`` ->
+    ``BLUESTError`` upstream) only when the solver did NOT converge AND
+    the point is infeasible beyond the integer search's slack -- a
+    non-converged but feasible point is still a usable allocation."""
+    x = np.asarray(r.x, dtype=float)
+    if not np.all(np.isfinite(x)):
+        return None
+    if not getattr(r, "success", True) and not feasible(x):
+        return None
+    return x
+
+
 class SAP:
     """Sample Allocation Problem for one output.
 
@@ -277,55 +294,83 @@ class SAP:
         """Third continuous solver family (projected spectral gradient,
         solvers/spg_alloc.py) for cross-validation against the IPM and
         the scipy NLP -- the reference's interchangeable-solver story
-        (sap.py:242-456).  Budget mode native; eps mode by homogeneity;
-        per-model caps unsupported (use 'sdp' or 'scipy')."""
-        if max_model_samples is not None:
-            raise ValueError("solver='spg' does not support "
-                             "max_model_samples; use 'sdp' or 'scipy'")
-        from ..solvers.spg_alloc import solve_budget_spg
+        (sap.py:242-456).  Budget mode native (caps via the Dykstra
+        projection); eps mode by homogeneity, or budget bisection when
+        caps break the homogeneity reduction."""
+        from ..solvers.spg_alloc import (solve_budget_spg,
+                                         eps_caps_budget_search)
+        es, rhs = self.get_max_sample_constraints(max_model_samples)
+        cr = (np.asarray(es, dtype=float).reshape(-1, self.L)
+              if es else None)
+        crhs = np.asarray(rhs, dtype=float) if es else None
+
+        def ratio_of(m):
+            m = np.maximum(m, 0)
+            Ksc = 1.0 / max(m.max(), 1e-300)
+            try:
+                r = Ksc * self.variance(Ksc * m) / eps ** 2
+            except (AssertionError, np.linalg.LinAlgError):
+                return np.inf
+            return r if np.isfinite(r) and r > 0 else np.inf
+
         if budget is None:
             m0 = self.spg_solve(budget=10.0 * float(self.costs.sum()))
             if m0 is None:
                 return None
-            m0 = np.maximum(m0, 0)
-            Ksc = 1.0 / max(m0.max(), 1e-300)
-            try:
-                alpha = Ksc * self.variance(Ksc * m0) / eps ** 2
-            except (AssertionError, np.linalg.LinAlgError):
-                return None
+            alpha = ratio_of(m0)
             if not np.isfinite(alpha) or alpha <= 0:
                 return None
-            return alpha * m0
-        return solve_budget_spg(self.data, self.costs, float(budget))
+            m0 = alpha * np.maximum(m0, 0)
+            if cr is None or np.all(cr @ m0 <= crhs * 1.0 + 1e-9):
+                return m0
+            # caps bind: bisection on the capped budget problem seeded
+            # at the uncapped optimum's cost
+            return eps_caps_budget_search(
+                lambda B, x0: solve_budget_spg(self.data, self.costs, B,
+                                               cr, crhs, x0=x0),
+                ratio_of, float(self.costs @ m0))
+        return solve_budget_spg(self.data, self.costs, float(budget),
+                                cr, crhs)
 
     # --- reference method-name aliases (sap.py:242, 332, 420): the
     # cvxopt/cvxpy vendor paths are served by the JAX IPM, ipopt by the
     # scipy NLP; ``delta`` regularization is handled inside the solvers.
-    # Each starts a fresh certificate list (solve() is not on this path).
+    # Each starts a fresh certificate list (solve() is not on this path)
+    # and records its result as the current continuous solution so a
+    # subsequent kkt_certificate() verifies THIS point, not a stale one.
+    def _record_continuous(self, samples, eps):
+        if samples is not None:
+            self.continuous_solution = np.asarray(samples, float).copy()
+            self._continuous_eps = eps
+        return samples
+
     def cvxopt_solve(self, budget=None, eps=None, delta=0.0,
                      max_model_samples=None, cvxopt_params=None):
         if budget is None and eps is None:
             raise ValueError("Need to specify either budget or RMSE tolerance")
         self.certificates = []
-        return self.sdp_solve(budget=budget, eps=eps,
-                              max_model_samples=max_model_samples,
-                              solver_params=cvxopt_params)
+        return self._record_continuous(
+            self.sdp_solve(budget=budget, eps=eps,
+                           max_model_samples=max_model_samples,
+                           solver_params=cvxopt_params), eps)
 
     def cvxpy_solve(self, budget=None, eps=None, delta=0.0,
                     max_model_samples=None, cvxpy_params=None):
         if budget is None and eps is None:
             raise ValueError("Need to specify either budget or RMSE tolerance")
         self.certificates = []
-        return self.sdp_solve(budget=budget, eps=eps,
-                              max_model_samples=max_model_samples,
-                              solver_params=cvxpy_params)
+        return self._record_continuous(
+            self.sdp_solve(budget=budget, eps=eps,
+                           max_model_samples=max_model_samples,
+                           solver_params=cvxpy_params), eps)
 
     def ipopt_solve(self, budget=None, eps=None, x0=None,
                     max_model_samples=None):
         if budget is None and eps is None:
             raise ValueError("Need to specify either budget or RMSE tolerance")
-        return self.scipy_solve(budget=budget, eps=eps, x0=x0,
-                                max_model_samples=max_model_samples)
+        return self._record_continuous(
+            self.scipy_solve(budget=budget, eps=eps, x0=x0,
+                             max_model_samples=max_model_samples), eps)
 
     def get_variance_functions(self):
         """Reference helper (sap.py:121-143): the variance closures over
@@ -374,6 +419,9 @@ class SAP:
                          options={"maxiter": 1000,
                                   "verbose": 3 * int(self.verbose)},
                          tol=1e-8)
+
+            def feasible(x):
+                return w @ np.maximum(x, 0) <= 1.0001 * budget
         else:
             epsq = eps ** 2
             nl = NonlinearConstraint(
@@ -390,7 +438,14 @@ class SAP:
                          options={"maxiter": 1000,
                                   "verbose": 3 * int(self.verbose)},
                          tol=1e-10)
-        return r.x
+
+            def feasible(x):
+                try:
+                    return (self.variance(np.maximum(x, 0))
+                            <= 1.001 * eps ** 2)
+                except (AssertionError, np.linalg.LinAlgError):
+                    return False
+        return validated_nlp_point(r, feasible)
 
     # ------------------------ integer projection ---------------------- #
 

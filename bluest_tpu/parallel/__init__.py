@@ -1,2 +1,2 @@
-from .mesh import (sample_mesh, sample_model_mesh, initialize_distributed,
-                   SAMPLE_AXIS, MODEL_AXIS)
+from .mesh import (sample_mesh, sample_model_mesh, dcn_sample_model_mesh,
+                   initialize_distributed, SAMPLE_AXIS, MODEL_AXIS)

@@ -48,6 +48,8 @@ class HostComm:
         return self.size
 
     def barrier(self) -> None:
+        if self.size == 1:      # size-1 comms carry no barrier object
+            return
         self._barrier.wait()
 
     Barrier = barrier

@@ -41,3 +41,40 @@ def initialize_distributed(**kwargs) -> None:
     """Multi-host initialization hook (jax.distributed) -- replaces
     `mpiexec` process management for multi-slice jobs."""
     jax.distributed.initialize(**kwargs)
+
+
+def dcn_sample_model_mesh(n_model: Optional[int] = None) -> jax.sharding.Mesh:
+    """Multi-slice 2D mesh laid out for the interconnect hierarchy.
+
+    The sample axis varies ACROSS processes (slices) and the model axis
+    stays WITHIN one process's local devices.  Monte Carlo sampling only
+    communicates on the sample axis once, in the final psum of the small
+    sum arrays -- cheap even over DCN -- while an internally-distributed
+    model (the reference's nested-MPI pattern, blue_models.py:121-130)
+    does per-sample collectives on the model axis, which this layout
+    keeps on intra-slice ICI.  This is BASELINE config 5's mesh: call
+    ``initialize_distributed`` on every process, then build this mesh
+    and pass it as ``params["mesh"]``.
+
+    ``n_model``: devices per model instance (must divide the local device
+    count; default all local devices, i.e. one model instance per
+    process).  With ``n_model=1`` the model axis is dropped and the
+    result is a 1D cross-process sample mesh.
+    """
+    procs = jax.process_count()
+    local = jax.local_device_count()
+    if n_model is None:
+        n_model = local
+    n_model = int(n_model)
+    if n_model < 1 or local % n_model:
+        raise ValueError(
+            "n_model=%d must divide the local device count %d so a model "
+            "instance never straddles the DCN boundary" % (n_model, local))
+    # order globally by (process, per-process position) so each mesh row
+    # (model axis) is one process's contiguous devices
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    rows = procs * (local // n_model)
+    if n_model == 1:
+        return jax.sharding.Mesh(np.array(devs), (SAMPLE_AXIS,))
+    arr = np.array(devs).reshape(rows, n_model)
+    return jax.sharding.Mesh(arr, (SAMPLE_AXIS, MODEL_AXIS))

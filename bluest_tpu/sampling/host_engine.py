@@ -14,6 +14,7 @@ standard dot)."""
 
 from __future__ import annotations
 
+import os
 import sys
 from inspect import signature
 from time import time
@@ -50,30 +51,7 @@ def _is_standard_inner(fn) -> bool:
         return False
 
 
-class _Progress:
-    """Single-line sampling progress (reference UX: blue_fn.py:91-95)."""
-
-    def __init__(self, label: str, total: int, enabled: bool):
-        self.label = label
-        self.total = total
-        self.enabled = enabled and total > 1
-        self.t0 = time()
-        self.last = 0.0
-
-    def update(self, done: int, force: bool = False):
-        if not self.enabled:
-            return
-        now = time()
-        if not force and now - self.last < 1.0:
-            return
-        self.last = now
-        rate = done / max(now - self.t0, 1e-9)
-        eta = (self.total - done) / max(rate, 1e-9)
-        sys.stdout.write("\r  sampling %s: %d/%d (%.0f/s, ETA %.0fs)   "
-                         % (self.label, done, self.total, rate, eta))
-        if force:
-            sys.stdout.write("\n")
-        sys.stdout.flush()
+from ..progress import Progress as _Progress  # shared ETA implementation
 
 
 def _window_sums(vals, No, L, inners, fast, compute_diffs):
@@ -258,8 +236,24 @@ def _worker_chunk(args):
 
 
 def _worker_snapfile(filename, wid):
-    parts = filename.split(".")
-    return ".".join(parts[:-1]) + (".w%d." % wid) + parts[-1]
+    # split only the basename's extension: 'run.v2/snap.npz' must become
+    # 'run.v2/snap.w0.npz', and an extensionless 'snap' must not turn
+    # into the hidden file '.w0.snap'
+    head, tail = os.path.split(filename)
+    base, ext = os.path.splitext(tail)
+    return os.path.join(head, base + (".w%d" % wid) + ext)
+
+
+def _clear_stale_worker_snapshots(filename, ls, n_workers):
+    """Remove worker snapshot files left behind by a crashed prior run.
+
+    A stale ``.wN.`` file would be appended to by the new run's worker and
+    then merged, double-counting the aborted run's samples."""
+    for wid in range(n_workers):
+        wname = snapshots.snapshot_filename(_worker_snapfile(filename, wid),
+                                            ls)
+        if os.path.isfile(wname):
+            os.remove(wname)
 
 
 def _group_member(problem, ls, n, group_id, comm, out_queue, No,
@@ -321,6 +315,8 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
     for i in range(N % n_workers):
         NN[i] += 1
     ctx = mp.get_context("spawn")
+    if filename is not None:
+        _clear_stale_worker_snapshots(filename, ls, n_workers)
 
     if model_workers > 1:
         from ..parallel.hostcomm import make_group_comms

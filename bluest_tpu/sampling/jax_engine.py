@@ -154,3 +154,107 @@ def make_model_fn(sampler_jax: Callable, evaluate_jax: Callable, ls):
         return jnp.asarray(out)
 
     return model_fn
+
+
+# ----------------------- snapshot-collecting variant ---------------------- #
+
+def make_collect_fn(sampler_jax: Callable, evaluate_jax: Callable, ls):
+    """Like make_model_fn but also returns the flattened random inputs, so
+    the engine can persist (input, outputs) snapshot pairs."""
+    ls = tuple(int(l) for l in ls)
+
+    def fn(key):
+        samples = sampler_jax(key, ls)
+        out = evaluate_jax(ls, samples)
+        flat = jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree.leaves(samples)])
+        return jnp.asarray(out), flat
+
+    return fn
+
+
+def _one_sample_collect(fn: Callable, key, max_resample: int):
+    """_one_sample keeping the accepted sample's raw inputs alongside."""
+    P0, s0 = fn(key)
+    ok0 = jnp.all(jnp.isfinite(P0))
+    if max_resample == 0:
+        return P0, s0, ok0
+
+    def cond(st):
+        tries, P, s, ok = st
+        return (~ok) & (tries < max_resample)
+
+    def body(st):
+        tries, P, s, ok = st
+        k2 = jax.random.fold_in(key, tries + 1)
+        P2, s2 = fn(k2)
+        ok2 = jnp.all(jnp.isfinite(P2))
+        return (tries + 1, jnp.where(ok2, P2, P),
+                jnp.where(ok2, s2, s), ok2)
+
+    _, P, s, ok = jax.lax.while_loop(cond, body,
+                                     (jnp.asarray(0), P0, s0, ok0))
+    return P, s, ok
+
+
+def build_group_collect_engine(collect_fn: Callable, No: int, L: int,
+                               batch_size: int = 4096,
+                               max_resample: int = 64):
+    """Snapshot-collecting sibling of build_group_engine: same sums, but
+    every accepted sample's outputs and raw inputs are returned for
+    ``samplefile`` persistence (reference blue_fn.py:133-145; the
+    factored-model path gets this from KernelEngineV2.sample_sums
+    collect=True).  Runs single-device: snapshot streams are host-bound
+    anyway, so sharding the collection buys nothing.
+
+    ``collect_fn(key) -> ((No, L[, d]) outputs, (q,) flat inputs)``.
+    Returns ``engine(key, N) -> (SampleSums, vals, inputs, valid)`` with
+    ``vals (n_pad, No, L[, d])``, ``inputs (n_pad, q)`` and ``valid``
+    the (n_pad,) mask of rows that are real (idx < N) and finite."""
+
+    def engine(key, N, n_pad: int):
+        n_chunks = n_pad // batch_size
+
+        def chunk(carry, c):
+            se, sc, d1, d2, nf = carry
+            idx = c * batch_size + jnp.arange(batch_size)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+            Ps, Ss, oks = jax.vmap(
+                lambda k: _one_sample_collect(collect_fn, k,
+                                              max_resample))(keys)
+            P64 = Ps.astype(jnp.float64)
+            if P64.ndim == 3:
+                P64 = P64[..., None]       # (B, No, L, d)
+            w = ((idx < N) & oks).astype(jnp.float64)
+            nf = nf + jnp.sum((idx < N) & ~oks)
+            se = se + jnp.einsum('bnld,b->nld', P64, w)
+            sc = sc + jnp.einsum('bnid,bnjd,b->nij', P64, P64, w)
+            D = P64[:, :, :, None, :] - P64[:, :, None, :, :]
+            d1 = d1 + jnp.einsum('bnijd,b->nijd', D, w)
+            d2 = d2 + jnp.einsum('bnijd,bnijd,b->nij', D, D, w)
+            return (se, sc, d1, d2, nf), (Ps, Ss, (idx < N) & oks)
+
+        d = jax.eval_shape(collect_fn, jax.random.key(0))[0].shape
+        d = d[2] if len(d) == 3 else 1
+        init = (jnp.zeros((No, L, d)), jnp.zeros((No, L, L)),
+                jnp.zeros((No, L, L, d)), jnp.zeros((No, L, L)),
+                jnp.asarray(0, jnp.int64))
+        (se, sc, d1, d2, nf), (vals, inputs, valid) = jax.lax.scan(
+            chunk, init, jnp.arange(n_chunks))
+        vals = vals.reshape((n_pad,) + vals.shape[2:])
+        inputs = inputs.reshape((n_pad,) + inputs.shape[2:])
+        return (SampleSums(se, sc, d1, d2, nf), vals, inputs,
+                valid.reshape(-1))
+
+    cache = {}
+
+    def compiled(key, N: int):
+        N = int(N)
+        n_batches = max(1, -(-N // batch_size))
+        n_batches = 1 << (n_batches - 1).bit_length()      # pow2 bucket
+        n_pad = n_batches * batch_size
+        if n_pad not in cache:
+            cache[n_pad] = jax.jit(partial(engine, n_pad=n_pad))
+        return cache[n_pad](key, N)
+
+    return compiled

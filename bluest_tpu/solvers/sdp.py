@@ -48,6 +48,7 @@ Design notes:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -108,6 +109,66 @@ def _chol_apply(fac, RHS):
     return X[:, 0] if one_d else X
 
 
+# ------------------- diagonal + low-rank (Woodbury) ----------------------- #
+
+def _psd_lowrank_factor(Ms):
+    """Low-rank factor of the PSD-block Gram:  (nb, nx, n, n) symmetric
+    slabs -> W of shape (nx, nb*n(n+1)/2) with
+    (W W^T)[i,k] = sum_b <Ms[b,i], Ms[b,k]>_F  (symmetric vectorization,
+    off-diagonals weighted by sqrt(2))."""
+    nb, nx, n, _ = Ms.shape
+    iu0, iu1 = np.triu_indices(n)
+    wts = jnp.asarray(np.where(iu0 == iu1, 1.0, np.sqrt(2.0)), Ms.dtype)
+    V = Ms[:, :, iu0, iu1] * wts                   # (nb, nx, ns)
+    return jnp.transpose(V, (1, 0, 2)).reshape(nx, nb * iu0.shape[0])
+
+
+def _wood_factor(d0, W, jitter=1e-14):
+    """Factor  H = diag(d0) + W W^T  via the capacitance matrix
+    C = I + W^T diag(1/d0) W  (equilibrated Cholesky, like _chol_factor).
+
+    This is the large-L fast path of the IPM: the MLBLUE normal matrix is
+    diag + rank-(p_R + nb*n(n+1)/2), so factoring costs O(nx r^2 + r^3)
+    instead of the dense O(nx^3) -- at L ~ 3300 group variables and
+    r ~ 530 that is the difference between ~2 s and ~0.1 s per iteration.
+
+    Numerical note: d0 = (z/s) gl^2 spans ~mu..1/mu late in the solve, so
+    the Woodbury recovery x = D^{-1}b - D^{-1}W C^{-1} W^T D^{-1} b
+    cancels up to ~12 digits on coordinates where a tiny d0 meets an O(1)
+    low-rank column.  _wood_apply therefore runs FOUR steps of iterative
+    refinement against the exact implicit matvec (each O(nx r), ~free):
+    measured on an L=1585 HH-like instance, 2 steps stall the endgame at
+    gap 4e-8 ('inaccurate') while 4 match the dense path's iteration
+    count and 'optimal' exit; the equilibrated capacitance Cholesky
+    handles the scale spread the same way the dense path's equilibration
+    does."""
+    r = W.shape[1]
+    Wd = W / d0[:, None]
+    C = jnp.eye(r, dtype=W.dtype) + W.T @ Wd
+    return d0, W, Wd, _chol_factor(C, jitter=jitter)
+
+
+_WOOD_REFINE = int(os.environ.get("BLUEST_TPU_WOOD_REFINE", "4"))
+
+
+def _wood_apply(fac, RHS):
+    d0, W, Wd, Cfac = fac
+    one_d = RHS.ndim == 1
+    B = RHS[:, None] if one_d else RHS
+
+    def solve(b):
+        t = b / d0[:, None]
+        return t - Wd @ _chol_apply(Cfac, W.T @ t)
+
+    def matvec(x):
+        return d0[:, None] * x + W @ (W.T @ x)
+
+    X = solve(B)
+    for _ in range(_WOOD_REFINE):
+        X = X + solve(B - matvec(X))
+    return X[:, 0] if one_d else X
+
+
 # --------------------- batched PSD cone primitives ----------------------- #
 
 def _nt_scaling(S, Z):
@@ -152,10 +213,10 @@ def _max_step_scalar(t, dt):
 
 # ---------------------- one HSD predictor-corrector step ------------------ #
 
-def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
-                    gl_diag, Rj, x, s_lp, S, z_lp, Z, tau, kappa):
+def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
+                    gl_diag, Rj, woodbury, x, s_lp, S, z_lp, Z, tau, kappa):
     """One NT-scaled Mehrotra step on the HSD embedding.  Traced inside the
-    fused while_loop; ``p``/``nb`` branches are Python-static (shapes).
+    fused while_loop; ``p``/``nb``/``woodbury`` branches are Python-static.
 
     ``gl_diag``/``Rj``: when the caller detects Gl = [diag(gl_diag); R]
     (the MLBLUE form: m >= 0 rows plus a handful of budget/coverage/cap
@@ -163,7 +224,16 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
     diag(d * gl_diag^2) + R^T diag(d_R) R instead of the dense
     O(nx^2 p) product -- the difference between 9 s and ~2 s per
     iteration at L ~ 3300 group variables.  ``gl_diag`` has size 0 when
-    the structure does not apply."""
+    the structure does not apply.
+
+    ``woodbury`` (static): never materialize the nx x nx normal matrix at
+    all.  Its PSD contribution tr(A_i T^-1 A_k T^-1) is the Gram of
+    svec(Rinv A_i Rinv^T) (rank nb*n(n+1)/2 per the NT factor Rinv with
+    T^-1 = Rinv^T Rinv), so Hmat = diag(d0) + W W^T with
+    W = [R^T sqrt(d_R) | svec factors] and all solves go through the
+    r x r capacitance (_wood_factor).  ``gsolve`` solves against the
+    Gram matrix G^T G for the dual polish (dense Cholesky or the same
+    Woodbury structure, chosen by the caller)."""
     p = Glj.shape[0]
     nb, nx, n, _ = Aj.shape
     nu = p + nb * n + 1
@@ -210,22 +280,39 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
         # R^T Z R = diag(lam)  =>  Z^{-1} = R diag(1/lam) R^T -- free from
         # the NT factors (replaces a per-iteration batched eigh)
         Zinv = _sym(jnp.einsum('bij,bj,bkj->bik', Rnt, 1.0 / lam, Rnt))
-        # (A kron reformulation of this contraction -- vec(T A T) =
-        # (T (x) T) vec(A) as one (nx, n^2)@(n^2, n^2) matmul per block
-        # -- was measured in-program at L=3301 and is NOT faster than
-        # the einsum once machine-speed drift is controlled for:
-        # einsum 1.69s/iter vs kron 1.91s/iter in the same window, with
-        # the Y contraction ~0.5s/iter of either (by ablation).  Host
-        # machine throughput here swings ~2x between runs; only
-        # same-window comparisons are meaningful.)
-        Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
-        Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
-        if p:
-            Hmat = Hmat + hmat_lp()
         TinvH = _sym(jnp.einsum('bij,bjl,blm->bim', Tinv, Hj, Tinv))
+        if not woodbury:
+            # (A kron reformulation of this contraction -- vec(T A T) =
+            # (T (x) T) vec(A) as one (nx, n^2)@(n^2, n^2) matmul per block
+            # -- was measured in-program at L=3301 and is NOT faster than
+            # the einsum once machine-speed drift is controlled for:
+            # einsum 1.69s/iter vs kron 1.91s/iter in the same window, with
+            # the Y contraction ~0.5s/iter of either (by ablation).  Host
+            # machine throughput here swings ~2x between runs; only
+            # same-window comparisons are meaningful.)
+            Y = jnp.einsum('bij,bkjl,blm->bkim', Tinv, Aj, Tinv)
+            Hmat = jnp.einsum('binm,bknm->ik', Aj, Y)
+            if p:
+                Hmat = Hmat + hmat_lp()
     else:
-        Hmat = hmat_lp()
         TinvH = Hj
+        if not woodbury:
+            Hmat = hmat_lp()
+
+    if woodbury:
+        # Hmat = diag(d0) + W W^T, never materialized (module docstring;
+        # VERDICT r2 item 1).  Requires the structured-Gl form.
+        d0 = d_lp[:nx] * gl_diag ** 2
+        parts = [Rj.T * jnp.sqrt(d_lp[nx:])[None, :]]
+        if nb:
+            Mb = jnp.einsum('baj,bijl,bcl->biac', Rinv, Aj, Rinv)
+            parts.append(_psd_lowrank_factor(Mb))
+        W = jnp.concatenate(parts, axis=1)
+        Hfac = _wood_factor(d0, W)
+        hsolve = partial(_wood_apply, Hfac)
+    else:
+        Hfac = _chol_factor(Hmat)
+        hsolve = partial(_chol_apply, Hfac)
 
     def Winv2(u_lp, U_psd):
         """(W^T W)^{-1} applied blockwise."""
@@ -239,8 +326,7 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
     if nb:
         hWh = hWh + jnp.sum(Hj * TinvH)
 
-    Hfac = _chol_factor(Hmat)
-    v1 = _chol_apply(Hfac, cj - q)
+    v1 = hsolve(cj - q)
     denom = (cj + q) @ v1 + hWh + kappa / tau
 
     def direction(fr, bs_lp, Bs_psd, bk):
@@ -252,7 +338,7 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
         bt = fr * rg
         wb_lp, Wb_psd = Winv2(bz_lp + bs_lp, (Bz_psd + Bs_psd) if nb else Bs_psd)
         rx = -bx + GT(wb_lp, Wb_psd)
-        v2 = _chol_apply(Hfac, rx)
+        v2 = hsolve(rx)
         rt = (-bt - bk / tau
               - (hlj @ wb_lp if p else 0.0)
               - (jnp.sum(Hj * Wb_psd) if nb else 0.0))
@@ -353,7 +439,7 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
     # iterations otherwise lose dual feasibility to cancellation when
     # recovering dz through (W^T W)^{-1}, stalling dres at ~1e-4.
     rd_n = cj * tau_n + GT(z_lp_n, Z_n)
-    delta = -(_Gall_j @ _chol_apply(_Gfac, rd_n))
+    delta = -(_Gall_j @ gsolve(rd_n))
     # gate: polish once the dual residual is small relative to the data --
     # a large projection mid-run throws the iterate off the central path.
     # The bound is loose (1e-2) because the cone max-step below already
@@ -380,10 +466,10 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, _Gfac, cnorm, step_frac,
 
 # --------------------------- fused full solve ----------------------------- #
 
-@partial(jax.jit, static_argnames=("verbose",))
+@partial(jax.jit, static_argnames=("verbose", "woodbury"))
 def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
                cnorm, hnorm, step_frac, tol, feastol, max_iter,
-               verbose=False):
+               verbose=False, woodbury=False):
     """Full HSD-IPM solve as one compiled program.
 
     Initialization (least-squares start + cvxopt-style interior shift), the
@@ -401,9 +487,20 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     # ----- initialization: least-squares primal/dual start at tau = 1 -----
     hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
                            if nb else [hlj], axis=0)
-    Gfac = _chol_factor(_GtG_j)   # constant: factor once per solve
-    x0 = _chol_apply(Gfac, _Gall_j.T @ hall)
-    z_all = _Gall_j @ _chol_apply(Gfac, -cj)
+    if woodbury:
+        # G^T G = diag(gl^2) + R^T R + sum_b vec(A_i).vec(A_k): the same
+        # diag + low-rank structure as the normal matrix (the host never
+        # materializes the nx x nx Gram at all -- _GtG_j is a dummy here)
+        parts0 = [Rj.T]
+        if nb:
+            parts0.append(_psd_lowrank_factor(Aj))
+        Gfac = _wood_factor(gl_diag ** 2, jnp.concatenate(parts0, axis=1))
+        gsolve = partial(_wood_apply, Gfac)
+    else:
+        Gfac = _chol_factor(_GtG_j)   # constant: factor once per solve
+        gsolve = partial(_chol_apply, Gfac)
+    x0 = gsolve(_Gall_j.T @ hall)
+    z_all = _Gall_j @ gsolve(-cj)
     s_lp = hlj - Glj @ x0
     S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
     z_lp = z_all[:p]
@@ -448,8 +545,8 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     def body(st):
         (x_n, s_n, S_n, z_n, Z_n, tau_n, kappa_n,
          gap_r, pres_r, dres_r, a) = _iteration_core(
-            cj, Glj, hlj, Aj, Hj, _Gall_j, Gfac, cnorm, step_frac,
-            gl_diag, Rj,
+            cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
+            gl_diag, Rj, woodbury,
             st["x"], st["s_lp"], st["S"], st["z_lp"], st["Z"],
             st["tau"], st["kappa"])
         it = st["it"] + 1
@@ -521,7 +618,7 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     rd0 = cj * tau + (Glj.T @ z_lp_f if p else 0.0)
     if nb:
         rd0 = rd0 + jnp.einsum('binm,bnm->i', Aj, st["Z"])
-    delta_f = -(_Gall_j @ _chol_apply(Gfac, rd0))
+    delta_f = -(_Gall_j @ gsolve(rd0))
     beta_f = jnp.asarray(1.0)
     if p:
         beta_f = jnp.minimum(beta_f, 0.99 * _max_step_lp(z_lp_f,
@@ -564,7 +661,7 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
 # ------------------------------- solver ---------------------------------- #
 
 def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
-             verbose):
+             verbose, woodbury):
     """Dispatch the fused IPM program.
 
     (A jax.export StableHLO disk cache was tried here to skip the ~1s
@@ -573,7 +670,46 @@ def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
     of this module crash/hang this jax build's XLA:CPU; the direct call
     stands until the toolchain supports it.)"""
     return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
-                      max_iter, verbose=verbose)
+                      max_iter, verbose=verbose, woodbury=woodbury)
+
+
+_WARMED = set()
+
+
+def prewarm_mlblue(L: int, No: int, n: int,
+                   budget_epigraph: bool = False) -> None:
+    """Trace + compile the fused IPM program for an MLBLUE shape class.
+
+    The per-process TRACE+LOWER of the while_loop program (~1.3 s at
+    L ~ 3300) is the dominant cold-allocation cost and the persistent XLA
+    cache cannot remove it (it only skips backend compilation).  The
+    program's jit cache key is (shapes, statics) only, so running a
+    trivial dummy instance of the SAME shape with max_iter=1 (max_iter is
+    a traced scalar) populates the cache for the real solve.  MOSAP
+    construction calls this from a daemon thread so the trace overlaps
+    psi/invcovs assembly (VERDICT r2 item 4).
+
+    Shape contract (allocation/cones.py): direct-eps programs have
+    nx = L, p = L + No; budget-epigraph programs nx = L + 1,
+    p = L + 2 + No.  Caps add rows and trace separately at solve time.
+    """
+    key = (int(L), int(No), int(n), bool(budget_epigraph))
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    rng = np.random.default_rng(0)
+    nx = L + 1 if budget_epigraph else L
+    c = np.ones(nx)
+    extra = 2 + No if budget_epigraph else No
+    Gl = np.vstack([-np.eye(nx), rng.random((extra, nx))])
+    hl = np.concatenate([np.zeros(nx), np.full(extra, float(nx))])
+    v = rng.standard_normal((No, nx, n))
+    As = -v[..., None] * v[..., None, :]        # random PSD slices
+    Hs = np.tile(np.eye(n), (No, 1, 1)) * float(nx)
+    try:
+        solve_cone_lp(c, Gl, hl, As, Hs, max_iter=1)
+    except Exception:                            # pragma: no cover
+        _WARMED.discard(key)
 
 
 def solve_cone_lp(c: np.ndarray,
@@ -586,7 +722,8 @@ def solve_cone_lp(c: np.ndarray,
                   max_iter: int = 200,
                   step_frac: float = 0.99,
                   equilibrate: bool = True,
-                  verbose: bool = False) -> ConeLPResult:
+                  verbose: bool = False,
+                  woodbury: Optional[bool] = None) -> ConeLPResult:
     """Solve  min c^T x  s.t.  Gl x <= hl,  sum_i x_i As[b,i] <= Hs[b].
 
     ``As``: (nb, nx, n, n) symmetric coefficient slices; ``Hs``: (nb, n, n).
@@ -648,12 +785,27 @@ def solve_cone_lp(c: np.ndarray,
         gl_diag = np.zeros(0)
         R_np = np.zeros((0, nx))
 
+    # Woodbury fast path (VERDICT r2 item 1): with structured Gl the
+    # normal matrix is diag + rank-r, r = extra LP rows + nb*n(n+1)/2.
+    # Auto-enable when the rank gap pays for the capacitance detour;
+    # the small-nx dense path keeps its long-validated numerics.
+    rank_lr = (p - nx) + nb * (n * (n + 1)) // 2
+    if woodbury is None:
+        woodbury = (gl_diag.shape[0] == nx and nx >= 512
+                    and nx >= 3 * rank_lr)
+    elif woodbury and gl_diag.shape[0] != nx:
+        raise ValueError("woodbury=True requires the structured "
+                         "[-diag; rows] Gl form")
+    GtG = (np.zeros((1, 1)) if woodbury          # never materialized
+           else _Gall.T @ _Gall)
+
     arrays = (jnp.asarray(c_np), jnp.asarray(Gl_np), jnp.asarray(hl_np),
               jnp.asarray(As_np), jnp.asarray(Hs_np),
-              jnp.asarray(_Gall), jnp.asarray(_Gall.T @ _Gall),
+              jnp.asarray(_Gall), jnp.asarray(GtG),
               jnp.asarray(gl_diag), jnp.asarray(R_np))
     (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
-        arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose)
+        arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose,
+        bool(woodbury))
 
     it = int(it)
     if not np.isfinite(float(best_merit)):
@@ -677,14 +829,16 @@ def solve_cone_lp(c: np.ndarray,
         # point is excellent, and downstream consumers (homogeneity
         # rescale, integer projection) re-establish feasibility exactly.
         status = "inaccurate"
-    elif it >= max_iter:
-        status = "max_iter"
     elif int(done) == 4:
         # tau collapse: the HSD embedding's (in)feasibility certificate.
         # Distinguished from generic numerical failure so callers and
         # certificates can report it (downstream still treats it as
         # not-OK; e.g. caps contradicting the coverage constraint).
+        # Checked before max_iter: a collapse detected on the last
+        # permitted iteration is still a certificate.
         status = "infeasible"
+    elif it >= max_iter:
+        status = "max_iter"
     else:
         status = "failed"
     return ConeLPResult(x=xb, status=status, iterations=it,

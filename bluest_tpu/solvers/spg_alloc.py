@@ -66,6 +66,59 @@ def budget_projection(w, budget):
     return proj
 
 
+def capped_projection(w, budget, cap_rows, cap_rhs, n_sweeps: int = 200):
+    """Dykstra projection onto {m >= 0, w.m <= B, E_i.m <= r_i}.
+
+    Generalizes budget_projection to the per-model sample caps of the
+    reference (sap.py:222-240) so the SPG family can cross-validate
+    capped instances too (round-2 VERDICT item 6).  Dykstra's alternating
+    scheme over the orthant + each halfspace converges to the exact
+    Euclidean projection of the intersection; a final shrink guarantees
+    strict feasibility regardless of where the sweep stopped."""
+    w = jnp.asarray(w, dtype=jnp.float64)
+    A = jnp.concatenate([w[None, :],
+                         jnp.asarray(cap_rows, dtype=jnp.float64)], axis=0)
+    b = jnp.concatenate([jnp.asarray([budget], dtype=jnp.float64),
+                         jnp.asarray(cap_rhs, dtype=jnp.float64)])
+    nrm2 = jnp.maximum(jnp.sum(A * A, axis=1), 1e-300)
+    q = A.shape[0]
+
+    def proj(x):
+        def sweep(_, st):
+            y, P, p0 = st
+            z = y + p0                      # orthant
+            y = jnp.maximum(z, 0.0)
+            p0 = z - y
+
+            def half(i, st2):
+                y, P = st2
+                z = y + P[i]
+                t = jnp.maximum(A[i] @ z - b[i], 0.0) / nrm2[i]
+                ynew = z - t * A[i]
+                return ynew, P.at[i].set(z - ynew)
+
+            y, P = jax.lax.fori_loop(0, q, half, (y, P))
+            return y, P, p0
+
+        y, _, _ = jax.lax.fori_loop(
+            0, n_sweeps, sweep,
+            (x, jnp.zeros((q, x.shape[0])), jnp.zeros_like(x)))
+        # exact feasibility: clip the orthant, then shrink -- scaling
+        # down preserves the orthant and every halfspace is homogeneous
+        y = jnp.maximum(y, 0.0)
+        alpha = jnp.min(jnp.concatenate(
+            [jnp.ones(1), b / jnp.maximum(A @ y, 1e-300)]))
+        return jnp.minimum(alpha, 1.0) * y
+
+    return proj
+
+
+def _make_proj(w, budget, cap_rows, cap_rhs):
+    if cap_rows.shape[0]:
+        return capped_projection(w, budget, cap_rows, cap_rhs)
+    return budget_projection(w, budget)
+
+
 def _reg_variance(data, m, delta0):
     """((PHI(m) + delta0 I)^{-1})_00 via Cholesky (jax-traceable in m)."""
     PHI = psimod.phi_of_m(data.psi, m, 0.0) + delta0 * jnp.eye(data.M)
@@ -80,19 +133,34 @@ def _delta0_for(data, x0):
 
 
 @partial(jax.jit, static_argnames=("data",))
-def _spg_budget_single(data, w, budget, x0, f0, delta0, gtol):
+def _spg_budget_single(data, w, budget, x0, f0, delta0, gtol,
+                       cap_rows, cap_rhs):
     feval = lambda m: _reg_variance(data, m, delta0) / f0
     geval = jax.grad(feval)
-    proj = budget_projection(w, budget)
+    proj = _make_proj(w, budget, cap_rows, cap_rhs)
     res = spg(feval, geval, proj, x0, eps=gtol, maxit=3000)
     return res.x, res.f, res.it
 
 
-def solve_budget_spg(data, costs, budget):
-    """Single-output budget-mode solve; returns the allocation (L,)."""
+def _cap_arrays(L, cap_rows, cap_rhs):
+    if cap_rows is None or len(cap_rows) == 0:
+        return np.zeros((0, L)), np.zeros((0,))
+    return (np.asarray(cap_rows, dtype=float).reshape(-1, L),
+            np.asarray(cap_rhs, dtype=float).ravel())
+
+
+def solve_budget_spg(data, costs, budget, cap_rows=None, cap_rhs=None,
+                     x0=None):
+    """Single-output budget-mode solve; returns the allocation (L,).
+
+    ``cap_rows``/``cap_rhs``: optional per-model sample-cap halfspaces
+    E_i.m <= r_i (reference sap.py:222-240).  ``x0`` warm-starts the
+    iteration (used by the eps+caps budget bisection)."""
     w = np.asarray(costs, dtype=float)
     L = data.L
-    x0 = np.full(L, 0.95 * budget / w.sum())
+    cr, crhs = _cap_arrays(L, cap_rows, cap_rhs)
+    if x0 is None:
+        x0 = np.full(L, 0.95 * budget / w.sum())
     delta0 = _delta0_for(data, x0)
     f0 = float(_reg_variance(data, jnp.asarray(x0), delta0))
     if not np.isfinite(f0) or f0 <= 0:
@@ -100,7 +168,8 @@ def solve_budget_spg(data, costs, budget):
     # gradient scale: |grad of normalized objective| ~ 1/m-scale
     gtol = 1e-10 / (budget / w.sum())
     x, f, it = _spg_budget_single(data, jnp.asarray(w), budget,
-                                  jnp.asarray(x0), f0, delta0, gtol)
+                                  jnp.asarray(x0), f0, delta0, gtol,
+                                  jnp.asarray(cr), jnp.asarray(crhs))
     x = np.asarray(x)
     if not np.all(np.isfinite(x)) or int(it) == 0:
         # it == 0: the very first line search failed (NaN objective near
@@ -110,9 +179,68 @@ def solve_budget_spg(data, costs, budget):
     return np.maximum(x, 0.0)
 
 
+def eps_caps_budget_search(solve_at, ratio_of, B0,
+                           max_doubles: int = 24, iters: int = 26):
+    """eps mode under per-model caps for the SPG family.
+
+    Caps break the homogeneity reduction (they do not scale with m), so
+    the min-cost-at-tolerance problem is solved by monotone bisection on
+    the budget of the *capped* min-max-variance problem: V*(B) is
+    nonincreasing in B, and the optimal budget is where the binding
+    tolerance ratio hits 1.  ``solve_at(B, x0) -> m | None`` is a capped
+    budget solve (warm-startable), ``ratio_of(m) -> max_n V_n/eps_n^2``.
+    Returns the cheapest feasible allocation found, or None when the
+    caps make the tolerance unreachable at any budget."""
+    B = float(B0)
+    m = solve_at(B, None)
+    if m is None:
+        return None
+    r = ratio_of(m)
+    k = 0
+    while (not np.isfinite(r) or r > 1.0) and k < max_doubles:
+        B *= 2.0
+        m2 = solve_at(B, m)
+        if m2 is None:
+            return None
+        m, r = m2, ratio_of(m2)
+        k += 1
+    if not np.isfinite(r) or r > 1.0:
+        return None                      # certifiably cap-limited
+    m_hi, B_hi = m, B
+    if k == 0:
+        # already feasible at B0: bracket downward
+        B_lo = B0
+        for _ in range(max_doubles):
+            B_lo = B_lo / 2.0
+            m2 = solve_at(B_lo, m_hi)
+            if m2 is None:
+                break
+            r2 = ratio_of(m2)
+            if np.isfinite(r2) and r2 <= 1.0:
+                m_hi, B_hi = m2, B_lo
+            else:
+                break
+        else:
+            return m_hi
+    else:
+        B_lo = B / 2.0
+    for _ in range(iters):
+        Bm = 0.5 * (B_lo + B_hi)
+        m2 = solve_at(Bm, m_hi)
+        if m2 is None:
+            B_lo = Bm
+            continue
+        r2 = ratio_of(m2)
+        if np.isfinite(r2) and r2 <= 1.0:
+            m_hi, B_hi = m2, Bm
+        else:
+            B_lo = Bm
+    return m_hi
+
+
 @partial(jax.jit, static_argnames=("datas", "temp"))
 def _spg_budget_multi(datas, mappings, w, budget, x0, wts, delta0s,
-                      temp, gtol):
+                      temp, gtol, cap_rows, cap_rhs):
     def feval(m):
         vs = jnp.stack([
             _reg_variance(d, m[mp], dd) / wt
@@ -120,13 +248,14 @@ def _spg_budget_multi(datas, mappings, w, budget, x0, wts, delta0s,
         return jax.scipy.special.logsumexp(temp * vs) / temp
 
     geval = jax.grad(feval)
-    proj = budget_projection(w, budget)
+    proj = _make_proj(w, budget, cap_rows, cap_rhs)
     res = spg(feval, geval, proj, x0, eps=gtol, maxit=3000)
     return res.x, res.f, res.it
 
 
 def solve_budget_spg_multi(datas: Sequence, mappings: Sequence,
-                           L: int, costs, budget, weights=None):
+                           L: int, costs, budget, weights=None,
+                           cap_rows=None, cap_rhs=None, x0=None):
     """Multi-output budget mode: min (smoothed) max_n V_n(m)/weights_n
     over the union allocation, with temperature continuation 16 -> 1024.
 
@@ -140,7 +269,9 @@ def solve_budget_spg_multi(datas: Sequence, mappings: Sequence,
     No = len(datas)
     weights = (np.ones(No) if weights is None
                else np.asarray(weights, dtype=float))
-    x0 = np.full(L, 0.95 * budget / w.sum())
+    cr, crhs = _cap_arrays(L, cap_rows, cap_rhs)
+    if x0 is None:
+        x0 = np.full(L, 0.95 * budget / w.sum())
     delta0s = tuple(_delta0_for(d, x0[mp])
                     for d, mp in zip(datas, mappings))
     v0 = [float(_reg_variance(d, jnp.asarray(x0[mp]), dd)) / wt
@@ -157,7 +288,8 @@ def solve_budget_spg_multi(datas: Sequence, mappings: Sequence,
         # a failed stage returns its (finite) warm start unchanged, so
         # continuation degrades gracefully rather than losing progress
         x, f, it = _spg_budget_multi(tuple(datas), mapp, jnp.asarray(w),
-                                     budget, x, wts, delta0s, temp, gtol)
+                                     budget, x, wts, delta0s, temp, gtol,
+                                     jnp.asarray(cr), jnp.asarray(crhs))
     x = np.asarray(x)
     if not np.all(np.isfinite(x)):
         return None

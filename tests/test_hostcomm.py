@@ -54,3 +54,16 @@ def test_hostcomm_size_one():
     assert comm.gather(7) == [7]
     assert comm.allgather(7) == [7]
     assert comm.allreduce(7) == 7
+
+
+def test_size_one_comm_collectives_noop():
+    """A size-1 comm (model_workers=1) must support every collective the
+    README tells users to call, including barrier (ADVICE r2)."""
+    from bluest_tpu.parallel.hostcomm import make_group_comms
+    (comm,) = make_group_comms(1, None)
+    comm.barrier()
+    comm.Barrier()
+    assert comm.bcast(42) == 42
+    assert comm.gather(7) == [7]
+    assert comm.allgather(3) == [3]
+    assert comm.allreduce(5) == 5

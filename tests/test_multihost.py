@@ -110,3 +110,88 @@ def test_two_process_global_mesh_matches_single(tmp_path):
                                rtol=1e-12)
     np.testing.assert_allclose(got["sumsc"], np.asarray(ref.sumsc),
                                rtol=1e-12)
+
+
+DCN_WORKER = r"""
+import os, sys
+import numpy as np
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]
+
+from bluest_tpu.parallel import (initialize_distributed,
+                                 dcn_sample_model_mesh,
+                                 SAMPLE_AXIS, MODEL_AXIS)
+initialize_distributed(coordinator_address="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=pid)
+
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+mesh = dcn_sample_model_mesh(n_model=2)
+# layout contract: every model-axis row lives inside ONE process (the
+# DCN boundary is only crossed by the sample axis)
+for row in mesh.devices:
+    assert len({d.process_index for d in row}) == 1, mesh.devices
+
+# internally-distributed model: each instance psums over its 2-device
+# model row, then the sample axis psums the per-instance results
+def body():
+    s = jax.lax.axis_index(SAMPLE_AXIS)
+    m = jax.lax.axis_index(MODEL_AXIS)
+    part = (1.0 + s) * 10.0 ** m                  # unique per device
+    inst = jax.lax.psum(part, MODEL_AXIS)         # intra-slice (ICI)
+    return jax.lax.psum(inst, SAMPLE_AXIS)        # cross-slice (DCN)
+
+f = jax.jit(jax.shard_map(lambda: body(), mesh=mesh, in_specs=(),
+                          out_specs=P(), check_vma=False))
+val = float(np.asarray(f()))
+# rows = nproc * 4 / 2 sample instances; each contributes (1+s)*(1+10)
+rows = mesh.devices.shape[0]
+expect = 11.0 * sum(1.0 + s for s in range(rows))
+assert abs(val - expect) < 1e-9, (val, expect)
+if pid == 0:
+    np.savez(out, val=val, expect=expect)
+"""
+
+
+@pytest.mark.slow
+def test_dcn_mesh_two_process(tmp_path):
+    """dcn_sample_model_mesh across 2 processes x 4 virtual devices:
+    model rows stay intra-process, collectives on both axes correct
+    (BASELINE config 5's executable story)."""
+    wfile = tmp_path / "dcn_worker.py"
+    wfile.write_text(DCN_WORKER)
+    out = tmp_path / "dcn_result.npz"
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, str(wfile), str(pid), "2", port, str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=240)
+            outs.append(o.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed 2-process run timed out in this "
+                    "environment")
+    if any(p.returncode != 0 for p in procs):
+        msg = "\n".join(o[-2000:] for o in outs)
+        if "UNAVAILABLE" in msg or "DEADLINE" in msg:
+            pytest.skip("jax.distributed unavailable here:\n" + msg)
+        raise AssertionError("worker failed:\n" + msg)
+    got = np.load(out)
+    assert abs(float(got["val"]) - float(got["expect"])) < 1e-9

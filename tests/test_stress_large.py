@@ -1,0 +1,110 @@
+"""Large-L randomized stress tier for the allocation stack (round-3 gate
+for the Woodbury/capacitance IPM normal-matrix factorization).
+
+The 120-instance corpus (test_stress_sdp.py) covers M <= 8, K <= 3 ->
+L <= 92; the regime that actually stressed round 1 -- L in the thousands
+with LMI corners spanning orders of magnitude -- was covered by exactly
+one instance (the K=7 Hodgkin-Huxley golden).  This tier fills the gap
+with HH-like nested-fidelity ladders at M in {10, 12}, K in {5, 6, 7}
+(L = 847 .. 3301), heterogeneous per-output tolerances spanning ~1.5
+decades, and costs spanning 2-4 decades.
+
+Every instance must pass the same gates as the small corpus: zero scipy
+NLP fallbacks, tolerance feasibility, and a cone-solve certificate at
+least as tight as the reference cvxopt operating point (reltol 1e-4,
+reference sap.py:37-43).  All instances sit in the Woodbury auto-enable
+regime (asserted), so this tier runs the low-rank path end to end.
+"""
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from bluest_tpu.allocation.mosap import MOSAP
+
+pytestmark = pytest.mark.slow
+
+# (label, M, K, No, mode, integer): two seeds per shape class so each
+# compiled IPM program is reused once (compiles dominate cold runs).
+CASES = [
+    ("M10K6No1_eps", 10, 6, 1, "eps", False),
+    ("M12K5No3_eps", 12, 5, 3, "eps", False),
+    ("M12K5No3_budget", 12, 5, 3, "budget", True),
+    ("M12K6No5_eps", 12, 6, 5, "eps", False),
+    ("M12K7No5_eps", 12, 7, 5, "eps", False),
+]
+SEEDS = [0, 1]
+
+
+def hh_like_cov(rng, M):
+    """Nested-fidelity ladder: model i = P + e_i with independent error
+    of geometrically growing variance -- adjacent-fidelity correlations
+    approach 1 (the Hodgkin-Huxley regime: the group inverse-covariance
+    blocks then span many orders of magnitude)."""
+    v0 = float(np.exp(rng.uniform(0.0, 2.0)))
+    lo = rng.uniform(-8.0, -6.0)
+    hi = rng.uniform(-1.5, -0.5)
+    t = v0 * 10.0 ** np.linspace(lo, hi, M)
+    return np.full((M, M), v0) + np.diag(t)
+
+
+def build_instance(M, K, No, seed):
+    rng = np.random.default_rng(1000 * M + 100 * K + 10 * No + seed)
+    Cs = [hh_like_cov(rng, M) for _ in range(No)]
+    groups = [[list(c) for c in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    flat = [g for gk in groups for g in gk]
+    span = 10.0 ** rng.uniform(2.0, 4.0)
+    w_model = np.geomspace(span, 1.0, M)
+    gcosts = np.array([w_model[list(g)].sum() for g in flat])
+    mos = MOSAP(Cs, K, [K] * No, groups, [groups] * No, gcosts,
+                [gcosts] * No, verbose=False)
+    return rng, mos, Cs, gcosts
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("label,M,K,No,mode,integer", CASES,
+                         ids=[c[0] for c in CASES])
+def test_large_l_instance(label, M, K, No, mode, integer, seed):
+    rng, mos, Cs, gcosts = build_instance(M, K, No, seed)
+    L = mos.L
+    assert L >= 800 or (M, K) == (10, 6), L
+
+    # every case must sit in the Woodbury auto-enable regime of
+    # solve_cone_lp (nx >= 512 and nx >= 3 * rank): the point of the tier
+    n = max(len(C) for C in Cs) + 1
+    rank_lr = 1 + No + No * (n * (n + 1)) // 2   # budget/coverage + svec
+    assert L >= 512 and L >= 3 * rank_lr, (L, rank_lr)
+
+    if mode == "eps":
+        eps = np.array([float(np.sqrt(Cs[nn][0, 0]))
+                        * 10 ** rng.uniform(-3.5, -2.0)
+                        for nn in range(No)])
+        m = mos.solve(eps=eps, continuous_relaxation=not integer)
+        assert m is not None
+        Vs = mos.variances(np.asarray(m, float))
+        assert all(v <= 1.01 * e ** 2 for v, e in zip(Vs, eps)), \
+            (np.asarray(Vs) / eps ** 2)
+    else:
+        # budget >= ~30 model-0-coverage groups: integer flooring then
+        # costs <= ~3% of budget, well inside the ladder's 10% bound
+        # (the tight-budget integer edge cases are the SMALL corpus's
+        # job, mode 0; this tier targets large-L IPM scaling)
+        cheapest_cover = min(c for g, c in zip(mos.flattened_groups, gcosts)
+                             if 0 in g)
+        budget = float(cheapest_cover) * 10 ** rng.uniform(1.5, 3.0)
+        m = mos.solve(budget=budget, continuous_relaxation=not integer)
+        assert m is not None
+        # ladder bound: <= 10% relaxation rungs before round-up
+        assert float(m @ gcosts) <= 1.1001 * budget
+        if integer:
+            assert np.all(np.asarray(m) == np.round(np.asarray(m)))
+
+    # same gates as the small corpus
+    assert mos.n_nlp_fallbacks == 0
+    assert mos.certificates, "no cone-solve certificate recorded"
+    best = min(mos.certificates,
+               key=lambda c: max(c["relgap"], c["pres"], c["dres"]))
+    assert best["status"] in ("optimal", "inaccurate")
+    assert best["relgap"] <= 1e-4 and best["pres"] <= 1e-5, best

@@ -160,4 +160,70 @@ print("(exact: E[e^Z] = %.6f, E[e^2Z] = %.6f)"
 err_ex, err = mproblem.variance_test(eps=eps2, K=3, N=10)
 print("\nvariance_test: predicted", err_ex, "empirical", err)
 
+# ---------------- Part 4: sample snapshots ------------------------------- #
+# samplefile streams every model output and raw input sample to npz files
+# (reference tutorial 01_tutorial.py:244-259) -- one file per coupled
+# group, named basename + model indices + extension, appended across runs.
+# outputs_to_save filters which outputs are stored.
+
+mproblem.params["samplefile"] = os.path.join(tmp, "snaps.npz")
+mproblem.params["outputs_to_save"] = [0]      # store output 0 only
+mproblem.solve(K=2, eps=[4 * e for e in eps2])
+snap_files = sorted(f for f in os.listdir(tmp) if f.startswith("snaps"))
+d = dict(np.load(os.path.join(tmp, snap_files[0]), allow_pickle=True))
+print("\nSnapshot files:", snap_files)
+print("First file: models %s, %d samples, keys %s"
+      % (list(d["models"][0]), int(d["n_samples"][0]),
+         sorted(k for k in d if k.startswith("values"))))
+mproblem.params["samplefile"] = None          # turn streaming back off
+mproblem.params["outputs_to_save"] = None
+
+# ---------------- Part 5: black-box (non-JAX) models --------------------- #
+# Any plain-Python simulator works unchanged through the host engine:
+# override sampler/evaluate instead of the *_jax hooks.  sample_batch_size
+# passes N samples per evaluate call when the overloads accept a batch
+# argument (reference blue_fn.py:112-167); spg_params tunes the SPG
+# covariance-projection optimizer (reference blue_models.py:13-20).
+
+
+class MyHostProblem(BLUEProblem):
+    def sampler(self, ls, N=1):
+        z = np.random.randn(N)                # batched: N samples at once
+        return [z for _ in range(len(ls))]
+
+    def evaluate(self, ls, samples, N=1):
+        out = []
+        for i, l in enumerate(ls):
+            z = np.asarray(samples[i])
+            if l == 0:
+                v = np.exp(z)
+            else:
+                n_terms = n_models - l
+                ii = np.arange(n_terms + 1)[:, None]
+                v = np.sum(z[None, :] ** ii
+                           / np.cumprod(np.maximum(ii, 1), axis=0), axis=0)
+            out.append(v)
+        return [out]
+
+hproblem = MyHostProblem(n_models, costs=costs,
+                         covariance_estimation_samples=1024,
+                         sample_batch_size=256,         # vectorized batches
+                         spg_params={"maxit": 500},     # projection budget
+                         verbose=False)
+sol_host = hproblem.solve_mc(eps=4 * eps)
+print("\nBlack-box host model, std MC:", sol_host[0])
+
+# ---------------- Part 6: multi-device sampling -------------------------- #
+# mesh="auto" shards the sample axis over every visible device with a psum
+# merge -- the reference's `mpiexec -n P` (tutorial 01_tutorial.py:140-172)
+# with no launcher and deterministic per-sample keys.  On a single-device
+# host it is a no-op; run under XLA_FLAGS=--xla_force_host_platform_device
+# _count=8 (or on a TPU pod slice) to see the sharding.
+
+dproblem = MyProblem(n_models, costs=costs, mesh="auto",
+                     covariance_estimation_samples=4096, verbose=False)
+sol_dev = dproblem.solve(K=3, eps=eps)
+print("\nmesh='auto' over %d device(s): MLBLUE solution %s"
+      % (len(jax.devices()), sol_dev[0]))
+
 print("\nTutorial completed.")
