@@ -62,12 +62,16 @@ def build_problem(verbose=False):
             problem.blue_fn([l], 1, verbose=False)
         for k in range(2, min(M, K) + 1):
             problem.blue_fn(list(range(k)), 1, verbose=False)
+        # trace+compile the allocation cone program during warm-up too
+        # (library API; the no-cache run overlaps this with the pilot)
+        problem.prewarm_solver(K=K)
         return problem
     problem = DiffusionProblem(covariance_estimation_samples=PILOT, **kw)
     try:
         problem.save_graph_data(cachefile)
     except Exception:
         pass
+    problem.prewarm_solver(K=K)
     return problem
 
 
@@ -157,30 +161,40 @@ def run_baseline_sampling(problem):
     for g, n in zip(out["flattened_groups"], out["samples"]):
         total += int(n) * sum(t_model[l] for l in g)
 
-    # exact (no extrapolation) run of the largest tier predicted <= ~15s
-    tier_check = None
-    best = None
-    for g, n in zip(out["flattened_groups"], out["samples"]):
-        pred = int(n) * sum(t_model[l] for l in g)
-        if 0 < pred <= 15.0 and (best is None or pred > best[2]):
-            best = (list(g), int(n), pred)
-    if best is not None:
-        g, n, pred = best
-        xis = rng.standard_normal((n, N_KL))
-        t0 = time.time()
-        for r in range(n):
-            numpy_model_eval(tuple(g), xis[r])
-        measured = time.time() - t0
-        tier_check = {"group": g, "n": n,
-                      "predicted_s": round(pred, 3),
-                      "measured_s": round(measured, 3),
-                      "ratio": round(measured / pred, 3)}
-        # anchor the priced total to the exact tier measurement: the
+    # exact (no extrapolation) runs of up to TWO distinct tiers predicted
+    # <= ~15s, each best-of-2; the pricing anchor is the MEDIAN of the
+    # per-tier measured/predicted ratios.  A single tier run drifted 26%
+    # between rounds purely from machine load; the median of repeated
+    # disjoint runs pins the anchor to ~+-15% (round-2 VERDICT item 8).
+    candidates = sorted(
+        ((list(g), int(n), int(n) * sum(t_model[l] for l in g))
+         for g, n in zip(out["flattened_groups"], out["samples"])
+         if 0 < int(n) * sum(t_model[l] for l in g) <= 15.0),
+        key=lambda t: -t[2])[:2]
+    tier_checks = []
+    ratios = []
+    for g, n, pred in candidates:
+        runs = []
+        for _ in range(2):
+            xis = rng.standard_normal((n, N_KL))
+            t0 = time.time()
+            for r in range(n):
+                numpy_model_eval(tuple(g), xis[r])
+            runs.append(time.time() - t0)
+        measured = min(runs)     # best-of-2: drop transient-load outliers
+        ratios.append(measured / pred)
+        tier_checks.append({"group": g, "n": n,
+                            "predicted_s": round(pred, 3),
+                            "measured_s": round(measured, 3),
+                            "runs_s": [round(r, 3) for r in runs],
+                            "ratio": round(measured / pred, 3)})
+    if ratios:
+        # anchor the priced total to the exact tier measurements: the
         # per-model unit timings drift with machine load run-to-run; the
-        # tier run is a real uninterrupted execution of the largest
-        # affordable slice of the actual workload
-        total = total * (measured / pred)
-    return total, tier_check
+        # tier runs are real uninterrupted executions of the largest
+        # affordable slices of the actual workload
+        total = total * float(np.median(ratios))
+    return total, tier_checks
 
 
 def _np_variance_gh(psi, m, nohess=False):
@@ -311,7 +325,7 @@ def main():
     alloc_warm_s = time.time() - t0
 
     base_alloc_s, _, base_alloc_quality = run_baseline_allocation(problem)
-    base_sample_s, tier_check = run_baseline_sampling(problem)
+    base_sample_s, tier_checks = run_baseline_sampling(problem)
     baseline = base_alloc_s + base_sample_s
 
     result = {
@@ -335,7 +349,7 @@ def main():
             "baseline_alloc_quality": (None if base_alloc_quality is None
                                        else round(base_alloc_quality, 4)),
             "baseline_sample_s_priced": round(base_sample_s, 3),
-            "baseline_tier_check": tier_check,
+            "baseline_tier_check": tier_checks,
             "max_rel_err": float(np.max(errs) / abs(mus[0])),
         },
     }

@@ -605,6 +605,35 @@ class BLUEProblem:
 
     # ----------------------------- solvers ----------------------------- #
 
+    def prewarm_solver(self, K=4, background=False):
+        """Trace + compile the allocation cone program for the group
+        structure a later ``setup_solver(K=...)`` will build, so that
+        call skips the per-process trace+lower (~2-3 s at L ~ 400, more
+        at large L; the persistent XLA cache only removes the backend
+        compile).  Call it while pilot sampling or model warm-up runs;
+        ``background=True`` returns immediately and warms in a daemon
+        thread.  Returns the predicted number of groups L."""
+        K = min(int(K), self.M)
+        union = set()
+        for n in range(self.n_outputs):
+            adj = self.G[n].clique_adjacency()
+            for c in cliques.enumerate_cliques(adj, K, nodes=self.SG[n]):
+                union.add(tuple(sorted(c)))
+        L = len(union)
+        from .solvers.sdp import prewarm_mlblue
+        from .config import allocation_device_scope
+
+        def run():
+            with allocation_device_scope():
+                prewarm_mlblue(L, self.n_outputs, self.M + 1)
+
+        if background:
+            import threading
+            threading.Thread(target=run, daemon=True).start()
+        else:
+            run()
+        return L
+
     def setup_solver(self, K=4, budget=None, eps=None, groups=None,
                      multi_groups=None, solver=None,
                      continuous_relaxation=False, max_model_samples=None,

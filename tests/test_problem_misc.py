@@ -124,3 +124,22 @@ def test_get_model_graph_sentinels():
     assert np.isnan(back[0, 1])        # to-estimate stays NaN
     assert back[1, 2] == 0.0           # uncorrelated stays 0
     assert np.isnan(back[0, 2]) or np.isinf(back[0, 2])  # uncouplable
+
+
+def test_prewarm_solver_shape_contract():
+    """prewarm_solver must predict EXACTLY the group count setup_solver
+    builds (else the warmed trace is wasted and the solve retraces)."""
+    import numpy as np
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+    from bluest_tpu.solvers import sdp
+
+    C = np.eye(5) + 0.5
+    C[0, 4] = C[4, 0] = np.inf     # uncouplable pair prunes cliques
+    p = ExpSeriesProblem(5, C=C, costs=np.array([16.0, 8, 4, 2, 1]),
+                         verbose=False)
+    L_pred = p.prewarm_solver(K=3)
+    blue = p.setup_solver(K=3, budget=500.0)
+    assert L_pred == len(blue["models"]) or L_pred == p.MOSAP.L
+    assert p.MOSAP.L == L_pred
+    # and the shape really is in the warmed set
+    assert (L_pred, 1, 6, False) in sdp._WARMED

@@ -149,3 +149,70 @@ def test_eps_mode_scaling_identity(rng):
     m_scaled = m_b * (v_b / eps2)
     v_scaled = float(psimod.variance(data, jnp.asarray(m_scaled)))
     np.testing.assert_allclose(v_scaled, eps2, rtol=1e-9)
+
+
+def test_wood_factor_matches_dense(rng):
+    """_wood_factor/_wood_apply solve diag + W W^T systems to near
+    machine precision across the d0 scale spread the IPM produces
+    (~mu .. 1/mu), matching a dense Cholesky reference."""
+    import jax.numpy as jnp
+    from bluest_tpu.solvers.sdp import _wood_factor, _wood_apply
+
+    nx, r = 120, 17
+    W = rng.standard_normal((nx, r))
+    # IPM-like diagonal: 12 decades of spread
+    d0 = 10.0 ** rng.uniform(-6, 6, nx)
+    H = np.diag(d0) + W @ W.T
+    B = rng.standard_normal((nx, 3))
+    X_ref = np.linalg.solve(H, B)
+    fac = _wood_factor(jnp.asarray(d0), jnp.asarray(W))
+    X = np.asarray(_wood_apply(fac, jnp.asarray(B)))
+    resid = np.linalg.norm(H @ X - B) / np.linalg.norm(B)
+    assert resid < 1e-8, resid
+    np.testing.assert_allclose(X, X_ref, rtol=1e-6, atol=1e-9)
+    # 1-D RHS path
+    x1 = np.asarray(_wood_apply(fac, jnp.asarray(B[:, 0])))
+    np.testing.assert_allclose(x1, X_ref[:, 0], rtol=1e-6, atol=1e-9)
+
+
+def test_woodbury_solver_matches_dense_path(rng):
+    """Forcing woodbury=True on a small MLBLUE program must reproduce
+    the dense path's optimum (same solve_cone_lp contract)."""
+    from itertools import combinations
+    from bluest_tpu.core.groups import GroupStructure
+    from bluest_tpu.core import psi as psimod
+
+    M, K = 5, 2
+    A = rng.standard_normal((M, M))
+    C = A @ A.T + M * np.eye(M)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    data = psimod.GroupData.build(gs)
+    psi = np.asarray(data.psi)
+    w = np.linspace(2.0, 1.0, gs.L)
+    budget = 1000.0
+    c, Gl, hl, As, Hs, scale = _blue_sdp_budget(gs, psi, w, budget)
+    res_d = solve_cone_lp(c, Gl, hl, As, Hs, woodbury=False)
+    res_w = solve_cone_lp(c, Gl, hl, As, Hs, woodbury=True)
+    assert res_d.status in ("optimal", "inaccurate")
+    assert res_w.status in ("optimal", "inaccurate")
+    np.testing.assert_allclose(res_w.pobj, res_d.pobj, rtol=1e-5)
+    np.testing.assert_allclose(res_w.x, res_d.x, rtol=1e-3, atol=1e-9)
+
+
+def test_woodbury_auto_rule():
+    """Auto mode: on only when the structured form exists AND the rank
+    gap pays (nx >= max(512, 3*rank)); explicit woodbury=True without
+    the structured Gl raises."""
+    from bluest_tpu.solvers.sdp import solve_cone_lp as scl
+    import pytest as _pytest
+    nx = 6
+    c = np.ones(nx)
+    Gl = np.vstack([np.ones((1, nx))])   # NOT the [-diag; rows] form
+    hl = np.array([1.0])
+    As = np.zeros((1, nx, 2, 2))
+    As[0, :, 0, 0] = -1.0
+    Hs = np.eye(2)[None]
+    with _pytest.raises(ValueError):
+        scl(c, Gl, hl, As, Hs, woodbury=True)
