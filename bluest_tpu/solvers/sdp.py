@@ -149,6 +149,14 @@ def _wood_factor(d0, W, jitter=1e-14):
 
 
 _WOOD_REFINE = int(os.environ.get("BLUEST_TPU_WOOD_REFINE", "4"))
+# Gondzio centrality correctors per iteration (LP + tau/kappa blocks).
+# Default OFF: measured on the K=7 HH golden (L=3301), one corrector cuts
+# iterations 64 -> 55 and tightens dres 1.6e-5 -> 4.1e-8, but the extra
+# per-iteration hsolve + cone line search (batched small eigh -- a bad
+# shape regime for this host backend) makes wall time a wash (37.4s vs
+# ~34s); two correctors are strictly worse (59 its, ~2x/iter cost).
+# Kept behind the env knob for hardware where small batched eigh is fast.
+_GONDZIO = int(os.environ.get("BLUEST_TPU_GONDZIO", "0"))
 
 
 def _wood_apply(fac, RHS):
@@ -402,6 +410,35 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
                      tau * kappa - smu + dtaua * dkappaa)
     dx, ds_lp, dS, dz_lp, dZ, dtau, dkappa = comb
     a_comb = max_steps(ds_lp, dS, dz_lp, dZ, dtau, dkappa)
+
+    # Gondzio multiple centrality correctors on the LP block + tau/kappa
+    # (the active-set degeneracy lives in the m >= 0 rows; the PSD blocks
+    # are small and stay well-centered).  Each corrector is one extra
+    # hsolve -- nearly free under the Woodbury factorization -- and is
+    # accepted only if it widens the cone step.  Classic recipe: at a
+    # trial step beyond a_comb, clip the trial complementarity products
+    # into [0.1, 10] * sigma*mu and solve for the correction with zero
+    # residual part (fr = 0).
+    for _ in range(_GONDZIO):
+        _, dsl, _, dzl, _, dtl, dkl = comb
+        at = jnp.minimum(1.0, a_comb + 0.3)
+        mu_t = smu
+        if p:
+            v_lp = (s_lp + at * dsl) * (z_lp + at * dzl)
+            t_lp = jnp.clip(v_lp, 0.1 * mu_t, 10.0 * mu_t)
+            bs_corr = (v_lp - t_lp) / z_lp
+        else:
+            bs_corr = zero_lp
+        v_tk = (tau + at * dtl) * (kappa + at * dkl)
+        t_tk = jnp.clip(v_tk, 0.1 * mu_t, 10.0 * mu_t)
+        corr = direction(0.0, bs_corr, zero_psd, v_tk - t_tk)
+        cand = tuple(d + dc for d, dc in zip(comb, corr))
+        a_cand = max_steps(*cand[1:])
+        accept = a_cand > jnp.minimum(1.03 * a_comb, 0.999)
+        comb = tuple(jnp.where(accept, cn, cv)
+                     for cn, cv in zip(cand, comb))
+        a_comb = jnp.where(accept, a_cand, a_comb)
+    dx, ds_lp, dS, dz_lp, dZ, dtau, dkappa = comb
 
     # Mehrotra safeguard: on ill-conditioned problems the second-order
     # correction can overshoot the cone and collapse the step; fall back
