@@ -619,6 +619,23 @@ class BLUEProblem:
         return self._device_finalize(key_ls, int(N), sums, t0,
                                      compute_mlmc_differences)
 
+    def _pipelined_sumse(self, group_list, n_list):
+        """Per-(group, N) sumse with all device programs enqueued before
+        the first host fetch (see the solve loop); None for N == 0."""
+        if not self._has_jax_model():
+            return [self.blue_fn(g, int(n), verbose=False)[0] if n > 0
+                    else None for g, n in zip(group_list, n_list)]
+        disp = [self._device_dispatch(g, int(n)) if n > 0 else None
+                for g, n in zip(group_list, n_list)]
+        out = []
+        for d, n in zip(disp, n_list):
+            if d is None:
+                out.append(None)
+                continue
+            key_ls, sums, t0 = d
+            out.append(self._device_finalize(key_ls, int(n), sums, t0)[0])
+        return out
+
     # ----------------------------- solvers ----------------------------- #
 
     def prewarm_solver(self, K=4, background=False):
@@ -1094,11 +1111,12 @@ class BLUEProblem:
                                              best_group[1:])]
         groups += [[best_group[-1]]]
         mu = [0 for _ in range(self.n_outputs)]
+        n_list = [int(samples[i]) for i in range(Lg)]
+        sumse_list = self._pipelined_sumse(groups, n_list)
         for i in range(Lg):
-            N = int(samples[i])
+            N, sumse = n_list[i], sumse_list[i]
             if N == 0:
                 continue
-            sumse, _, _ = self.blue_fn(groups[i], N)
             for n in range(self.n_outputs):
                 if i < Lg - 1:
                     mu[n] = mu[n] + (sumse[n][0] - sumse[n][1]) / N
@@ -1217,13 +1235,14 @@ class BLUEProblem:
         Lg = len(best_group)
         y = [[0 for _ in range(Lg)] for _ in range(self.n_outputs)]
         y1 = [[0 for _ in range(Lg - 1)] for _ in range(self.n_outputs)]
+        n_list = [int(samples[i]) - (int(samples[i - 1]) if i else 0)
+                  for i in range(Lg)]
+        sumse_list = self._pipelined_sumse(
+            [best_group[i:] for i in range(Lg)], n_list)
         for i in range(Lg):
-            N = int(samples[i])
-            if i > 0:
-                N -= int(samples[i - 1])
+            N, sumse = n_list[i], sumse_list[i]
             if N == 0:
                 continue
-            sumse, _, _ = self.blue_fn(best_group[i:], N)
             for n in range(self.n_outputs):
                 for j in range(i, Lg):
                     y[n][j] = y[n][j] + sumse[n][j - i]
