@@ -118,6 +118,22 @@ class BLUEProblem:
                 C = [C]
             if not isinstance(dV, (list, tuple)):
                 dV = [dV]
+            for n in range(n_outputs):
+                Cn = np.asarray(C[n], dtype=float)
+                if Cn.shape != (M, M):
+                    raise ValueError(
+                        "C[%d] has shape %s; expected (M, M) = (%d, %d)"
+                        % (n, Cn.shape, M, M))
+            if costs is not None:
+                w = np.asarray(costs, dtype=float)
+                if w.shape != (M,):
+                    raise ValueError(
+                        "costs has shape %s; expected (M,) = (%d,)"
+                        % (w.shape, M))
+                if not np.all(np.isfinite(w)) or np.any(w <= 0):
+                    raise ValueError(
+                        "model costs must be finite and positive, got %s"
+                        % w)
             self.G = [CovarianceGraph(np.array(C[n], dtype=float))
                       for n in range(n_outputs)]
             self.SG = [list(range(M)) for _ in range(n_outputs)]
@@ -676,8 +692,17 @@ class BLUEProblem:
             raise ValueError("Need to specify either budget or RMSE tolerance")
         if budget is not None and eps is not None:
             eps = None
+        if budget is not None and (not np.isfinite(budget) or budget <= 0):
+            raise ValueError("budget must be finite and positive, got %s"
+                             % budget)
         if eps is not None and np.isscalar(eps):
             eps = [float(eps)] * self.n_outputs
+        if eps is not None and any(not np.isfinite(e) or e <= 0
+                                   for e in eps):
+            raise ValueError("eps tolerances must be finite and positive, "
+                             "got %s" % (eps,))
+        if multi_groups is None and groups is None and K < 1:
+            raise ValueError("K must be >= 1, got %s" % K)
         if solver is None:
             solver = self.params["optimization_solver"]
         if multi_groups is not None and len(multi_groups) != self.n_outputs:
@@ -707,10 +732,18 @@ class BLUEProblem:
                 kmax = min(max(len(g) for g in glist), self.M)
                 by_size = [[] for _ in range(kmax)]
                 adj = self.G[n].clique_adjacency()
+                dropped = []
                 for g in glist:
                     if (cliques.is_clique(adj, g)
                             and all(v in self.SG[n] for v in g)):
                         by_size[len(g) - 1].append(g)
+                    else:
+                        dropped.append(g)
+                if dropped and self.verbose:
+                    # reference behavior: silently filter invalid groups
+                    # (blue_models.py:484-486); at least say so
+                    print("WARNING! output %d: dropped user groups that "
+                          "are not couplable cliques: %s" % (n, dropped))
                 mg.append(by_size)
                 Ks.append(max(len(g) for b in by_size for g in b) if any(
                     by_size) else 0)

@@ -242,21 +242,49 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
     r x r capacitance (_wood_factor).  ``gsolve`` solves against the
     Gram matrix G^T G for the dual polish (dense Cholesky or the same
     Woodbury structure, chosen by the caller)."""
-    p = Glj.shape[0]
+    p = hlj.shape[0]
     nb, nx, n, _ = Aj.shape
     nu = p + nb * n + 1
 
+    if woodbury:
+        # implicit structured Gl = [-diag(gl_diag)... wait, gl_diag IS
+        # the signed diagonal; R the extra rows].  Never touches the
+        # dense (p, nx) matrix (O(L^2) memory traffic per matvec -- the
+        # actual scaling wall at L ~ 1e4; Glj is a dummy here).
+        def Gl_mul(v):
+            return jnp.concatenate([gl_diag * v, Rj @ v])
+
+        def GlT_mul(u):
+            return gl_diag * u[:nx] + Rj.T @ u[nx:]
+    else:
+        def Gl_mul(v):
+            return Glj @ v
+
+        def GlT_mul(u):
+            return Glj.T @ u
+
     def Gx(v):
         """Stacked G @ v: returns (lp part, psd part)."""
-        lp = Glj @ v if p else jnp.zeros(0, dtype=v.dtype)
+        lp = Gl_mul(v) if p else jnp.zeros(0, dtype=v.dtype)
         psd = jnp.einsum('i,binm->bnm', v, Aj) if nb else None
         return lp, psd
 
     def GT(u_lp, U_psd):
-        out = Glj.T @ u_lp if p else jnp.zeros(nx, dtype=cj.dtype)
+        out = GlT_mul(u_lp) if p else jnp.zeros(nx, dtype=cj.dtype)
         if nb:
             out = out + jnp.einsum('binm,bnm->i', Aj, U_psd)
         return out
+
+    if woodbury:
+        def Gall_mul(v):
+            parts = [Gl_mul(v)]
+            if nb:
+                parts.append(jnp.einsum('binm,i->bnm', Aj,
+                                        v).reshape(nb * n * n))
+            return jnp.concatenate(parts)
+    else:
+        def Gall_mul(v):
+            return _Gall_j @ v
 
     # residuals of the HSD system
     Ax_lp, Ax_psd = Gx(x)
@@ -476,7 +504,7 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
     # iterations otherwise lose dual feasibility to cancellation when
     # recovering dz through (W^T W)^{-1}, stalling dres at ~1e-4.
     rd_n = cj * tau_n + GT(z_lp_n, Z_n)
-    delta = -(_Gall_j @ gsolve(rd_n))
+    delta = -Gall_mul(gsolve(rd_n))
     # gate: polish once the dual residual is small relative to the data --
     # a large projection mid-run throws the iterate off the central path.
     # The bound is loose (1e-2) because the cone max-step below already
@@ -517,9 +545,44 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     done codes: 0 running, 1 converged, 2 non-finite, 3 stall/tiny-step,
     4 tau collapse (infeasible or numerically dead embedding).
     """
-    p = Glj.shape[0]
+    p = hlj.shape[0]
     nb, nx, n, _ = Aj.shape
     eye_n = jnp.eye(n, dtype=Hj.dtype)
+
+    if woodbury:
+        # implicit structured G (see _iteration_core): Glj/_Gall_j are
+        # dummies here, never shipped to the device
+        def Gl_mul(v):
+            return jnp.concatenate([gl_diag * v, Rj @ v])
+
+        def GlT_mul(u):
+            return gl_diag * u[:nx] + Rj.T @ u[nx:]
+
+        def Gall_mul(v):
+            parts = [Gl_mul(v)]
+            if nb:
+                parts.append(jnp.einsum('binm,i->bnm', Aj,
+                                        v).reshape(nb * n * n))
+            return jnp.concatenate(parts)
+
+        def GallT_mul(u):
+            out = GlT_mul(u[:p])
+            if nb:
+                out = out + jnp.einsum(
+                    'binm,bnm->i', Aj, u[p:].reshape(nb, n, n))
+            return out
+    else:
+        def Gl_mul(v):
+            return Glj @ v
+
+        def GlT_mul(u):
+            return Glj.T @ u
+
+        def Gall_mul(v):
+            return _Gall_j @ v
+
+        def GallT_mul(u):
+            return _Gall_j.T @ u
 
     # ----- initialization: least-squares primal/dual start at tau = 1 -----
     hall = jnp.concatenate([hlj, Hj.reshape(nb * n * n)]
@@ -536,9 +599,9 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     else:
         Gfac = _chol_factor(_GtG_j)   # constant: factor once per solve
         gsolve = partial(_chol_apply, Gfac)
-    x0 = gsolve(_Gall_j.T @ hall)
-    z_all = _Gall_j @ gsolve(-cj)
-    s_lp = hlj - Glj @ x0
+    x0 = gsolve(GallT_mul(hall))
+    z_all = Gall_mul(gsolve(-cj))
+    s_lp = hlj - Gl_mul(x0)
     S = Hj - jnp.einsum('i,binm->bnm', x0, Aj) if nb else Hj
     z_lp = z_all[:p]
     Z = _sym(z_all[p:].reshape(nb, n, n)) if nb else Hj
@@ -652,10 +715,10 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     tau = st["tau"]
     x = st["x"]
     z_lp_f, Z_f = st["z_lp"], st["Z"]
-    rd0 = cj * tau + (Glj.T @ z_lp_f if p else 0.0)
+    rd0 = cj * tau + (GlT_mul(z_lp_f) if p else 0.0)
     if nb:
         rd0 = rd0 + jnp.einsum('binm,bnm->i', Aj, st["Z"])
-    delta_f = -(_Gall_j @ gsolve(rd0))
+    delta_f = -Gall_mul(gsolve(rd0))
     beta_f = jnp.asarray(1.0)
     if p:
         beta_f = jnp.minimum(beta_f, 0.99 * _max_step_lp(z_lp_f,
@@ -667,10 +730,10 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     z_lp_f = z_lp_f + beta_f * delta_f[:p]
     if nb:
         Z_f = _sym(Z_f + beta_f * dZf)
-    rd = cj * tau + (Glj.T @ z_lp_f if p else 0.0)
+    rd = cj * tau + (GlT_mul(z_lp_f) if p else 0.0)
     if nb:
         rd = rd + jnp.einsum('binm,bnm->i', Aj, Z_f)
-    rp_lp = hlj * tau - Glj @ x - st["s_lp"] if p else st["s_lp"][:0]
+    rp_lp = hlj * tau - Gl_mul(x) - st["s_lp"] if p else st["s_lp"][:0]
     parts = [rp_lp]
     if nb:
         Rp = Hj * tau - jnp.einsum('i,binm->bnm', x, Aj) - st["S"]
@@ -805,14 +868,6 @@ def solve_cone_lp(c: np.ndarray,
     hnorm = max(1.0, float(np.linalg.norm(hl_np)) + float(np.linalg.norm(Hs_np)))
     cnorm = max(1.0, float(np.linalg.norm(c_np)))
 
-    # stacked constraint matrix + Gram factor seed the least-squares start
-    if nb:
-        _Gall = np.concatenate(
-            [Gl_np, As_np.reshape(nb, nx, n * n).transpose(0, 2, 1)
-             .reshape(nb * n * n, nx)], axis=0)
-    else:
-        _Gall = Gl_np
-
     # structured-Gl detection: MLBLUE programs are [-diag; few rows]
     if p >= nx and np.count_nonzero(
             Gl_np[:nx] - np.diag(np.diag(Gl_np[:nx]))) == 0:
@@ -833,12 +888,30 @@ def solve_cone_lp(c: np.ndarray,
     elif woodbury and gl_diag.shape[0] != nx:
         raise ValueError("woodbury=True requires the structured "
                          "[-diag; rows] Gl form")
-    GtG = (np.zeros((1, 1)) if woodbury          # never materialized
-           else _Gall.T @ _Gall)
 
-    arrays = (jnp.asarray(c_np), jnp.asarray(Gl_np), jnp.asarray(hl_np),
+    if woodbury:
+        # G is applied implicitly from (gl_diag, R, As): the dense
+        # (p, nx) Gl, the stacked (p + nb n^2, nx) constraint matrix and
+        # the nx x nx Gram never reach the device (each is O(L^2) memory
+        # -- the scaling wall at L ~ 1e4)
+        Gl_dev = np.zeros((1, 1))
+        Gall_dev = np.zeros((1, 1))
+        GtG = np.zeros((1, 1))
+    else:
+        # stacked constraint matrix + Gram seed the least-squares start
+        if nb:
+            _Gall = np.concatenate(
+                [Gl_np, As_np.reshape(nb, nx, n * n).transpose(0, 2, 1)
+                 .reshape(nb * n * n, nx)], axis=0)
+        else:
+            _Gall = Gl_np
+        Gl_dev = Gl_np
+        Gall_dev = _Gall
+        GtG = _Gall.T @ _Gall
+
+    arrays = (jnp.asarray(c_np), jnp.asarray(Gl_dev), jnp.asarray(hl_np),
               jnp.asarray(As_np), jnp.asarray(Hs_np),
-              jnp.asarray(_Gall), jnp.asarray(GtG),
+              jnp.asarray(Gall_dev), jnp.asarray(GtG),
               jnp.asarray(gl_diag), jnp.asarray(R_np))
     (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
         arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose,

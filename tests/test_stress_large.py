@@ -36,6 +36,10 @@ CASES = [
 ]
 SEEDS = [0, 1]
 
+# beyond the reference's own regime: L ~ 1e4 groups, where the Woodbury
+# rank (1 output: ~1 + 1 + 120) is ~80x smaller than the group count
+XL_CASE = ("M14K7No1_eps", 14, 7, 1, "eps", False)
+
 
 def hh_like_cov(rng, M):
     """Nested-fidelity ladder: model i = P + e_i with independent error
@@ -107,4 +111,24 @@ def test_large_l_instance(label, M, K, No, mode, integer, seed):
     best = min(mos.certificates,
                key=lambda c: max(c["relgap"], c["pres"], c["dres"]))
     assert best["status"] in ("optimal", "inaccurate")
+    assert best["relgap"] <= 1e-4 and best["pres"] <= 1e-5, best
+
+
+def test_extra_large_l_single_output():
+    """L = 9,907 groups (M=14, all cliques K<=7), single output: an order
+    of magnitude past the paper's K=7 study.  Under the capacitance
+    factorization the normal-matrix work is O(L r^2) with r ~ 122, so
+    this solves in tens of seconds rather than the hours the dense
+    O(L^3) path would need."""
+    label, M, K, No, mode, integer = XL_CASE
+    rng, mos, Cs, gcosts = build_instance(M, K, No, 0)
+    assert mos.L == 9907, mos.L
+    eps = np.array([float(np.sqrt(Cs[0][0, 0])) * 3e-3])
+    m = mos.solve(eps=eps, continuous_relaxation=True)
+    assert m is not None
+    Vs = mos.variances(np.asarray(m, float))
+    assert Vs[0] <= 1.01 * eps[0] ** 2
+    assert mos.n_nlp_fallbacks == 0
+    best = min(mos.certificates,
+               key=lambda c: max(c["relgap"], c["pres"], c["dres"]))
     assert best["relgap"] <= 1e-4 and best["pres"] <= 1e-5, best
