@@ -13,7 +13,7 @@ sap.py:170-171 -- a no-op rung)."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,11 @@ and the user's ``evaluate`` coordinates internally through the
 ``HostComm`` implements the MPI subset the reference examples use --
 ``rank``/``size``, ``barrier``, ``bcast``, ``gather``, ``allgather``,
 ``allreduce`` -- over multiprocessing queues (one queue per ordered pair,
-so SPMD-ordered collectives never cross-talk).  ``Split`` is not needed:
-the engine itself does the splitting into groups.
+so SPMD-ordered collectives never cross-talk).  Large ndarray payloads
+(>= 256 KiB -- PDE interface fields) bypass queue pickling through POSIX
+shared memory: one memcpy per side instead of two pickle copies per hop.
+``Split`` is not needed: the engine itself does the splitting into
+groups.
 """
 
 from __future__ import annotations
@@ -24,6 +27,52 @@ from __future__ import annotations
 import operator
 from functools import reduce
 from typing import Any, List, Optional
+
+import numpy as np
+
+# payloads above this size bypass queue pickling via POSIX shared memory
+# (a PDE model's interface field is O(MB); SimpleQueue pickles+copies it
+# twice per hop, shm moves it with one memcpy each side)
+_SHM_THRESHOLD_BYTES = 1 << 18
+
+
+class _ShmHandle:
+    """Pickled in place of a large ndarray; the receiver reconstructs
+    and unlinks.  Ownership: exactly one receiver per handle (HostComm
+    queues are one-directional point-to-point)."""
+
+    __slots__ = ("name", "shape", "dtype")
+
+    def __init__(self, name, shape, dtype):
+        self.name = name
+        self.shape = shape
+        self.dtype = dtype
+
+
+def _shm_wrap(obj: Any) -> Any:
+    if (isinstance(obj, np.ndarray) and obj.nbytes >= _SHM_THRESHOLD_BYTES
+            and obj.dtype != object):
+        from multiprocessing import shared_memory
+        shm = shared_memory.SharedMemory(create=True, size=obj.nbytes)
+        np.ndarray(obj.shape, obj.dtype, buffer=shm.buf)[...] = obj
+        handle = _ShmHandle(shm.name, obj.shape, obj.dtype)
+        shm.close()          # the segment lives until the receiver unlinks
+        return handle
+    return obj
+
+
+def _shm_unwrap(obj: Any) -> Any:
+    if isinstance(obj, _ShmHandle):
+        from multiprocessing import shared_memory
+        shm = shared_memory.SharedMemory(name=obj.name)
+        try:
+            out = np.ndarray(obj.shape, obj.dtype,
+                             buffer=shm.buf).copy()
+        finally:
+            shm.close()
+            shm.unlink()
+        return out
+    return obj
 
 
 class HostComm:
@@ -55,10 +104,10 @@ class HostComm:
     Barrier = barrier
 
     def _send(self, obj: Any, dst: int) -> None:
-        self._q[self.rank][dst].put(obj)
+        self._q[self.rank][dst].put(_shm_wrap(obj))
 
     def _recv(self, src: int) -> Any:
-        return self._q[src][self.rank].get()
+        return _shm_unwrap(self._q[src][self.rank].get())
 
     def bcast(self, obj: Any = None, root: int = 0) -> Any:
         if self.size == 1:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from contextlib import nullcontext as _nullcontext
 from time import time
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

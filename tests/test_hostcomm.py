@@ -67,3 +67,55 @@ def test_size_one_comm_collectives_noop():
     assert comm.gather(7) == [7]
     assert comm.allgather(3) == [3]
     assert comm.allreduce(5) == 5
+
+
+def _member_large(comm, outq):
+    r = comm.rank
+    # > _SHM_THRESHOLD_BYTES: exercises the shared-memory payload path
+    big = np.arange(100_000, dtype=np.float64) + 1000.0 * r
+    got = comm.bcast(big if r == 0 else None, root=0)
+    red = comm.allreduce(big)
+    gat = comm.gather(big[:3].copy(), root=0)
+    outq.put((r, float(got.sum()), float(red[0]), gat))
+
+
+def test_hostcomm_shm_large_arrays():
+    """Large ndarray payloads move through POSIX shared memory instead of
+    queue pickling; collective results must be identical."""
+    import multiprocessing as _mp
+    ctx = _mp.get_context("spawn")
+    size = 2
+    comms = make_group_comms(size, ctx)
+    outq = ctx.Queue()
+    procs = [ctx.Process(target=_member_large, args=(comms[r], outq))
+             for r in range(size)]
+    for p in procs:
+        p.start()
+    out = {}
+    for _ in range(size):
+        r, s, red0, gat = outq.get(timeout=120)
+        out[r] = (s, red0, gat)
+    for p in procs:
+        p.join()
+    ref = np.arange(100_000, dtype=np.float64)
+    for r in range(size):
+        assert out[r][0] == ref.sum()                 # bcast from rank 0
+        assert out[r][1] == 0.0 + (0.0 + 1000.0)      # allreduce elem 0
+    g = out[0][2]
+    np.testing.assert_array_equal(g[0], ref[:3])
+    np.testing.assert_array_equal(g[1], ref[:3] + 1000.0)
+
+
+def test_shm_wrap_roundtrip_and_small_passthrough():
+    from bluest_tpu.parallel.hostcomm import (_shm_wrap, _shm_unwrap,
+                                              _ShmHandle)
+    small = np.arange(10.0)
+    assert _shm_wrap(small) is small                  # below threshold
+    big = np.random.default_rng(0).standard_normal((64, 1024))
+    h = _shm_wrap(big)
+    assert isinstance(h, _ShmHandle)
+    back = _shm_unwrap(h)
+    np.testing.assert_array_equal(back, big)
+    # object dtype must never take the shm path
+    objarr = np.array([None] * 100_000, dtype=object)
+    assert _shm_wrap(objarr) is objarr
