@@ -554,44 +554,70 @@ class BLUEProblem:
                 # snapshot-collecting group engine (reference streams
                 # snapshots on EVERY path, blue_fn.py:133-145; this was a
                 # silent no-op through round 2 -- VERDICT r2 item 3)
-                from .sampling import snapshots
-                ckey = (key_ls, "collect")
-                if ckey not in self._engines:
-                    cfn = jax_engine.make_collect_fn(
-                        self.sampler_jax, self.evaluate_jax, key_ls)
-                    self._engines[ckey] = \
-                        jax_engine.build_group_collect_engine(
-                            cfn, self.n_outputs, len(key_ls),
-                            batch_size=self._group_batch(N),
-                            max_resample=int(self.params["max_resample"]))
-                sums, vals, inputs, valid = self._engines[ckey](key, int(N))
-                sel = np.asarray(valid)
-                vals = np.asarray(vals)[sel]
-                if vals.ndim == 4 and vals.shape[-1] == 1:
-                    vals = vals[..., 0]
-                snapshots.append_snapshots(
-                    samplefile, key_ls, self.n_outputs, vals,
-                    np.asarray(inputs)[sel],
-                    outputs_to_save=self.params["outputs_to_save"])
+                sums = self._group_collect_run(key_ls, key, int(N),
+                                               samplefile)
             else:
                 sums = self._group_engine(key_ls, N)(key, int(N))
         return key_ls, sums, t0
 
-    def _device_finalize(self, key_ls, N, sums, t0,
+    def _group_collect_run(self, key_ls, key, N, samplefile):
+        """Run the snapshot-collecting group engine and append the valid
+        rows to the samplefile; returns the SampleSums."""
+        from .sampling import snapshots
+        ckey = (key_ls, "collect")
+        if ckey not in self._engines:
+            cfn = jax_engine.make_collect_fn(
+                self.sampler_jax, self.evaluate_jax, key_ls)
+            self._engines[ckey] = jax_engine.build_group_collect_engine(
+                cfn, self.n_outputs, len(key_ls),
+                batch_size=self._group_batch(N),
+                max_resample=int(self.params["max_resample"]))
+        sums, vals, inputs, valid = self._engines[ckey](key, N)
+        sel = np.asarray(valid)
+        vals = np.asarray(vals)[sel]
+        if vals.ndim == 4 and vals.shape[-1] == 1:
+            vals = vals[..., 0]
+        snapshots.append_snapshots(
+            samplefile, key_ls, self.n_outputs, vals,
+            np.asarray(inputs)[sel],
+            outputs_to_save=self.params["outputs_to_save"])
+        return sums
+
+    def _device_finalize(self, key_ls, N, sums, t0=None,
                          compute_mlmc_differences=False):
+        # ``t0 = None``: pipelined callers (dispatch-all first) pass no
+        # start time -- a dispatch-time stamp would charge every earlier
+        # group's execution to this group's sampling_stats; the recorded
+        # wall then covers only this group's fetch + top-up.
+        if t0 is None:
+            t0 = time()
         # Non-finite samples are masked out of the sums, but the estimator
         # divides by the requested N downstream; top up with fresh batches
         # so the sums really cover N finite samples (the reference resamples
         # until all N are finite, blue_fn.py:118-129).
+        samplefile = self.params["samplefile"]
         rounds = 0
         while int(sums.n_failed) > 0 and rounds < 4:
             deficit = int(sums.n_failed)
             key2 = jax.random.fold_in(self._ensure_base_key(),
                                       self._call_counter)
             self._call_counter += 1
+            # top-up samples must reach the snapshot stream too, or the
+            # npz rows silently undercount the estimator's N
             if self._has_factored_jax_model():
-                extra = self._kernel_engine().sample_sums(
-                    key_ls, key2, deficit)
+                if samplefile is not None:
+                    from .sampling import snapshots
+                    extra, vals, thetas = self._kernel_engine().sample_sums(
+                        key_ls, key2, deficit, collect=True)
+                    snapshots.append_snapshots(
+                        samplefile, key_ls, self.n_outputs, vals, thetas,
+                        outputs_to_save=self.params["outputs_to_save"])
+                else:
+                    extra = self._kernel_engine().sample_sums(
+                        key_ls, key2, deficit)
+            elif samplefile is not None:
+                extra = self._group_collect_run(key_ls, key2, deficit,
+                                                samplefile)
             else:
                 extra = self._group_engine(key_ls, deficit)(key2, deficit)
             sums = type(sums)(*[a + b for a, b in
@@ -648,8 +674,8 @@ class BLUEProblem:
             if d is None:
                 out.append(None)
                 continue
-            key_ls, sums, t0 = d
-            out.append(self._device_finalize(key_ls, int(n), sums, t0)[0])
+            key_ls, sums, _t0 = d
+            out.append(self._device_finalize(key_ls, int(n), sums)[0])
         return out
 
     # ----------------------------- solvers ----------------------------- #
@@ -885,9 +911,9 @@ class BLUEProblem:
                         sums[n].append([0 for _ in range(len(ls))])
                     continue
                 if pipelined:
-                    key_ls, dsums, tg0 = dispatched[gi]
+                    key_ls, dsums, _tg0 = dispatched[gi]
                     sumse, _, _ = self._device_finalize(
-                        key_ls, int(N), dsums, tg0)
+                        key_ls, int(N), dsums)   # t0=None: overlapped
                 else:
                     sumse, _, _ = self.blue_fn(ls, int(N), verbose=verbose)
                 for n in range(self.n_outputs):

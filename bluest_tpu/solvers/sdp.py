@@ -247,10 +247,10 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
     nu = p + nb * n + 1
 
     if woodbury:
-        # implicit structured Gl = [-diag(gl_diag)... wait, gl_diag IS
-        # the signed diagonal; R the extra rows].  Never touches the
-        # dense (p, nx) matrix (O(L^2) memory traffic per matvec -- the
-        # actual scaling wall at L ~ 1e4; Glj is a dummy here).
+        # implicit structured Gl (gl_diag is the SIGNED diagonal, R the
+        # extra rows).  Never touches the dense (p, nx) matrix
+        # (O(L^2) memory traffic per matvec -- the actual scaling wall
+        # at L ~ 1e4; Glj is a dummy here).
         def Gl_mul(v):
             return jnp.concatenate([gl_diag * v, Rj @ v])
 
@@ -800,7 +800,10 @@ def prewarm_mlblue(L: int, No: int, n: int,
     rng = np.random.default_rng(0)
     nx = L + 1 if budget_epigraph else L
     c = np.ones(nx)
-    extra = 2 + No if budget_epigraph else No
+    # rows beyond the -eye block: budget row + No coverage rows for the
+    # epigraph form (p = nx + 1 + No = L + 2 + No), No coverage rows for
+    # the direct-eps form
+    extra = 1 + No if budget_epigraph else No
     Gl = np.vstack([-np.eye(nx), rng.random((extra, nx))])
     hl = np.concatenate([np.zeros(nx), np.full(extra, float(nx))])
     v = rng.standard_normal((No, nx, n))
@@ -868,9 +871,13 @@ def solve_cone_lp(c: np.ndarray,
     hnorm = max(1.0, float(np.linalg.norm(hl_np)) + float(np.linalg.norm(Hs_np)))
     cnorm = max(1.0, float(np.linalg.norm(c_np)))
 
-    # structured-Gl detection: MLBLUE programs are [-diag; few rows]
+    # structured-Gl detection: MLBLUE programs are [-diag; few rows].
+    # The diagonal must be fully nonzero: _wood_factor divides by
+    # gl_diag^2, so an all-zero row in the diag block (legal input)
+    # must fall back to the dense path.
     if p >= nx and np.count_nonzero(
-            Gl_np[:nx] - np.diag(np.diag(Gl_np[:nx]))) == 0:
+            Gl_np[:nx] - np.diag(np.diag(Gl_np[:nx]))) == 0 \
+            and np.all(np.diag(Gl_np[:nx]) != 0):
         gl_diag = np.diag(Gl_np[:nx]).copy()
         R_np = Gl_np[nx:]
     else:

@@ -103,12 +103,21 @@ def capped_projection(w, budget, cap_rows, cap_rhs, n_sweeps: int = 200):
         y, _, _ = jax.lax.fori_loop(
             0, n_sweeps, sweep,
             (x, jnp.zeros((q, x.shape[0])), jnp.zeros_like(x)))
-        # exact feasibility: clip the orthant, then shrink -- scaling
-        # down preserves the orthant and every halfspace is homogeneous
+        # exact feasibility repair: clip the orthant, then for each still-
+        # violated halfspace scale only its SUPPORT down to the boundary.
+        # All rows here are elementwise nonnegative (costs, 0/1 cap rows),
+        # so a support-local shrink never increases any other constraint
+        # and never leaves the orthant.  (A global shrink would be wrong:
+        # a legitimate zero-cap RHS b_i = 0 would collapse the whole
+        # iterate to the zero vector even from feasible points.)
         y = jnp.maximum(y, 0.0)
-        alpha = jnp.min(jnp.concatenate(
-            [jnp.ones(1), b / jnp.maximum(A @ y, 1e-300)]))
-        return jnp.minimum(alpha, 1.0) * y
+
+        def repair(i, y):
+            v = A[i] @ y
+            f = jnp.where(v > b[i], b[i] / jnp.maximum(v, 1e-300), 1.0)
+            return jnp.where(A[i] > 0, y * f, y)
+
+        return jax.lax.fori_loop(0, q, repair, y)
 
     return proj
 
@@ -225,6 +234,11 @@ def eps_caps_budget_search(solve_at, ratio_of, B0,
     else:
         B_lo = B / 2.0
     for _ in range(iters):
+        # each iteration is a full SPG solve: stop once the bracket (or
+        # the binding ratio) is tight -- the cross-validation consumers
+        # compare costs at ~10% tolerance
+        if B_hi - B_lo <= 1e-4 * B_hi:
+            break
         Bm = 0.5 * (B_lo + B_hi)
         m2 = solve_at(Bm, m_hi)
         if m2 is None:
@@ -233,6 +247,8 @@ def eps_caps_budget_search(solve_at, ratio_of, B0,
         r2 = ratio_of(m2)
         if np.isfinite(r2) and r2 <= 1.0:
             m_hi, B_hi = m2, Bm
+            if r2 >= 1.0 - 1e-4:
+                break                  # binding: already on the frontier
         else:
             B_lo = Bm
     return m_hi

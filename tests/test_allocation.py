@@ -513,3 +513,19 @@ def test_mosap_spg_caps_eps():
     for n in range(2):
         assert Vs[n] <= (1.01 * eps[n]) ** 2
     assert m_spg @ gcosts <= 1.10 * (m_sdp @ gcosts)
+
+
+def test_capped_projection_zero_cap_rhs():
+    """A zero cap RHS must zero ONLY that cap's support, not collapse the
+    whole iterate (round-3 review finding: the global-shrink repair
+    mapped feasible points to the zero vector)."""
+    import jax.numpy as jnp
+    from bluest_tpu.solvers.spg_alloc import capped_projection
+    L = 4
+    w = np.ones(L)
+    cap_rows = np.zeros((1, L))
+    cap_rows[0, 3] = 1.0
+    proj = capped_projection(w, 10.0, cap_rows, np.array([0.0]))
+    p = np.asarray(proj(jnp.asarray([1.0, 2.0, 3.0, 0.5])))
+    assert p[3] == 0.0
+    np.testing.assert_allclose(p[:3], [1.0, 2.0, 3.0], atol=1e-9)

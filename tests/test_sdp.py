@@ -205,7 +205,7 @@ def test_woodbury_solver_matches_dense_path(rng):
 
 def test_woodbury_auto_rule():
     """Auto mode: on only when the structured form exists AND the rank
-    gap pays (nx >= max(512, 3*rank)); explicit woodbury=True without
+    gap pays (nx >= max(256, 1.5*rank)); explicit woodbury=True without
     the structured Gl raises."""
     from bluest_tpu.solvers.sdp import solve_cone_lp as scl
     import pytest as _pytest

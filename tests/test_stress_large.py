@@ -75,8 +75,10 @@ def test_large_l_instance(label, M, K, No, mode, integer, seed):
     L = mos.L
     assert L >= 800 or (M, K) == (10, 6), L
 
-    # every case must sit in the Woodbury auto-enable regime of
-    # solve_cone_lp (nx >= 512 and nx >= 3 * rank): the point of the tier
+    # every case must sit WELL inside the Woodbury auto-enable regime
+    # of solve_cone_lp (rule: nx >= max(256, 1.5*rank)); the tier keeps
+    # the stricter 3x margin so its instances stay in-regime even if the
+    # crossover is retuned
     n = max(len(C) for C in Cs) + 1
     rank_lr = 1 + No + No * (n * (n + 1)) // 2   # budget/coverage + svec
     assert L >= 512 and L >= 3 * rank_lr, (L, rank_lr)
