@@ -260,10 +260,17 @@ class KernelEngineV2:
                 a + b2 for a, b2 in zip(acc, part))
             if collect:
                 idx = base + np.arange(total)
-                sel = idx < N
                 o = np.asarray(outs)
                 axes = (1, 2, 0) if o.ndim == 3 else (1, 2, 0, 3)
-                vals.append(o.transpose(axes)[sel])
+                ovals = o.transpose(axes)          # (total, No, k[, d])
+                # drop non-finite rows: the combiner masks them out of
+                # the sums, and the problem-level top-up re-samples the
+                # deficit (appending its own snapshots), so filtering
+                # keeps "snapshot rows == samples covered by the sums"
+                finite = np.isfinite(ovals).all(
+                    axis=tuple(range(1, ovals.ndim)))
+                sel = (idx < N) & finite
+                vals.append(ovals[sel])
                 thetas.append(np.asarray(th)[sel])
         se, sc, d1, d2, nf = acc
         sums = SampleSums(se, sc, d1, d2, nf)

@@ -544,3 +544,33 @@ def test_vector_outputs_mlmc_mfmc():
     mu2 = np.asarray(mus2[0])
     assert mu2.shape == (D,)
     np.testing.assert_allclose(mu2, ref, atol=8 * max(float(errs2[0]), 0.05))
+
+
+def test_samplefile_consistent_under_failures(tmp_path):
+    """Non-finite model outputs: the snapshot stream must cover exactly
+    the samples the estimator sums cover -- first pass minus failures,
+    plus the top-up rounds' contributions (round-3 review finding: the
+    top-up batches were sampled into the sums but never snapshotted)."""
+    class Flaky(BLUEProblem):
+        def sample_input_jax(self, key):
+            return jax.random.normal(key)
+
+        def evaluate_model_jax(self, l, z):
+            # ~10% of samples non-finite on model 0, deterministic in z
+            bad = jnp.where(jnp.abs(z) > 1.6449, jnp.nan, 0.0)  # P~0.10
+            v = z + (bad if l == 0 else 0.0)
+            return (v * (1.0 + l))[None]
+
+    f = str(tmp_path / "flaky.npz")
+    p = Flaky(2, C=np.eye(2) + 0.5, costs=np.array([2.0, 1.0]),
+              samplefile=f, max_resample=0, verbose=False)
+    sums, _, _ = p.blue_fn([0, 1], 400, verbose=False)
+    d = dict(np.load(str(tmp_path / "flaky01.npz"), allow_pickle=True))
+    n_rows = int(np.asarray(d["n_samples"]).ravel()[0])
+    v = np.asarray(d["values_0_0"], dtype=float)
+    assert len(v) == n_rows
+    assert np.all(np.isfinite(v))          # failures never hit the file
+    # every snapshotted sample is in the sums: totals agree exactly
+    np.testing.assert_allclose(v.sum(), sums[0][0], rtol=1e-12)
+    # with max_resample=0 and top-up rounds, coverage approaches N
+    assert 360 <= n_rows <= 400
