@@ -48,7 +48,11 @@ class MOSAP:
         # overlap the IPM program's per-process trace+lower (~1.3 s at
         # large L, the dominant cold-allocation cost) with the psi /
         # invcovs host assembly below: the program shape is fully
-        # determined by (L, No, N) already (solvers/sdp.py prewarm doc)
+        # determined by (L, No, N) already (solvers/sdp.py prewarm doc).
+        # Gated on L >= 256: below that the trace is fast, the dummy's
+        # compile+run can exceed it, and the thread would race the
+        # immediately-following real solve for nothing (the 120-instance
+        # small corpus would pay an extra trace per shape).
         from ..solvers.sdp import prewarm_mlblue
         from ..config import allocation_device_scope
         import threading
@@ -60,7 +64,8 @@ class MOSAP:
                 prewarm_mlblue(L, No, n)
 
         import os as _os
-        if _os.environ.get("BLUEST_TPU_IPM_PREWARM", "1") != "0":
+        if (self.L >= 256
+                and _os.environ.get("BLUEST_TPU_IPM_PREWARM", "1") != "0"):
             threading.Thread(target=_prewarm, daemon=True).start()
 
         self.SAPS = [SAP(self.C[n], self.Ks[n], multi_groups[n],

@@ -50,8 +50,17 @@ class _ShmHandle:
 
 
 def _shm_wrap(obj: Any) -> Any:
+    # sequence payloads too: gather/allgather/allreduce move LISTS of
+    # arrays (bcast of the gathered list), which must not fall back to
+    # double-pickling exactly on the large-payload collectives the fast
+    # path exists for
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_shm_wrap(x) for x in obj)
     if (isinstance(obj, np.ndarray) and obj.nbytes >= _SHM_THRESHOLD_BYTES
-            and obj.dtype != object):
+            and not obj.dtype.hasobject):
+        # hasobject (not just dtype == object): a structured dtype with
+        # an object field holds PyObject pointers -- raw memcpy across
+        # processes would reconstruct dangling pointers
         from multiprocessing import shared_memory
         shm = shared_memory.SharedMemory(create=True, size=obj.nbytes)
         np.ndarray(obj.shape, obj.dtype, buffer=shm.buf)[...] = obj
@@ -62,6 +71,8 @@ def _shm_wrap(obj: Any) -> Any:
 
 
 def _shm_unwrap(obj: Any) -> Any:
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_shm_unwrap(x) for x in obj)
     if isinstance(obj, _ShmHandle):
         from multiprocessing import shared_memory
         shm = shared_memory.SharedMemory(name=obj.name)

@@ -512,8 +512,13 @@ class BLUEProblem:
         return self._kengine
 
     def _group_batch(self, N):
-        batch = int(self.params["device_batch_size"])
-        return max(1, min(batch, max(1, int(N))))
+        # the engine is cached per group and reused for every later N, so
+        # the batch must NOT be clamped to the first call's N: a pilot
+        # blue_fn(g, 1) would pin batch_size=1 and a later N=1e5 solve on
+        # the same group would scan one sample at a time.  A small-N call
+        # at full batch just masks the padding lanes (idx < N).
+        del N
+        return max(1, int(self.params["device_batch_size"]))
 
     def _group_engine(self, key_ls, N):
         if key_ls not in self._engines:
@@ -560,9 +565,15 @@ class BLUEProblem:
                 sums = self._group_engine(key_ls, N)(key, int(N))
         return key_ls, sums, t0
 
+    # snapshot collection buffers every sample's outputs + raw inputs on
+    # device; bound the allocation by flushing to the npz in chunks (the
+    # non-collect engine runs in O(batch) memory -- a 5e6-sample run must
+    # not suddenly need gigabytes just because samplefile is set)
+    _COLLECT_CHUNK = 1 << 18
+
     def _group_collect_run(self, key_ls, key, N, samplefile):
         """Run the snapshot-collecting group engine and append the valid
-        rows to the samplefile; returns the SampleSums."""
+        rows to the samplefile (chunked); returns the summed SampleSums."""
         from .sampling import snapshots
         ckey = (key_ls, "collect")
         if ckey not in self._engines:
@@ -572,16 +583,29 @@ class BLUEProblem:
                 cfn, self.n_outputs, len(key_ls),
                 batch_size=self._group_batch(N),
                 max_resample=int(self.params["max_resample"]))
-        sums, vals, inputs, valid = self._engines[ckey](key, N)
-        sel = np.asarray(valid)
-        vals = np.asarray(vals)[sel]
-        if vals.ndim == 4 and vals.shape[-1] == 1:
-            vals = vals[..., 0]
-        snapshots.append_snapshots(
-            samplefile, key_ls, self.n_outputs, vals,
-            np.asarray(inputs)[sel],
-            outputs_to_save=self.params["outputs_to_save"])
-        return sums
+        engine = self._engines[ckey]
+        total = None
+        done = 0
+        chunk_i = 0
+        while done < N:
+            n_c = min(self._COLLECT_CHUNK, N - done)
+            key_c = (key if chunk_i == 0
+                     else jax.random.fold_in(key, 1 << 20 | chunk_i))
+            sums, vals, inputs, valid = engine(key_c, n_c)
+            sel = np.asarray(valid)
+            vals = np.asarray(vals)[sel]
+            if vals.ndim == 4 and vals.shape[-1] == 1:
+                vals = vals[..., 0]
+            snapshots.append_snapshots(
+                samplefile, key_ls, self.n_outputs, vals,
+                np.asarray(inputs)[sel],
+                outputs_to_save=self.params["outputs_to_save"])
+            total = sums if total is None else type(sums)(
+                *[a + b for a, b in zip(total[:-1], sums[:-1])],
+                total.n_failed + sums.n_failed)
+            done += n_c
+            chunk_i += 1
+        return total
 
     def _device_finalize(self, key_ls, N, sums, t0=None,
                          compute_mlmc_differences=False):

@@ -774,6 +774,7 @@ def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
 
 
 _WARMED = set()
+_WARMED_LOCK = __import__("threading").Lock()
 
 
 def prewarm_mlblue(L: int, No: int, n: int,
@@ -794,9 +795,10 @@ def prewarm_mlblue(L: int, No: int, n: int,
     p = L + 2 + No.  Caps add rows and trace separately at solve time.
     """
     key = (int(L), int(No), int(n), bool(budget_epigraph))
-    if key in _WARMED:
-        return
-    _WARMED.add(key)
+    with _WARMED_LOCK:
+        if key in _WARMED:
+            return
+        _WARMED.add(key)
     rng = np.random.default_rng(0)
     nx = L + 1 if budget_epigraph else L
     c = np.ones(nx)
