@@ -574,3 +574,28 @@ def test_samplefile_consistent_under_failures(tmp_path):
     np.testing.assert_allclose(v.sum(), sums[0][0], rtol=1e-12)
     # with max_resample=0 and top-up rounds, coverage approaches N
     assert 360 <= n_rows <= 400
+
+
+def test_group_collect_chunked(tmp_path):
+    """Chunked samplefile collection (memory bound): multiple engine
+    calls per blue_fn must still append exactly N rows whose sum matches
+    the returned sums."""
+    class GJ2(BLUEProblem):
+        def sampler_jax(self, key, ls):
+            z = jax.random.normal(key)
+            return jnp.full((len(ls),), z)
+
+        def evaluate_jax(self, ls, samples):
+            return jnp.stack([samples[i] * (1.0 + l)
+                              for i, l in enumerate(ls)])[None, :]
+
+    f = str(tmp_path / "chunked.npz")
+    p = GJ2(3, C=np.eye(3) + 0.5, costs=np.array([4.0, 2.0, 1.0]),
+            samplefile=f, verbose=False)
+    p._COLLECT_CHUNK = 1000          # instance override: 3 chunks
+    sums, _, _ = p.blue_fn([0, 2], 2500, verbose=False)
+    d = dict(np.load(str(tmp_path / "chunked02.npz"), allow_pickle=True))
+    assert int(np.asarray(d["n_samples"]).ravel()[0]) == 2500
+    v = np.asarray(d["values_0_0"], dtype=float)
+    assert v.shape[0] == 2500
+    np.testing.assert_allclose(v.sum(), sums[0][0], rtol=1e-12)
