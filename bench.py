@@ -88,17 +88,20 @@ def total_samples(problem):
 def run_bluest_tpu(problem, budget0=2.0e4):
     """Returns (alloc_seconds, sample_seconds, n_evals, mus, errs)."""
     t0 = time.time()
-    problem.setup_solver(K=K, budget=budget0)
-    # rescale the budget so the estimation phase draws ~TARGET_SAMPLES
-    # (the allocation ray is homogeneous in the budget; one correction
-    # pass absorbs integer-rounding nonlinearity)
+    # rescale the budget so the estimation phase draws ~TARGET_SAMPLES.
+    # The allocation ray is homogeneous in the budget, so the calibration
+    # iterations only need the CONTINUOUS totals -- the integer corner
+    # search runs once, on the final budget.
     budget = budget0
+    problem.setup_solver(K=K, budget=budget, continuous_relaxation=True)
     for _ in range(3):
         n0 = total_samples(problem)
         if 0.85 <= n0 / TARGET_SAMPLES <= 1.15:
             break
         budget = budget * TARGET_SAMPLES / max(n0, 1)
-        problem.setup_solver(K=K, budget=budget)
+        problem.setup_solver(K=K, budget=budget,
+                             continuous_relaxation=True)
+    problem.setup_solver(K=K, budget=budget)
     alloc_s = time.time() - t0
 
     t0 = time.time()
