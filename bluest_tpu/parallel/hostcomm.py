@@ -49,12 +49,26 @@ class _ShmHandle:
         self.dtype = dtype
 
 
+def _untrack(shm) -> None:
+    """Hand segment ownership to the receiver: the creating process must
+    not let its resource_tracker unlink the segment at exit (a sender
+    that exits right after its last send would otherwise race the
+    receiver's attach; and every send would log a 'leaked shared_memory'
+    warning at shutdown).  The receiver unlinks explicitly."""
+    try:                                         # pragma: no cover
+        from multiprocessing import resource_tracker
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+
+
 def _shm_wrap(obj: Any) -> Any:
     # sequence payloads too: gather/allgather/allreduce move LISTS of
     # arrays (bcast of the gathered list), which must not fall back to
     # double-pickling exactly on the large-payload collectives the fast
-    # path exists for
-    if isinstance(obj, (list, tuple)):
+    # path exists for.  Exact-type check: tuple subclasses (namedtuples)
+    # cannot be rebuilt from a generator and pickle fine as-is.
+    if type(obj) in (list, tuple):
         return type(obj)(_shm_wrap(x) for x in obj)
     if (isinstance(obj, np.ndarray) and obj.nbytes >= _SHM_THRESHOLD_BYTES
             and not obj.dtype.hasobject):
@@ -65,13 +79,14 @@ def _shm_wrap(obj: Any) -> Any:
         shm = shared_memory.SharedMemory(create=True, size=obj.nbytes)
         np.ndarray(obj.shape, obj.dtype, buffer=shm.buf)[...] = obj
         handle = _ShmHandle(shm.name, obj.shape, obj.dtype)
+        _untrack(shm)
         shm.close()          # the segment lives until the receiver unlinks
         return handle
     return obj
 
 
 def _shm_unwrap(obj: Any) -> Any:
-    if isinstance(obj, (list, tuple)):
+    if type(obj) in (list, tuple):
         return type(obj)(_shm_unwrap(x) for x in obj)
     if isinstance(obj, _ShmHandle):
         from multiprocessing import shared_memory

@@ -555,7 +555,7 @@ class BLUEProblem:
                 sums = self._kernel_engine().sample_sums(key_ls, key, int(N))
         else:
             samplefile = self.params["samplefile"]
-            if samplefile is not None:
+            if samplefile is not None and int(N) > 0:
                 # snapshot-collecting group engine (reference streams
                 # snapshots on EVERY path, blue_fn.py:133-145; this was a
                 # silent no-op through round 2 -- VERDICT r2 item 3)
@@ -587,6 +587,7 @@ class BLUEProblem:
         total = None
         done = 0
         chunk_i = 0
+        all_vals, all_inputs = [], []
         while done < N:
             n_c = min(self._COLLECT_CHUNK, N - done)
             key_c = (key if chunk_i == 0
@@ -596,15 +597,20 @@ class BLUEProblem:
             vals = np.asarray(vals)[sel]
             if vals.ndim == 4 and vals.shape[-1] == 1:
                 vals = vals[..., 0]
-            snapshots.append_snapshots(
-                samplefile, key_ls, self.n_outputs, vals,
-                np.asarray(inputs)[sel],
-                outputs_to_save=self.params["outputs_to_save"])
+            # fetch per chunk (bounds DEVICE memory), accumulate on host,
+            # append ONCE: append_snapshots rewrites the whole compressed
+            # npz, so per-chunk appends would be quadratic in run length
+            all_vals.append(vals)
+            all_inputs.append(np.asarray(inputs)[sel])
             total = sums if total is None else type(sums)(
                 *[a + b for a, b in zip(total[:-1], sums[:-1])],
                 total.n_failed + sums.n_failed)
             done += n_c
             chunk_i += 1
+        snapshots.append_snapshots(
+            samplefile, key_ls, self.n_outputs, np.concatenate(all_vals),
+            np.concatenate(all_inputs),
+            outputs_to_save=self.params["outputs_to_save"])
         return total
 
     def _device_finalize(self, key_ls, N, sums, t0=None,
@@ -689,7 +695,9 @@ class BLUEProblem:
         """Per-(group, N) sumse with all device programs enqueued before
         the first host fetch (see the solve loop); None for N == 0."""
         if not self._has_jax_model():
-            return [self.blue_fn(g, int(n), verbose=False)[0] if n > 0
+            # host path keeps the per-level progress bar (slow black-box
+            # models are exactly where progress output matters)
+            return [self.blue_fn(g, int(n))[0] if n > 0
                     else None for g, n in zip(group_list, n_list)]
         disp = [self._device_dispatch(g, int(n)) if n > 0 else None
                 for g, n in zip(group_list, n_list)]

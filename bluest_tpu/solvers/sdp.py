@@ -221,7 +221,7 @@ def _max_step_scalar(t, dt):
 
 # ---------------------- one HSD predictor-corrector step ------------------ #
 
-def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
+def _iteration_core(cj, Glj, hlj, Aj, Hj, g_ops, gsolve, cnorm, step_frac,
                     gl_diag, Rj, woodbury, x, s_lp, S, z_lp, Z, tau, kappa):
     """One NT-scaled Mehrotra step on the HSD embedding.  Traced inside the
     fused while_loop; ``p``/``nb``/``woodbury`` branches are Python-static.
@@ -245,23 +245,10 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
     p = hlj.shape[0]
     nb, nx, n, _ = Aj.shape
     nu = p + nb * n + 1
-
-    if woodbury:
-        # implicit structured Gl (gl_diag is the SIGNED diagonal, R the
-        # extra rows).  Never touches the dense (p, nx) matrix
-        # (O(L^2) memory traffic per matvec -- the actual scaling wall
-        # at L ~ 1e4; Glj is a dummy here).
-        def Gl_mul(v):
-            return jnp.concatenate([gl_diag * v, Rj @ v])
-
-        def GlT_mul(u):
-            return gl_diag * u[:nx] + Rj.T @ u[nx:]
-    else:
-        def Gl_mul(v):
-            return Glj @ v
-
-        def GlT_mul(u):
-            return Glj.T @ u
+    # structured/dense G applications, built ONCE in _ipm_solve so the
+    # per-iteration operators can never desynchronize from the init /
+    # final-polish ones
+    Gl_mul, GlT_mul, Gall_mul = g_ops
 
     def Gx(v):
         """Stacked G @ v: returns (lp part, psd part)."""
@@ -274,17 +261,6 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
         if nb:
             out = out + jnp.einsum('binm,bnm->i', Aj, U_psd)
         return out
-
-    if woodbury:
-        def Gall_mul(v):
-            parts = [Gl_mul(v)]
-            if nb:
-                parts.append(jnp.einsum('binm,i->bnm', Aj,
-                                        v).reshape(nb * n * n))
-            return jnp.concatenate(parts)
-    else:
-        def Gall_mul(v):
-            return _Gall_j @ v
 
     # residuals of the HSD system
     Ax_lp, Ax_psd = Gx(x)
@@ -645,8 +621,8 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     def body(st):
         (x_n, s_n, S_n, z_n, Z_n, tau_n, kappa_n,
          gap_r, pres_r, dres_r, a) = _iteration_core(
-            cj, Glj, hlj, Aj, Hj, _Gall_j, gsolve, cnorm, step_frac,
-            gl_diag, Rj, woodbury,
+            cj, Glj, hlj, Aj, Hj, (Gl_mul, GlT_mul, Gall_mul), gsolve,
+            cnorm, step_frac, gl_diag, Rj, woodbury,
             st["x"], st["s_lp"], st["S"], st["z_lp"], st["Z"],
             st["tau"], st["kappa"])
         it = st["it"] + 1

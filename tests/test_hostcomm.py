@@ -119,3 +119,21 @@ def test_shm_wrap_roundtrip_and_small_passthrough():
     # object dtype must never take the shm path
     objarr = np.array([None] * 100_000, dtype=object)
     assert _shm_wrap(objarr) is objarr
+
+
+def test_namedtuple_payload_roundtrip():
+    """tuple SUBCLASSES (namedtuples) must take the plain pickle path --
+    rebuilding them from a generator crashes (max-review finding)."""
+    import collections
+    from bluest_tpu.parallel.hostcomm import _shm_wrap, _shm_unwrap
+    NT = collections.namedtuple("NT", ["a", "b"])
+    nt = NT(np.arange(3.0), "x")
+    assert _shm_wrap(nt) is nt
+    assert _shm_unwrap(nt) is nt
+    # plain containers still recurse
+    big = np.zeros(100_000)
+    w = _shm_wrap([big, "meta"])
+    assert not isinstance(w[0], np.ndarray)
+    out = _shm_unwrap(w)
+    np.testing.assert_array_equal(out[0], big)
+    assert out[1] == "meta"
