@@ -24,10 +24,35 @@ class BLUESTError(RuntimeError):
     """Raised when the allocation optimization fails (reference mosap.py:15)."""
 
 
+def prewarm_forms_for(budget, max_model_samples, L: int,
+                      solver: str = "sdp"):
+    """Cone-program shapes -- (budget_epigraph, n_caps) pairs -- that a
+    ``MOSAP.solve(budget=..., eps=..., max_model_samples=...)`` call will
+    trace, for the constructor's background prewarm (sdp_solve's dispatch
+    logic is the source of truth).  n_caps counts the finite per-model
+    caps, one Gl row each (get_max_sample_constraints)."""
+    if solver not in ("sdp", "cvxopt", "cvxpy"):
+        return []          # scipy/spg paths never touch the IPM
+    n_caps = 0
+    if max_model_samples is not None:
+        n_caps = int(np.sum(np.isfinite(
+            np.asarray(max_model_samples, dtype=float))))
+    if budget is not None:
+        # no caps: direct-eps ray + rescale (the epigraph form only runs
+        # on the rare ray failure); caps: budget-epigraph with cap rows
+        return [(True, n_caps)] if n_caps else [(False, 0)]
+    forms = [(False, n_caps)]
+    if n_caps == 0 and L <= 600:
+        # the scaled-epigraph cross-check only races direct-eps at small L
+        forms.append((True, 0))
+    return forms
+
+
 class MOSAP:
     def __init__(self, C: Sequence[np.ndarray], K: int, Ks: Sequence[int],
                  groups, multi_groups, costs: np.ndarray,
-                 multi_costs: Sequence[np.ndarray], verbose: bool = False):
+                 multi_costs: Sequence[np.ndarray], verbose: bool = False,
+                 prewarm_forms=None):
         self.verbose = verbose
         self.n_outputs = len(C)
         self.C = [np.asarray(Cn, dtype=float) for Cn in C]
@@ -57,14 +82,22 @@ class MOSAP:
         from ..config import allocation_device_scope
         import threading
 
-        def _prewarm(L=self.L, No=self.n_outputs, n=self.N + 1):
+        # forms: (budget_epigraph, n_caps) per cone program the upcoming
+        # solve will trace (prewarm_forms_for); default is the direct-eps
+        # program every sdp_solve path starts from
+        forms = [(False, 0)] if prewarm_forms is None \
+            else [(bool(be), int(nc)) for be, nc in prewarm_forms]
+
+        def _prewarm(L=self.L, No=self.n_outputs, n=self.N + 1,
+                     forms=tuple(forms)):
             # default_device is thread-local: re-enter the allocation
             # scope or the dummy would compile for the main accelerator
             with allocation_device_scope():
-                prewarm_mlblue(L, No, n)
+                for be, nc in forms:
+                    prewarm_mlblue(L, No, n, budget_epigraph=be, n_caps=nc)
 
         import os as _os
-        if (self.L >= 256
+        if (self.L >= 256 and forms
                 and _os.environ.get("BLUEST_TPU_IPM_PREWARM", "1") != "0"):
             threading.Thread(target=_prewarm, daemon=True).start()
 

@@ -712,14 +712,18 @@ class BLUEProblem:
 
     # ----------------------------- solvers ----------------------------- #
 
-    def prewarm_solver(self, K=4, background=False):
+    def prewarm_solver(self, K=4, background=False, budget=None,
+                       max_model_samples=None):
         """Trace + compile the allocation cone program for the group
         structure a later ``setup_solver(K=...)`` will build, so that
         call skips the per-process trace+lower (~2-3 s at L ~ 400, more
         at large L; the persistent XLA cache only removes the backend
         compile).  Call it while pilot sampling or model warm-up runs;
         ``background=True`` returns immediately and warms in a daemon
-        thread.  Returns the predicted number of groups L."""
+        thread.  Pass the ``budget`` / ``max_model_samples`` the later
+        solve will use so the matching program form (budget epigraph,
+        cap rows) is the one warmed.  Returns the predicted number of
+        groups L."""
         K = min(int(K), self.M)
         union = set()
         for n in range(self.n_outputs):
@@ -728,11 +732,16 @@ class BLUEProblem:
                 union.add(tuple(sorted(c)))
         L = len(union)
         from .solvers.sdp import prewarm_mlblue
+        from .allocation.mosap import prewarm_forms_for
         from .config import allocation_device_scope
+        forms = prewarm_forms_for(budget, max_model_samples, L) \
+            or [(False, 0)]
 
         def run():
             with allocation_device_scope():
-                prewarm_mlblue(L, self.n_outputs, self.M + 1)
+                for be, nc in forms:
+                    prewarm_mlblue(L, self.n_outputs, self.M + 1,
+                                   budget_epigraph=be, n_caps=nc)
 
         if background:
             import threading
@@ -831,11 +840,16 @@ class BLUEProblem:
                      repr(groups), repr(multi_groups), costs.tobytes())
         if getattr(self, "_mosap_key", None) != cache_key:
             from .config import allocation_device_scope
+            from .allocation.mosap import prewarm_forms_for
+            L_total = sum(len(gk) for gk in groups)
+            forms = prewarm_forms_for(budget, max_model_samples, L_total,
+                                      solver=solver)
             with allocation_device_scope():
                 # psi assembly runs eagerly at construction; keep it off
                 # the accelerator (per-op dispatch latency dominates)
                 self.MOSAP = MOSAP(C, K, Ks, groups, multi_groups, costs,
-                                   multi_costs, verbose=self.verbose)
+                                   multi_costs, verbose=self.verbose,
+                                   prewarm_forms=forms)
             self._mosap_key = cache_key
         self.MOSAP.solve(eps=eps, budget=budget, solver=solver,
                          continuous_relaxation=continuous_relaxation,

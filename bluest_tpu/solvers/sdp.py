@@ -754,7 +754,7 @@ _WARMED_LOCK = __import__("threading").Lock()
 
 
 def prewarm_mlblue(L: int, No: int, n: int,
-                   budget_epigraph: bool = False) -> None:
+                   budget_epigraph: bool = False, n_caps: int = 0) -> None:
     """Trace + compile the fused IPM program for an MLBLUE shape class.
 
     The per-process TRACE+LOWER of the while_loop program (~1.3 s at
@@ -767,10 +767,11 @@ def prewarm_mlblue(L: int, No: int, n: int,
     psi/invcovs assembly (VERDICT r2 item 4).
 
     Shape contract (allocation/cones.py): direct-eps programs have
-    nx = L, p = L + No; budget-epigraph programs nx = L + 1,
-    p = L + 2 + No.  Caps add rows and trace separately at solve time.
+    nx = L, p = L + No + n_caps; budget-epigraph programs nx = L + 1,
+    p = L + 2 + No + n_caps, where n_caps is the number of finite
+    per-model sample caps (one Gl row each).
     """
-    key = (int(L), int(No), int(n), bool(budget_epigraph))
+    key = (int(L), int(No), int(n), bool(budget_epigraph), int(n_caps))
     with _WARMED_LOCK:
         if key in _WARMED:
             return
@@ -780,8 +781,8 @@ def prewarm_mlblue(L: int, No: int, n: int,
     c = np.ones(nx)
     # rows beyond the -eye block: budget row + No coverage rows for the
     # epigraph form (p = nx + 1 + No = L + 2 + No), No coverage rows for
-    # the direct-eps form
-    extra = 1 + No if budget_epigraph else No
+    # the direct-eps form; per-model caps add one row each in both forms
+    extra = (1 + No if budget_epigraph else No) + int(n_caps)
     Gl = np.vstack([-np.eye(nx), rng.random((extra, nx))])
     hl = np.concatenate([np.zeros(nx), np.full(extra, float(nx))])
     v = rng.standard_normal((No, nx, n))

@@ -142,4 +142,30 @@ def test_prewarm_solver_shape_contract():
     assert L_pred == len(blue["models"]) or L_pred == p.MOSAP.L
     assert p.MOSAP.L == L_pred
     # and the shape really is in the warmed set
-    assert (L_pred, 1, 6, False) in sdp._WARMED
+    assert (L_pred, 1, 6, False, 0) in sdp._WARMED
+
+    # capped budget mode traces the budget-epigraph + cap-rows program:
+    # prewarm with the matching hints must register exactly that form
+    mms = np.array([np.inf, 10000.0, np.inf, 20000.0, np.inf])
+    L2 = p.prewarm_solver(K=3, budget=500.0, max_model_samples=mms)
+    assert (L2, 1, 6, True, 2) in sdp._WARMED
+
+
+def test_prewarm_forms_for_dispatch_logic():
+    """prewarm_forms_for must mirror sdp_solve's program dispatch."""
+    from bluest_tpu.allocation.mosap import prewarm_forms_for
+
+    caps = [np.inf, 50.0, 100.0]
+    # budget, no caps: direct-eps ray only
+    assert prewarm_forms_for(10.0, None, 1000) == [(False, 0)]
+    # budget + caps: budget-epigraph with one row per finite cap
+    assert prewarm_forms_for(10.0, caps, 1000) == [(True, 2)]
+    # eps, no caps, large L: direct-eps only (no epigraph cross-check)
+    assert prewarm_forms_for(None, None, 1000) == [(False, 0)]
+    # eps, no caps, small L: direct-eps + the epigraph cross-check
+    assert prewarm_forms_for(None, None, 400) == [(False, 0), (True, 0)]
+    # eps + caps: direct-eps with cap rows
+    assert prewarm_forms_for(None, caps, 1000) == [(False, 2)]
+    # non-IPM solvers never trace a cone program
+    assert prewarm_forms_for(10.0, None, 1000, solver="scipy") == []
+    assert prewarm_forms_for(None, caps, 1000, solver="spg") == []
