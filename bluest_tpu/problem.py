@@ -19,6 +19,7 @@ There is no rank-0/broadcast asymmetry: computation is single-controller
 
 from __future__ import annotations
 
+import os
 from contextlib import nullcontext as _nullcontext
 from time import time
 from typing import Optional
@@ -570,6 +571,18 @@ class BLUEProblem:
     # non-collect engine runs in O(batch) memory -- a 5e6-sample run must
     # not suddenly need gigabytes just because samplefile is set)
     _COLLECT_CHUNK = 1 << 18
+    # XL runs above this many bytes of collected rows switch from
+    # accumulate-on-host to an async disk spool (SnapshotSpool): chunks
+    # stream to temp files from a writer thread overlapped with device
+    # sampling, and the final npz write pages from memmaps.  Env override
+    # BLUEST_TPU_SNAPSHOT_SPILL_MB (0 disables spilling).
+    _COLLECT_SPILL_BYTES = 256 << 20
+
+    def _collect_spill_bytes(self):
+        mb = os.environ.get("BLUEST_TPU_SNAPSHOT_SPILL_MB")
+        if mb is not None:
+            return float(mb) * 2 ** 20 if float(mb) > 0 else float("inf")
+        return float(self._COLLECT_SPILL_BYTES)
 
     def _group_collect_run(self, key_ls, key, N, samplefile):
         """Run the snapshot-collecting group engine and append the valid
@@ -588,29 +601,50 @@ class BLUEProblem:
         done = 0
         chunk_i = 0
         all_vals, all_inputs = [], []
-        while done < N:
-            n_c = min(self._COLLECT_CHUNK, N - done)
-            key_c = (key if chunk_i == 0
-                     else jax.random.fold_in(key, 1 << 20 | chunk_i))
-            sums, vals, inputs, valid = engine(key_c, n_c)
-            sel = np.asarray(valid)
-            vals = np.asarray(vals)[sel]
-            if vals.ndim == 4 and vals.shape[-1] == 1:
-                vals = vals[..., 0]
-            # fetch per chunk (bounds DEVICE memory), accumulate on host,
-            # append ONCE: append_snapshots rewrites the whole compressed
-            # npz, so per-chunk appends would be quadratic in run length
-            all_vals.append(vals)
-            all_inputs.append(np.asarray(inputs)[sel])
-            total = sums if total is None else type(sums)(
-                *[a + b for a, b in zip(total[:-1], sums[:-1])],
-                total.n_failed + sums.n_failed)
-            done += n_c
-            chunk_i += 1
-        snapshots.append_snapshots(
-            samplefile, key_ls, self.n_outputs, np.concatenate(all_vals),
-            np.concatenate(all_inputs),
-            outputs_to_save=self.params["outputs_to_save"])
+        spool = None
+        try:
+            while done < N:
+                n_c = min(self._COLLECT_CHUNK, N - done)
+                key_c = (key if chunk_i == 0
+                         else jax.random.fold_in(key, 1 << 20 | chunk_i))
+                sums, vals, inputs, valid = engine(key_c, n_c)
+                sel = np.asarray(valid)
+                vals = np.asarray(vals)[sel]
+                if vals.ndim == 4 and vals.shape[-1] == 1:
+                    vals = vals[..., 0]
+                inputs = np.asarray(inputs)[sel]
+                # fetch per chunk (bounds DEVICE memory); append ONCE at
+                # the end: append_snapshots rewrites the whole compressed
+                # npz, so per-chunk appends would be quadratic in run
+                # length.  Host memory is bounded too: XL runs spill
+                # chunks to disk asynchronously instead of accumulating.
+                if spool is None and chunk_i == 0 and n_c < N:
+                    est = (vals.nbytes + inputs.nbytes) * (N / max(n_c, 1))
+                    if est > self._collect_spill_bytes():
+                        spool = snapshots.SnapshotSpool(
+                            self.n_outputs, len(key_ls),
+                            outputs_to_save=self.params["outputs_to_save"])
+                if spool is not None:
+                    spool.append(vals, inputs)
+                else:
+                    all_vals.append(vals)
+                    all_inputs.append(inputs)
+                total = sums if total is None else type(sums)(
+                    *[a + b for a, b in zip(total[:-1], sums[:-1])],
+                    total.n_failed + sums.n_failed)
+                done += n_c
+                chunk_i += 1
+            if spool is not None:
+                snapshots.append_spooled_snapshots(
+                    samplefile, key_ls, self.n_outputs, spool)
+            else:
+                snapshots.append_snapshots(
+                    samplefile, key_ls, self.n_outputs,
+                    np.concatenate(all_vals), np.concatenate(all_inputs),
+                    outputs_to_save=self.params["outputs_to_save"])
+        finally:
+            if spool is not None:
+                spool.cleanup()
         return total
 
     def _device_finalize(self, key_ls, N, sums, t0=None,

@@ -10,6 +10,10 @@ here in bulk.
 from __future__ import annotations
 
 import os
+import queue
+import shutil
+import tempfile
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -50,24 +54,148 @@ def append_snapshots(filename: str, ls: Sequence[int], No: int,
         flat_inputs = list(np.asarray(inputs).reshape(N, -1))
         for i in range(L):
             out["inputs_%d" % i] = flat_inputs
+    _merge_and_write(fname, ls, No, out, N)
+    return fname
+
+
+def _merge_and_write(fname: str, ls: Sequence[int], No: int, out: dict,
+                     N: int) -> None:
+    """Merge a block of new columns with an existing snapshot file (if
+    any) and write the compressed npz.  ``out`` holds only the data
+    columns (values_*/inputs_*); metadata is stamped here."""
+    out = dict(out)
     out["models"] = np.array([list(ls)])
     out["n_samples"] = np.array([N])
     out["n_outputs"] = np.array([No])
-
     if os.path.isfile(fname):
         old = {k: [item for item in v]
                for k, v in dict(np.load(fname, allow_pickle=True)).items()}
         assert list(np.asarray(old["models"][0])) == list(ls)
         for key in old:
             if "values" in key or "inputs" in key:
-                old[key] += out.get(key, [])
+                old[key] += [item for item in out.get(key, [])]
         old["n_samples"] = np.array([int(np.asarray(
             old["n_samples"]).ravel()[0]) + N])
         old["models"] = out["models"]
         old["n_outputs"] = out["n_outputs"]
         out = old
-
     np.savez_compressed(fname, **out)
+
+
+class SnapshotSpool:
+    """Asynchronous disk spool for snapshot chunks on XL collection runs.
+
+    The chunked group-engine collector accumulates every chunk's valid
+    outputs + inputs on the host before the single npz append; at 1e7+
+    samples that is gigabytes of host memory held for the whole run.
+    The spool instead streams each chunk to per-column binary files in a
+    temp directory from a writer thread (overlapping disk I/O with the
+    device sampling of the next chunk), then exposes the columns as
+    read-only memmaps so the final compressed-npz write pages data in
+    a bounded window instead of materializing the run.
+
+    Reference parity note: the reference streams snapshots inline per
+    batch (blue_fn.py:133-145) with O(run) memory in its npz append;
+    this is the TPU engine's memory-bounded analog.
+    """
+
+    def __init__(self, No: int, L: int,
+                 outputs_to_save: Optional[Sequence[int]] = None,
+                 tmpdir: Optional[str] = None, max_pending: int = 4):
+        self.No, self.L = int(No), int(L)
+        self.outputs = (list(range(No)) if outputs_to_save is None
+                        else [n for n in outputs_to_save if 0 <= n < No])
+        self.dir = tempfile.mkdtemp(prefix="bluest_snapspool_", dir=tmpdir)
+        self.rows = 0
+        self._meta = {}            # key -> (dtype, trailing_shape)
+        self._err = None
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # ------------------------------ producer -------------------------- #
+
+    def append(self, values: np.ndarray, inputs: np.ndarray) -> None:
+        """Queue one chunk: values (n, No, L[, d]), inputs (n, ...)."""
+        if self._err is not None:
+            raise self._err
+        values = np.asarray(values)
+        inputs = np.asarray(inputs)
+        if values.shape[0] != inputs.shape[0]:
+            raise ValueError("values/inputs row mismatch")
+        self._q.put((values, inputs))
+        self.rows += int(values.shape[0])
+
+    # ------------------------------ writer ---------------------------- #
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                if self._err is not None:
+                    continue           # drain after failure
+                values, inputs = item
+                n = values.shape[0]
+                for no in self.outputs:
+                    for i in range(self.L):
+                        self._write("values_%d_%d" % (no, i),
+                                    values[:, no, i])
+                self._write("inputs", inputs.reshape(n, -1))
+            except BaseException as e:   # surfaced on finish()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _write(self, key: str, arr: np.ndarray):
+        arr = np.ascontiguousarray(arr)
+        meta = (arr.dtype, arr.shape[1:])
+        if key not in self._meta:
+            self._meta[key] = meta
+        elif self._meta[key] != meta:
+            raise ValueError("inconsistent chunk layout for %s: %r vs %r"
+                             % (key, self._meta[key], meta))
+        with open(os.path.join(self.dir, key + ".bin"), "ab") as f:
+            arr.tofile(f)
+
+    # ------------------------------ consumer -------------------------- #
+
+    def finish(self) -> dict:
+        """Join the writer and return {key: read-only memmap} with keys
+        ``values_<n>_<i>`` plus ``inputs``, each (rows, *trailing)."""
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        cols = {}
+        for key, (dtype, trail) in self._meta.items():
+            path = os.path.join(self.dir, key + ".bin")
+            if self.rows == 0:
+                cols[key] = np.empty((0,) + tuple(trail), dtype=dtype)
+            else:
+                cols[key] = np.memmap(path, dtype=dtype, mode="r",
+                                      shape=(self.rows,) + tuple(trail))
+        return cols
+
+    def cleanup(self):
+        """Delete the spool directory (after the npz write)."""
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def append_spooled_snapshots(filename: str, ls: Sequence[int], No: int,
+                             spool: SnapshotSpool) -> Optional[str]:
+    """Append a finished :class:`SnapshotSpool` to the snapshot file for
+    group ``ls`` -- the memory-bounded analog of :func:`append_snapshots`
+    (the npz write streams from the spool's memmaps)."""
+    cols = spool.finish()
+    if spool.rows == 0:
+        return None
+    fname = snapshot_filename(filename, ls)
+    out = {k: v for k, v in cols.items() if k.startswith("values_")}
+    for i in range(spool.L):
+        out["inputs_%d" % i] = cols["inputs"]
+    _merge_and_write(fname, ls, No, out, spool.rows)
     return fname
 
 

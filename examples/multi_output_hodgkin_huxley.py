@@ -3,10 +3,12 @@
 integrator fidelities (RK4/Euler timesteps) and a FitzHugh-Nagumo
 reduction, estimated jointly for five QoIs.
 
-Run:  python examples/multi_output_hodgkin_huxley.py [--full]
+Run:  python examples/multi_output_hodgkin_huxley.py [--full|--fast]
 (--full uses all 12 models; default is a 6-model subset to keep compile
 time reasonable on first run.  On CPU the default config takes ~7 min,
-dominated by the ODE pilot; on TPU the sampling phase is seconds.)
+dominated by the ODE pilot; --fast shrinks the pilot to 256 samples for
+a smoke run at a fraction of that (noisier covariance, looser
+allocation).  On TPU the sampling phase is seconds.)
 """
 
 import os
@@ -21,10 +23,11 @@ from bluest_tpu.models.hodgkin_huxley import (DEFAULT_MODELS,
 
 models = DEFAULT_MODELS if "--full" in sys.argv else (
     (0, 0.02), (0, 0.04), (1, 0.02), (1, 0.04), (2, 0.02), (2, 0.04))
+pilot = 256 if "--fast" in sys.argv else 1024
 
 problem = HodgkinHuxleyProblem(models=models,
-                               covariance_estimation_samples=1024,
-                               device_batch_size=1024, verbose=False)
+                               covariance_estimation_samples=pilot,
+                               device_batch_size=pilot, verbose=False)
 
 print("costs:", np.round(problem.get_costs(), 2))
 print("rho(output 0):", np.round(problem.get_correlation(0)[0], 3))

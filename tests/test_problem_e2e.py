@@ -599,3 +599,80 @@ def test_group_collect_chunked(tmp_path):
     v = np.asarray(d["values_0_0"], dtype=float)
     assert v.shape[0] == 2500
     np.testing.assert_allclose(v.sum(), sums[0][0], rtol=1e-12)
+
+
+def test_group_collect_spooled(tmp_path, monkeypatch):
+    """XL collection runs spill chunks to disk asynchronously
+    (SnapshotSpool); the resulting npz must be byte-identical to the
+    accumulate-on-host path, on fresh files and when appending."""
+    class GJ2(BLUEProblem):
+        def sampler_jax(self, key, ls):
+            z = jax.random.normal(key)
+            return jnp.full((len(ls),), z)
+
+        def evaluate_jax(self, ls, samples):
+            return jnp.stack([samples[i] * (1.0 + l)
+                              for i, l in enumerate(ls)])[None, :]
+
+    costs = np.array([4.0, 2.0, 1.0])
+    f_mem = str(tmp_path / "mem.npz")
+    p = GJ2(3, C=np.eye(3) + 0.5, costs=costs, samplefile=f_mem,
+            verbose=False)
+    p._COLLECT_CHUNK = 1000
+    p.blue_fn([0, 2], 2500, verbose=False)
+    d_mem = dict(np.load(str(tmp_path / "mem02.npz"), allow_pickle=True))
+
+    # tiny threshold forces the spool on every multi-chunk run
+    monkeypatch.setenv("BLUEST_TPU_SNAPSHOT_SPILL_MB", "0.001")
+    f_sp = str(tmp_path / "spool.npz")
+    p2 = GJ2(3, C=np.eye(3) + 0.5, costs=costs, samplefile=f_sp,
+             verbose=False)
+    p2._COLLECT_CHUNK = 1000
+    sums, _, _ = p2.blue_fn([0, 2], 2500, verbose=False)
+    d_sp = dict(np.load(str(tmp_path / "spool02.npz"), allow_pickle=True))
+    assert set(d_mem) == set(d_sp)
+    for k in d_mem:
+        np.testing.assert_array_equal(np.asarray(d_mem[k]),
+                                      np.asarray(d_sp[k]), err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(d_sp["values_0_0"], float).sum(), sums[0][0],
+        rtol=1e-12)
+
+    # append-to-existing goes through the spool's memmap merge
+    p2.blue_fn([0, 2], 2500, verbose=False)
+    d3 = dict(np.load(str(tmp_path / "spool02.npz"), allow_pickle=True))
+    assert int(np.asarray(d3["n_samples"]).ravel()[0]) == 5000
+    assert np.asarray(d3["values_0_0"]).shape[0] == 5000
+
+
+def test_snapshot_spool_unit(tmp_path):
+    """SnapshotSpool: outputs_to_save filtering, vector trailing dims,
+    layout-mismatch surfacing, and temp-dir cleanup."""
+    from bluest_tpu.sampling.snapshots import (SnapshotSpool,
+                                               append_spooled_snapshots)
+    sp = SnapshotSpool(2, 2, outputs_to_save=[1], tmpdir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    v1, x1 = rng.random((5, 2, 2)), rng.random((5, 3))
+    v2, x2 = rng.random((7, 2, 2)), rng.random((7, 3))
+    sp.append(v1, x1)
+    sp.append(v2, x2)
+    out = str(tmp_path / "snap.npz")
+    fname = append_spooled_snapshots(out, [0, 1], 2, sp)
+    sp.cleanup()
+    assert not os.path.isdir(sp.dir)
+    d = dict(np.load(fname, allow_pickle=True))
+    # only output 1 is saved; inputs always are
+    assert "values_0_0" not in d and "values_1_1" in d
+    np.testing.assert_allclose(
+        np.asarray(d["values_1_0"]), np.concatenate([v1, v2])[:, 1, 0])
+    np.testing.assert_allclose(
+        np.asarray(d["inputs_1"]), np.concatenate([x1, x2]))
+    assert int(np.asarray(d["n_samples"]).ravel()[0]) == 12
+
+    # inconsistent chunk layout raises on finish (writer thread error)
+    sp2 = SnapshotSpool(1, 1, tmpdir=str(tmp_path))
+    sp2.append(rng.random((4, 1, 1)), rng.random((4, 2)))
+    sp2.append(rng.random((4, 1, 1, 3)), rng.random((4, 2)))
+    with pytest.raises(ValueError, match="inconsistent chunk layout"):
+        append_spooled_snapshots(str(tmp_path / "bad.npz"), [0], 1, sp2)
+    sp2.cleanup()
