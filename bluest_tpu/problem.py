@@ -581,7 +581,12 @@ class BLUEProblem:
     def _collect_spill_bytes(self):
         mb = os.environ.get("BLUEST_TPU_SNAPSHOT_SPILL_MB")
         if mb is not None:
-            return float(mb) * 2 ** 20 if float(mb) > 0 else float("inf")
+            try:
+                v = float(mb)
+            except ValueError:     # malformed: keep the default, don't
+                v = None           # abort a long sampling run mid-flight
+            if v is not None:
+                return v * 2 ** 20 if v > 0 else float("inf")
         return float(self._COLLECT_SPILL_BYTES)
 
     def _group_collect_run(self, key_ls, key, N, samplefile):
@@ -600,6 +605,7 @@ class BLUEProblem:
         total = None
         done = 0
         chunk_i = 0
+        acc_bytes = 0
         all_vals, all_inputs = [], []
         spool = None
         try:
@@ -616,14 +622,29 @@ class BLUEProblem:
                 # fetch per chunk (bounds DEVICE memory); append ONCE at
                 # the end: append_snapshots rewrites the whole compressed
                 # npz, so per-chunk appends would be quadratic in run
-                # length.  Host memory is bounded too: XL runs spill
-                # chunks to disk asynchronously instead of accumulating.
-                if spool is None and chunk_i == 0 and n_c < N:
-                    est = (vals.nbytes + inputs.nbytes) * (N / max(n_c, 1))
-                    if est > self._collect_spill_bytes():
+                # length.  Host memory is bounded too: once the projected
+                # run volume crosses the spill threshold, chunks (incl.
+                # those already accumulated) stream to an async disk
+                # spool.  The spool lives next to the samplefile -- the
+                # system temp dir is often RAM-backed tmpfs, which would
+                # defeat the memory bound.
+                if spool is None:
+                    chunk_bytes = vals.nbytes + inputs.nbytes
+                    projected = ((acc_bytes + chunk_bytes)
+                                 * (N / max(done + n_c, 1)))
+                    if (projected > self._collect_spill_bytes()
+                            and done + n_c < N):
+                        sdir = os.path.dirname(
+                            os.path.abspath(samplefile)) or None
                         spool = snapshots.SnapshotSpool(
                             self.n_outputs, len(key_ls),
-                            outputs_to_save=self.params["outputs_to_save"])
+                            outputs_to_save=self.params["outputs_to_save"],
+                            tmpdir=sdir)
+                        for v_, x_ in zip(all_vals, all_inputs):
+                            spool.append(v_, x_)
+                        all_vals, all_inputs = [], []
+                    else:
+                        acc_bytes += chunk_bytes
                 if spool is not None:
                     spool.append(vals, inputs)
                 else:

@@ -58,28 +58,67 @@ def append_snapshots(filename: str, ls: Sequence[int], No: int,
     return fname
 
 
+def _cat(a, b):
+    """Append new column data ``b`` to an existing column ``a``.  Regular
+    arrays concatenate without per-row Python objects (the XL path);
+    object/ragged data falls back to the historical list semantics."""
+    if b is None or len(b) == 0:
+        return np.asanyarray(a)
+    a_arr = np.asanyarray(a)
+    try:
+        b_arr = np.asanyarray(b)
+        if (a_arr.dtype != object and b_arr.dtype != object
+                and a_arr.ndim >= 1 and b_arr.ndim >= 1
+                and a_arr.shape[1:] == b_arr.shape[1:]):
+            return np.concatenate([a_arr, b_arr])
+    except ValueError:
+        pass
+    return [item for item in a_arr] + [item for item in b]
+
+
+def _savez_streaming(fname: str, mapping: dict) -> None:
+    """``np.savez_compressed`` with two memory-bounding twists: dict
+    values may be callables materialized one at a time (so an append
+    only ever holds ONE merged column in memory), and the write goes to
+    a temp file + atomic replace (a crash mid-write must not destroy
+    prior runs' data).  Output is a standard npz."""
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    tmp = fname + ".tmp.npz"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED,
+                         allowZip64=True) as zf:
+        for key, val in mapping.items():
+            arr = np.asanyarray(val() if callable(val) else val)
+            with zf.open(key + ".npy", "w", force_zip64=True) as fid:
+                npformat.write_array(fid, arr, allow_pickle=True)
+    os.replace(tmp, fname)
+
+
 def _merge_and_write(fname: str, ls: Sequence[int], No: int, out: dict,
                      N: int) -> None:
     """Merge a block of new columns with an existing snapshot file (if
     any) and write the compressed npz.  ``out`` holds only the data
-    columns (values_*/inputs_*); metadata is stamped here."""
-    out = dict(out)
-    out["models"] = np.array([list(ls)])
-    out["n_samples"] = np.array([N])
-    out["n_outputs"] = np.array([No])
-    if os.path.isfile(fname):
-        old = {k: [item for item in v]
-               for k, v in dict(np.load(fname, allow_pickle=True)).items()}
+    columns (values_*/inputs_*); metadata is stamped here.  Columns are
+    merged and written one at a time, so appending an XL spooled run
+    peaks at one column of memory, not the whole run."""
+    meta = {"models": np.array([list(ls)]),
+            "n_samples": np.array([N]),
+            "n_outputs": np.array([No])}
+    if not os.path.isfile(fname):
+        _savez_streaming(fname, {**out, **meta})
+        return
+    old = np.load(fname, allow_pickle=True)
+    try:
         assert list(np.asarray(old["models"][0])) == list(ls)
-        for key in old:
-            if "values" in key or "inputs" in key:
-                old[key] += [item for item in out.get(key, [])]
-        old["n_samples"] = np.array([int(np.asarray(
+        meta["n_samples"] = np.array([int(np.asarray(
             old["n_samples"]).ravel()[0]) + N])
-        old["models"] = out["models"]
-        old["n_outputs"] = out["n_outputs"]
-        out = old
-    np.savez_compressed(fname, **out)
+        cols = {k: (lambda k=k: _cat(old[k], out.get(k)))
+                for k in old.files if "values" in k or "inputs" in k}
+        _savez_streaming(fname, {**cols, **meta})
+    finally:
+        old.close()
 
 
 class SnapshotSpool:
@@ -161,11 +200,16 @@ class SnapshotSpool:
 
     # ------------------------------ consumer -------------------------- #
 
+    def _shutdown(self):
+        """Stop the writer thread (idempotent): drain + sentinel + join."""
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join()
+
     def finish(self) -> dict:
         """Join the writer and return {key: read-only memmap} with keys
         ``values_<n>_<i>`` plus ``inputs``, each (rows, *trailing)."""
-        self._q.put(None)
-        self._thread.join()
+        self._shutdown()
         if self._err is not None:
             raise self._err
         cols = {}
@@ -179,7 +223,10 @@ class SnapshotSpool:
         return cols
 
     def cleanup(self):
-        """Delete the spool directory (after the npz write)."""
+        """Delete the spool directory (after the npz write, or on an
+        aborted run).  Joins the writer thread first so no in-flight
+        write races the removal or leaks a blocked daemon thread."""
+        self._shutdown()
         shutil.rmtree(self.dir, ignore_errors=True)
 
 

@@ -644,6 +644,22 @@ def test_group_collect_spooled(tmp_path, monkeypatch):
     assert int(np.asarray(d3["n_samples"]).ravel()[0]) == 5000
     assert np.asarray(d3["values_0_0"]).shape[0] == 5000
 
+    # the spill decision is re-evaluated per chunk: when the threshold is
+    # crossed mid-run, already-accumulated chunks migrate into the spool
+    # and the result is still identical
+    monkeypatch.delenv("BLUEST_TPU_SNAPSHOT_SPILL_MB")
+    f_mig = str(tmp_path / "mig.npz")
+    p3 = GJ2(3, C=np.eye(3) + 0.5, costs=costs, samplefile=f_mig,
+             verbose=False)
+    p3._COLLECT_CHUNK = 1000
+    seq = iter([float("inf"), 0.0])     # chunk 0 in memory, chunk 1 spills
+    p3._collect_spill_bytes = lambda: next(seq, 0.0)
+    p3.blue_fn([0, 2], 2500, verbose=False)
+    d4 = dict(np.load(str(tmp_path / "mig02.npz"), allow_pickle=True))
+    for k in d_mem:
+        np.testing.assert_array_equal(np.asarray(d_mem[k]),
+                                      np.asarray(d4[k]), err_msg=k)
+
 
 def test_snapshot_spool_unit(tmp_path):
     """SnapshotSpool: outputs_to_save filtering, vector trailing dims,
