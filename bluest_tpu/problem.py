@@ -546,12 +546,8 @@ class BLUEProblem:
         if self._has_factored_jax_model():
             samplefile = self.params["samplefile"]
             if samplefile is not None:
-                from .sampling import snapshots
-                sums, vals, thetas = self._kernel_engine().sample_sums(
-                    key_ls, key, int(N), collect=True)
-                snapshots.append_snapshots(
-                    samplefile, key_ls, self.n_outputs, vals, thetas,
-                    outputs_to_save=self.params["outputs_to_save"])
+                sums = self._kernel_collect_run(key_ls, key, int(N),
+                                                samplefile)
             else:
                 sums = self._kernel_engine().sample_sums(key_ls, key, int(N))
         else:
@@ -589,10 +585,34 @@ class BLUEProblem:
                 return v * 2 ** 20 if v > 0 else float("inf")
         return float(self._COLLECT_SPILL_BYTES)
 
+    def _collect_sink(self, key_ls, N, samplefile):
+        """Accumulate-or-spill sink for snapshot collection: chunks stay
+        on the host until the projected run volume crosses the spill
+        threshold, then stream to an async disk spool living next to the
+        samplefile (the system temp dir is often RAM-backed tmpfs, which
+        would defeat the memory bound)."""
+        from .sampling import snapshots
+        sdir = os.path.dirname(os.path.abspath(samplefile)) or None
+        return snapshots.CollectSink(
+            self.n_outputs, len(key_ls), N, self._collect_spill_bytes,
+            outputs_to_save=self.params["outputs_to_save"], tmpdir=sdir)
+
+    def _kernel_collect_run(self, key_ls, key, N, samplefile):
+        """Factored kernel-engine sampling with snapshot collection:
+        per-bucket outputs/inputs stream through a CollectSink so XL
+        runs stay memory-bounded; returns the SampleSums."""
+        sink = self._collect_sink(key_ls, N, samplefile)
+        try:
+            sums = self._kernel_engine().sample_sums(
+                key_ls, key, int(N), collect=True, on_chunk=sink.add)
+            sink.write(samplefile, key_ls)
+        finally:
+            sink.close()
+        return sums
+
     def _group_collect_run(self, key_ls, key, N, samplefile):
         """Run the snapshot-collecting group engine and append the valid
         rows to the samplefile (chunked); returns the summed SampleSums."""
-        from .sampling import snapshots
         ckey = (key_ls, "collect")
         if ckey not in self._engines:
             cfn = jax_engine.make_collect_fn(
@@ -605,9 +625,7 @@ class BLUEProblem:
         total = None
         done = 0
         chunk_i = 0
-        acc_bytes = 0
-        all_vals, all_inputs = [], []
-        spool = None
+        sink = self._collect_sink(key_ls, N, samplefile)
         try:
             while done < N:
                 n_c = min(self._COLLECT_CHUNK, N - done)
@@ -618,54 +636,19 @@ class BLUEProblem:
                 vals = np.asarray(vals)[sel]
                 if vals.ndim == 4 and vals.shape[-1] == 1:
                     vals = vals[..., 0]
-                inputs = np.asarray(inputs)[sel]
-                # fetch per chunk (bounds DEVICE memory); append ONCE at
-                # the end: append_snapshots rewrites the whole compressed
-                # npz, so per-chunk appends would be quadratic in run
-                # length.  Host memory is bounded too: once the projected
-                # run volume crosses the spill threshold, chunks (incl.
-                # those already accumulated) stream to an async disk
-                # spool.  The spool lives next to the samplefile -- the
-                # system temp dir is often RAM-backed tmpfs, which would
-                # defeat the memory bound.
-                if spool is None:
-                    chunk_bytes = vals.nbytes + inputs.nbytes
-                    projected = ((acc_bytes + chunk_bytes)
-                                 * (N / max(done + n_c, 1)))
-                    if (projected > self._collect_spill_bytes()
-                            and done + n_c < N):
-                        sdir = os.path.dirname(
-                            os.path.abspath(samplefile)) or None
-                        spool = snapshots.SnapshotSpool(
-                            self.n_outputs, len(key_ls),
-                            outputs_to_save=self.params["outputs_to_save"],
-                            tmpdir=sdir)
-                        for v_, x_ in zip(all_vals, all_inputs):
-                            spool.append(v_, x_)
-                        all_vals, all_inputs = [], []
-                    else:
-                        acc_bytes += chunk_bytes
-                if spool is not None:
-                    spool.append(vals, inputs)
-                else:
-                    all_vals.append(vals)
-                    all_inputs.append(inputs)
+                # fetch per chunk (bounds DEVICE memory); the sink
+                # appends ONCE at the end (per-chunk npz appends would
+                # be quadratic in run length) and bounds HOST memory by
+                # spilling XL runs to disk
+                sink.add(vals, np.asarray(inputs)[sel], n_c)
                 total = sums if total is None else type(sums)(
                     *[a + b for a, b in zip(total[:-1], sums[:-1])],
                     total.n_failed + sums.n_failed)
                 done += n_c
                 chunk_i += 1
-            if spool is not None:
-                snapshots.append_spooled_snapshots(
-                    samplefile, key_ls, self.n_outputs, spool)
-            else:
-                snapshots.append_snapshots(
-                    samplefile, key_ls, self.n_outputs,
-                    np.concatenate(all_vals), np.concatenate(all_inputs),
-                    outputs_to_save=self.params["outputs_to_save"])
+            sink.write(samplefile, key_ls)
         finally:
-            if spool is not None:
-                spool.cleanup()
+            sink.close()
         return total
 
     def _device_finalize(self, key_ls, N, sums, t0=None,
@@ -691,12 +674,8 @@ class BLUEProblem:
             # npz rows silently undercount the estimator's N
             if self._has_factored_jax_model():
                 if samplefile is not None:
-                    from .sampling import snapshots
-                    extra, vals, thetas = self._kernel_engine().sample_sums(
-                        key_ls, key2, deficit, collect=True)
-                    snapshots.append_snapshots(
-                        samplefile, key_ls, self.n_outputs, vals, thetas,
-                        outputs_to_save=self.params["outputs_to_save"])
+                    extra = self._kernel_collect_run(key_ls, key2, deficit,
+                                                     samplefile)
                 else:
                     extra = self._kernel_engine().sample_sums(
                         key_ls, key2, deficit)

@@ -234,7 +234,13 @@ class KernelEngineV2:
             for j in cjobs:
                 warm_combiner(j)
 
-    def sample_sums(self, ls, key, N: int, collect: bool = False):
+    def sample_sums(self, ls, key, N: int, collect: bool = False,
+                    on_chunk: Optional[Callable] = None):
+        """MLBLUE sums for group ``ls`` over N samples.  With
+        ``collect=True`` the per-sample outputs + inputs are returned in
+        bulk, or -- when ``on_chunk(vals, thetas, attempted_rows)`` is
+        given -- streamed per bucket so the caller (a snapshot
+        CollectSink) bounds host memory on XL runs."""
         ls = [int(l) for l in ls]
         N = int(N)
         n_pad, n_buckets = self._bucket(N)
@@ -270,10 +276,14 @@ class KernelEngineV2:
                 finite = np.isfinite(ovals).all(
                     axis=tuple(range(1, ovals.ndim)))
                 sel = (idx < N) & finite
-                vals.append(ovals[sel])
-                thetas.append(np.asarray(th)[sel])
+                if on_chunk is not None:
+                    on_chunk(ovals[sel], np.asarray(th)[sel],
+                             int(min(total, N - base)))
+                else:
+                    vals.append(ovals[sel])
+                    thetas.append(np.asarray(th)[sel])
         se, sc, d1, d2, nf = acc
         sums = SampleSums(se, sc, d1, d2, nf)
-        if collect:
+        if collect and on_chunk is None:
             return sums, np.concatenate(vals), np.concatenate(thetas)
         return sums

@@ -230,6 +230,86 @@ class SnapshotSpool:
         shutil.rmtree(self.dir, ignore_errors=True)
 
 
+class CollectSink:
+    """Accumulate collected snapshot chunks, spilling to a
+    :class:`SnapshotSpool` once the projected run volume crosses a
+    threshold.  Shared by the group-engine chunk loop and the kernel
+    engine's per-bucket ``on_chunk`` callback, so every snapshot path is
+    memory-bounded the same way.
+
+    ``add`` takes each chunk's valid rows plus the number of rows the
+    chunk *attempted* (>= valid), which anchors the projection of the
+    total run volume; the spill decision is re-evaluated every chunk and
+    already-accumulated chunks migrate into the spool when it trips.
+    """
+
+    def __init__(self, No: int, L: int, N_expected: int,
+                 spill_bytes,
+                 outputs_to_save: Optional[Sequence[int]] = None,
+                 tmpdir: Optional[str] = None):
+        self.No, self.L = int(No), int(L)
+        self.N = max(int(N_expected), 1)
+        # float, or a zero-arg callable re-read at every add (lets env
+        # overrides take effect mid-run and keeps tests riggable)
+        self.spill_bytes = spill_bytes
+        self.outputs_to_save = outputs_to_save
+        self.tmpdir = tmpdir
+        self.rows_attempted = 0
+        self.acc_bytes = 0
+        self.vals: List[np.ndarray] = []
+        self.inputs: List[np.ndarray] = []
+        self.spool: Optional[SnapshotSpool] = None
+
+    def add(self, vals: np.ndarray, inputs: np.ndarray,
+            attempted_rows: Optional[int] = None) -> None:
+        vals = np.asarray(vals)
+        inputs = np.asarray(inputs)
+        n_att = int(attempted_rows if attempted_rows is not None
+                    else vals.shape[0])
+        self.rows_attempted += max(n_att, vals.shape[0])
+        if self.spool is None:
+            chunk_bytes = vals.nbytes + inputs.nbytes
+            projected = ((self.acc_bytes + chunk_bytes)
+                         * (self.N / max(self.rows_attempted, 1)))
+            thr = (self.spill_bytes() if callable(self.spill_bytes)
+                   else float(self.spill_bytes))
+            if projected > thr and self.rows_attempted < self.N:
+                self.spool = SnapshotSpool(
+                    self.No, self.L, outputs_to_save=self.outputs_to_save,
+                    tmpdir=self.tmpdir)
+                for v, x in zip(self.vals, self.inputs):
+                    self.spool.append(v, x)
+                self.vals, self.inputs = [], []
+            else:
+                self.acc_bytes += chunk_bytes
+        if self.spool is not None:
+            self.spool.append(vals, inputs)
+        else:
+            self.vals.append(vals)
+            self.inputs.append(inputs)
+
+    def write(self, filename: str, ls: Sequence[int]) -> None:
+        """Append everything collected to the snapshot file and release
+        the spool (if any)."""
+        try:
+            if self.spool is not None:
+                append_spooled_snapshots(filename, ls, self.No, self.spool)
+            elif self.vals:
+                append_snapshots(filename, ls, self.No,
+                                 np.concatenate(self.vals),
+                                 np.concatenate(self.inputs),
+                                 outputs_to_save=self.outputs_to_save)
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        """Release spool resources (idempotent; safe on aborted runs)."""
+        if self.spool is not None:
+            self.spool.cleanup()
+            self.spool = None
+        self.vals, self.inputs = [], []
+
+
 def append_spooled_snapshots(filename: str, ls: Sequence[int], No: int,
                              spool: SnapshotSpool) -> Optional[str]:
     """Append a finished :class:`SnapshotSpool` to the snapshot file for

@@ -661,6 +661,38 @@ def test_group_collect_spooled(tmp_path, monkeypatch):
                                       np.asarray(d4[k]), err_msg=k)
 
 
+def test_kernel_engine_collect_spooled(tmp_path, monkeypatch):
+    """The factored kernel-engine snapshot path streams buckets through
+    the same CollectSink: a spooled multi-bucket run writes the same
+    npz as the in-memory path."""
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+
+    def run(fname, spill):
+        if spill is None:
+            monkeypatch.delenv("BLUEST_TPU_SNAPSHOT_SPILL_MB",
+                               raising=False)
+        else:
+            monkeypatch.setenv("BLUEST_TPU_SNAPSHOT_SPILL_MB", spill)
+        p = ExpSeriesProblem(
+            3, C=np.eye(3) + 0.5, costs=np.array([4.0, 2.0, 1.0]),
+            samplefile=fname, device_batch_size=128, verbose=False)
+        p._kernel_engine().max_bucket = 128   # force multi-bucket runs
+        return p.blue_fn([0, 2], 2500, verbose=False)
+
+    run(str(tmp_path / "mem.npz"), None)
+    d_mem = dict(np.load(str(tmp_path / "mem02.npz"), allow_pickle=True))
+    sums, _, _ = run(str(tmp_path / "sp.npz"), "0.0001")
+    d_sp = dict(np.load(str(tmp_path / "sp02.npz"), allow_pickle=True))
+    assert set(d_mem) == set(d_sp)
+    for k in d_mem:
+        np.testing.assert_array_equal(np.asarray(d_mem[k]),
+                                      np.asarray(d_sp[k]), err_msg=k)
+    assert int(np.asarray(d_sp["n_samples"]).ravel()[0]) == 2500
+    np.testing.assert_allclose(
+        np.asarray(d_sp["values_0_0"], float).sum(), sums[0][0],
+        rtol=1e-12)
+
+
 def test_snapshot_spool_unit(tmp_path):
     """SnapshotSpool: outputs_to_save filtering, vector trailing dims,
     layout-mismatch surfacing, and temp-dir cleanup."""
