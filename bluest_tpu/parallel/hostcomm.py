@@ -146,14 +146,21 @@ class HostComm:
         return self._recv(root)
 
     def gather(self, obj: Any, root: int = 0) -> Optional[List[Any]]:
+        # the root's own slot is a COPY, matching mpi4py's pickle
+        # round-trip: with the reference pattern `snap = comm.gather(u)`
+        # followed by in-place updates of u, an aliased slot would make
+        # rank root's snapshot silently track the live array while the
+        # other ranks hold the old values -- rank-divergent SPMD state
+        import copy
         if self.size == 1:
-            return [obj]
+            return [copy.deepcopy(obj)]
         if self.rank != root:
             self._send(obj, root)
             return None
         out = []
         for src in range(self.size):
-            out.append(obj if src == root else self._recv(src))
+            out.append(copy.deepcopy(obj) if src == root
+                       else self._recv(src))
         return out
 
     def allgather(self, obj: Any) -> List[Any]:
@@ -162,6 +169,44 @@ class HostComm:
     def allreduce(self, val: Any, op=operator.add) -> Any:
         vals = self.allgather(val)
         return reduce(op, vals[1:], vals[0])
+
+
+def drain_stranded_shm(comm_groups) -> None:
+    """Best-effort cleanup after an aborted run: unlink shared-memory
+    segments whose handles are stranded in group queues.
+
+    ``_untrack`` hands segment ownership to the receiver, so a payload
+    sitting unconsumed in a queue when its receiver is terminated has NO
+    automatic unlink path and would leak /dev/shm until reboot.  The
+    engine calls this after terminating+joining a run's workers (no
+    concurrent producers left)."""
+    from multiprocessing import shared_memory
+
+    def unlink(obj):
+        if type(obj) in (list, tuple):
+            for x in obj:
+                unlink(x)
+        elif isinstance(obj, _ShmHandle):
+            try:
+                shm = shared_memory.SharedMemory(name=obj.name)
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
+
+    for comms in comm_groups:
+        queues = comms[0]._q if comms else None
+        if not queues:
+            continue
+        for row in queues:
+            for q in row:
+                while q is not None:
+                    try:
+                        if q.empty():
+                            break
+                        unlink(q.get())
+                    except Exception:
+                        break
 
 
 def make_group_comms(size: int, ctx) -> List[HostComm]:

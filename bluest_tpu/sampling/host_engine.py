@@ -319,7 +319,8 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
         _clear_stale_worker_snapshots(filename, ls, n_workers)
 
     if model_workers > 1:
-        from ..parallel.hostcomm import make_group_comms
+        from ..parallel.hostcomm import (make_group_comms,
+                                         drain_stranded_shm)
         import queue as _queue
         out_queue = ctx.Queue()   # Queue (not SimpleQueue): get(timeout)
         # lets the parent poll child liveness -- a crash on a non-rank-0
@@ -347,6 +348,15 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                 p.start()
                 procs.append(p)
                 group_procs[gid].append(p)
+        def _abort():
+            # terminate+join BEFORE draining: drain_stranded_shm needs
+            # no concurrent producers on the group queues
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join()
+            drain_stranded_shm(all_comms)
+
         results = []
         done_gids = set()
         while len(results) < len(active):
@@ -365,16 +375,14 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                     try:
                         gid, res = out_queue.get(timeout=1.0)
                         if isinstance(res, BaseException):
-                            for p in procs:
-                                p.terminate()
+                            _abort()
                             raise res
                         done_gids.add(gid)
                         results.append(res)
                         continue
                     except _queue.Empty:
                         pass
-                    for p in procs:
-                        p.terminate()
+                    _abort()
                     raise RuntimeError(
                         "model-group %d worker died with exit code %s; "
                         "sampling aborted (an exception on a non-rank-0 "
@@ -383,13 +391,13 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                         % (dead[0][0], dead[0][1].exitcode))
                 continue
             if isinstance(res, BaseException):
-                for p in procs:
-                    p.terminate()
+                _abort()
                 raise res
             done_gids.add(gid)
             results.append(res)
         for p in procs:
             p.join()
+        drain_stranded_shm(all_comms)   # belt-and-braces on clean exit
     else:
         jobs = [(problem, ls, n, wid, No, compute_mlmc_differences,
                  _worker_snapfile(filename, wid)

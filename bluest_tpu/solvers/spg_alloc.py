@@ -83,7 +83,7 @@ def capped_projection(w, budget, cap_rows, cap_rhs, n_sweeps: int = 200):
     nrm2 = jnp.maximum(jnp.sum(A * A, axis=1), 1e-300)
     q = A.shape[0]
 
-    def proj(x):
+    def dykstra(x):
         def sweep(_, st):
             y, P, p0 = st
             z = y + p0                      # orthant
@@ -119,6 +119,13 @@ def capped_projection(w, budget, cap_rows, cap_rhs, n_sweeps: int = 200):
 
         return jax.lax.fori_loop(0, q, repair, y)
 
+    def proj(x):
+        # feasible points are their own projection: skip the (expensive)
+        # sweeps for strictly interior SPG iterates, mirroring
+        # budget_projection's fast path
+        feas = jnp.all(x >= 0.0) & jnp.all(A @ x <= b)
+        return jax.lax.cond(feas, lambda v: v, dykstra, x)
+
     return proj
 
 
@@ -148,7 +155,7 @@ def _spg_budget_single(data, w, budget, x0, f0, delta0, gtol,
     geval = jax.grad(feval)
     proj = _make_proj(w, budget, cap_rows, cap_rhs)
     res = spg(feval, geval, proj, x0, eps=gtol, maxit=3000)
-    return res.x, res.f, res.it
+    return res.x, res.f, res.it, res.solver_info
 
 
 def _cap_arrays(L, cap_rows, cap_rhs):
@@ -176,14 +183,18 @@ def solve_budget_spg(data, costs, budget, cap_rows=None, cap_rhs=None,
         return None
     # gradient scale: |grad of normalized objective| ~ 1/m-scale
     gtol = 1e-10 / (budget / w.sum())
-    x, f, it = _spg_budget_single(data, jnp.asarray(w), budget,
-                                  jnp.asarray(x0), f0, delta0, gtol,
-                                  jnp.asarray(cr), jnp.asarray(crhs))
+    x, f, it, info = _spg_budget_single(data, jnp.asarray(w), budget,
+                                        jnp.asarray(x0), f0, delta0, gtol,
+                                        jnp.asarray(cr), jnp.asarray(crhs))
     x = np.asarray(x)
-    if not np.all(np.isfinite(x)) or int(it) == 0:
-        # it == 0: the very first line search failed (NaN objective near
-        # a singular PHI) and SPG returned the projected start -- finite
-        # but not a solve
+    if not np.all(np.isfinite(x)) or (int(info) == 2 and int(it) == 0):
+        # info 2 at it 0: the very first line search failed (NaN
+        # objective near a singular PHI) and SPG returned the projected
+        # start -- finite but not a solve.  it == 0 with info 0 is a
+        # warm start that already satisfies the gradient tolerance (the
+        # eps+caps budget bisection hits this routinely) and is a valid
+        # solution; later-iteration line-search failures keep their
+        # feasible best-effort iterate.
         return None
     return np.maximum(x, 0.0)
 
@@ -202,18 +213,19 @@ def eps_caps_budget_search(solve_at, ratio_of, B0,
     caps make the tolerance unreachable at any budget."""
     B = float(B0)
     m = solve_at(B, None)
-    if m is None:
-        return None
-    r = ratio_of(m)
+    r = ratio_of(m) if m is not None else np.inf
     k = 0
-    while (not np.isfinite(r) or r > 1.0) and k < max_doubles:
+    while (m is None or not np.isfinite(r) or r > 1.0) and k < max_doubles:
+        # a failed solve at this budget is retryable: larger budgets move
+        # the feasible set away from whatever made the solve stall
         B *= 2.0
         m2 = solve_at(B, m)
-        if m2 is None:
-            return None
-        m, r = m2, ratio_of(m2)
+        if m2 is not None:
+            m, r = m2, ratio_of(m2)
+        else:
+            r = np.inf
         k += 1
-    if not np.isfinite(r) or r > 1.0:
+    if m is None or not np.isfinite(r) or r > 1.0:
         return None                      # certifiably cap-limited
     m_hi, B_hi = m, B
     if k == 0:
@@ -266,7 +278,7 @@ def _spg_budget_multi(datas, mappings, w, budget, x0, wts, delta0s,
     geval = jax.grad(feval)
     proj = _make_proj(w, budget, cap_rows, cap_rhs)
     res = spg(feval, geval, proj, x0, eps=gtol, maxit=3000)
-    return res.x, res.f, res.it
+    return res.x, res.f, res.it, res.solver_info
 
 
 def solve_budget_spg_multi(datas: Sequence, mappings: Sequence,
@@ -292,21 +304,30 @@ def solve_budget_spg_multi(datas: Sequence, mappings: Sequence,
                     for d, mp in zip(datas, mappings))
     v0 = [float(_reg_variance(d, jnp.asarray(x0[mp]), dd)) / wt
           for d, mp, dd, wt in zip(datas, mappings, delta0s, weights)]
-    s0 = float(max(v0))
-    if not np.isfinite(s0) or s0 <= 0:
+    if not np.all(np.isfinite(v0)):
+        # Python max skips NaN unless it comes first; an explicit
+        # all-finite check keeps a singular-PHI output from slipping a
+        # NaN objective into the solve
+        return None
+    s0 = float(np.max(v0))
+    if s0 <= 0:
         return None
     # normalize so the smoothed objective is O(1) at the start
     wts = tuple(float(wt * s0) for wt in weights)
     gtol = 1e-10 / (budget / w.sum())
     mapp = tuple(jnp.asarray(mp) for mp in mappings)
     x = jnp.asarray(x0)
+    progressed = False
     for temp in (16.0, 128.0, 1024.0):
         # a failed stage returns its (finite) warm start unchanged, so
         # continuation degrades gracefully rather than losing progress
-        x, f, it = _spg_budget_multi(tuple(datas), mapp, jnp.asarray(w),
-                                     budget, x, wts, delta0s, temp, gtol,
-                                     jnp.asarray(cr), jnp.asarray(crhs))
+        x, f, it, info = _spg_budget_multi(
+            tuple(datas), mapp, jnp.asarray(w), budget, x, wts, delta0s,
+            temp, gtol, jnp.asarray(cr), jnp.asarray(crhs))
+        progressed = progressed or int(info) == 0 or int(it) > 0
     x = np.asarray(x)
-    if not np.all(np.isfinite(x)):
+    if not np.all(np.isfinite(x)) or not progressed:
+        # every stage's first line search failed: x is just the
+        # projected start, not a solve (mirrors the single-output guard)
         return None
     return np.maximum(x, 0.0)

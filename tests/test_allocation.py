@@ -515,6 +515,43 @@ def test_mosap_spg_caps_eps():
     assert m_spg @ gcosts <= 1.10 * (m_sdp @ gcosts)
 
 
+def test_eps_caps_budget_search_retries_failed_solves():
+    """A solve that fails (None) at small budgets must be retried at
+    doubled budgets, not abort the eps+caps search (late-r3 hardening);
+    and failed bisection probes tighten the bracket from below."""
+    from bluest_tpu.solvers.spg_alloc import eps_caps_budget_search
+    calls = []
+
+    def solve_at(B, x0):
+        calls.append(B)
+        return None if B < 12.0 else np.array([B])
+
+    m = eps_caps_budget_search(solve_at, lambda m: 40.0 / m[0], B0=1.0)
+    assert m is not None
+    # frontier is at B=40; bracket tolerance 1e-4 relative
+    assert abs(m[0] - 40.0) <= 40.0 * 2e-3
+    assert any(b < 12.0 for b in calls)   # small-budget failures seen
+
+    def never(B, x0):
+        return None
+
+    assert eps_caps_budget_search(never, lambda m: 1.0, B0=1.0) is None
+
+
+def test_capped_projection_feasible_fixed_point():
+    """A strictly feasible point is its own projection and must take the
+    exact fast path (identity), not accumulate Dykstra sweep error."""
+    import jax.numpy as jnp
+    from bluest_tpu.solvers.spg_alloc import capped_projection
+    L = 6
+    w = np.ones(L)
+    cap_rows = np.zeros((1, L))
+    cap_rows[0, :2] = 1.0
+    proj = capped_projection(w, 100.0, cap_rows, np.array([5.0]))
+    x = np.array([1.0, 2.0, 3.0, 0.0, 0.5, 4.0])
+    np.testing.assert_array_equal(np.asarray(proj(jnp.asarray(x))), x)
+
+
 def test_capped_projection_zero_cap_rhs():
     """A zero cap RHS must zero ONLY that cap's support, not collapse the
     whole iterate (round-3 review finding: the global-shrink repair

@@ -121,6 +121,45 @@ def test_shm_wrap_roundtrip_and_small_passthrough():
     assert _shm_wrap(objarr) is objarr
 
 
+def test_gather_root_slot_is_a_copy():
+    """gather must not alias the root's own payload: mpi4py pickles every
+    slot, so `snap = comm.gather(u)` followed by in-place updates of `u`
+    must leave the snapshot untouched on every rank."""
+    (comm,) = make_group_comms(1, None)
+    u = np.arange(3.0)
+    snap = comm.gather(u)
+    u += 100.0
+    np.testing.assert_array_equal(snap[0], [0.0, 1.0, 2.0])
+
+
+def test_drain_stranded_shm_unlinks_segments():
+    """A large payload stranded in a group queue (its receiver was
+    terminated before recv) must be unlinked by drain_stranded_shm, not
+    leak /dev/shm until reboot."""
+    from multiprocessing import shared_memory
+    from bluest_tpu.parallel.hostcomm import (_shm_wrap, _ShmHandle,
+                                              drain_stranded_shm)
+    ctx = mp.get_context("spawn")
+    comms = make_group_comms(2, ctx)
+    big = np.zeros(100_000)
+    handle = _shm_wrap(big)
+    assert isinstance(handle, _ShmHandle)
+    # simulate an aborted run: the payload sits unconsumed in 0->1
+    comms[0]._q[0][1].put(handle)
+    # also a nested container with a second segment, on the other queue
+    handle2 = _shm_wrap([big + 1.0, "meta"])
+    comms[0]._q[1][0].put(handle2)
+    drain_stranded_shm([comms, None, make_group_comms(1, None)])
+    for name in (handle.name, handle2[0].name):
+        try:
+            shm = shared_memory.SharedMemory(name=name)
+        except FileNotFoundError:
+            continue
+        shm.close()
+        shm.unlink()
+        raise AssertionError("segment %s leaked past drain" % name)
+
+
 def test_namedtuple_payload_roundtrip():
     """tuple SUBCLASSES (namedtuples) must take the plain pickle path --
     rebuilding them from a generator crashes (max-review finding)."""
