@@ -141,7 +141,11 @@ def _wood_factor(d0, W, jitter=1e-14):
     gap 4e-8 ('inaccurate') while 4 match the dense path's iteration
     count and 'optimal' exit; the equilibrated capacitance Cholesky
     handles the scale spread the same way the dense path's equilibration
-    does."""
+    does.  Controlled A/B on the K=6 HH golden (L=2509,
+    tools/ab_profile.py): WOOD_REFINE=2 does not terminate within 40
+    minutes -- the inaccurate exit cascades into the cross-check and NLP
+    fallback chain -- so the 4-step default is a robustness requirement,
+    not a tuning preference."""
     r = W.shape[1]
     Wd = W / d0[:, None]
     C = jnp.eye(r, dtype=W.dtype) + W.T @ Wd

@@ -90,14 +90,22 @@ def _parse_env(spec: str) -> dict:
     return env
 
 
-def _run_variant(name: str, env_spec: str, k: int) -> dict:
+def _run_variant(name: str, env_spec: str, k: int,
+                 child_timeout: float) -> dict:
     env = dict(os.environ)
     env.update(_parse_env(env_spec))
     cmd = [sys.executable, os.path.abspath(__file__),
            "--child", "--k", str(k)]
-    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                       cwd=os.path.dirname(os.path.dirname(
-                           os.path.abspath(__file__))))
+    try:
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=child_timeout,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            "variant %s child exceeded --child-timeout %.0fs -- a "
+            "stalled variant would otherwise eat the whole measurement "
+            "window" % (name, child_timeout))
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
     try:
         rec = json.loads(line)
@@ -122,6 +130,14 @@ def main() -> None:
                          "the paper study, ~90s/rep)")
     ap.add_argument("--pairs", type=int, default=3,
                     help="ABBA block count (2 runs/variant/block)")
+    ap.add_argument("--child-timeout", type=float, default=900.0,
+                    help="per-rep wall cap in seconds")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one discarded rep per variant first: a "
+                         "variant whose env changes the traced program "
+                         "pays the full compile set on its first rep "
+                         "(~15 min through a remote-compile tunnel), "
+                         "which must not land inside a measured block")
     args = ap.parse_args()
 
     if args.child:
@@ -133,6 +149,10 @@ def main() -> None:
 
     print("A/B on HH golden, K=%d, %d ABBA blocks (A=%r vs B=%r)"
           % (args.k, args.pairs, args.a, args.b))
+    if args.warmup:
+        for name, spec in (("A", args.a), ("B", args.b)):
+            print("warmup %s (discarded; compiles cached on disk)" % name)
+            _run_variant(name, spec, args.k, 4 * args.child_timeout)
     recs_a, recs_b = [], []
     for blk in range(args.pairs):
         # ABBA: linear window drift cancels within each block
@@ -140,7 +160,8 @@ def main() -> None:
                  ("B", args.b, recs_b), ("A", args.a, recs_a))
         print("block %d/%d" % (blk + 1, args.pairs))
         for name, spec, sink in order:
-            sink.append(_run_variant(name, spec, args.k))
+            sink.append(_run_variant(name, spec, args.k,
+                                     args.child_timeout))
 
     import statistics as st
     for metric in ("warm_s", "per_iter_ms"):
