@@ -159,7 +159,11 @@ _WOOD_REFINE = int(os.environ.get("BLUEST_TPU_WOOD_REFINE", "4"))
 # per-iteration hsolve + cone line search (batched small eigh -- a bad
 # shape regime for this host backend) makes wall time a wash (37.4s vs
 # ~34s); two correctors are strictly worse (59 its, ~2x/iter cost).
-# Kept behind the env knob for hardware where small batched eigh is fast.
+# Confirmed under the Woodbury path by controlled ABBA A/B on the K=6
+# golden (L=2509, tools/ab_profile.py): its 60 -> 55 deterministic, but
+# per-iteration wall B/A [1.07, 1.26] -- the corrector's extra hsolve +
+# line search still eats the iteration cut.  Kept behind the env knob
+# for hardware where small batched eigh is fast.
 _GONDZIO = int(os.environ.get("BLUEST_TPU_GONDZIO", "0"))
 
 
