@@ -724,3 +724,40 @@ def test_snapshot_spool_unit(tmp_path):
     with pytest.raises(ValueError, match="inconsistent chunk layout"):
         append_spooled_snapshots(str(tmp_path / "bad.npz"), [0], 1, sp2)
     sp2.cleanup()
+
+
+def test_mfmc_small_budget_e2e():
+    """setup_mfmc(small_budget=True) routes through the Gruber low-budget
+    integer scheme (reference mfmc_low_budget_integer_solution,
+    misc.py:416-449) and must return an integer schedule inside the
+    budget even when the continuous optimum has m1 < 1."""
+    M = 4
+    rho = np.array([1.0, 0.98, 0.9, 0.7])
+    sig = np.array([2.0, 1.9, 1.7, 1.5])
+    C = np.outer(sig, sig) * np.outer(rho, rho)
+    np.fill_diagonal(C, sig ** 2)
+    # make the fixed (0, i) correlations exact: C[0,i] = sig0*sigi*rho_i
+    C[0, :] = sig[0] * sig * rho
+    C[:, 0] = C[0, :]
+    w = np.array([100.0, 10.0, 1.0, 0.1])
+    p = BLUEProblem(M, C=C, costs=w, verbose=False)
+
+    # tight budget: continuous m1 = budget/(w @ r) < 1 forces the
+    # recursive clamp branch of the Gruber scheme
+    budget = 150.0
+    data = p.setup_mfmc(budget=budget, small_budget=True)
+    m = np.asarray(data["samples"])
+    assert m.dtype.kind == "i"
+    assert m[0] >= 1
+    assert m @ w[data["models"]] <= budget * (1 + 1e-12)
+    assert np.all(np.isfinite(data["errors"]))
+
+    # comfortable budget: both integer paths feasible and in-budget
+    budget = 5000.0
+    d_small = p.setup_mfmc(budget=budget, small_budget=True)
+    d_corner = p.setup_mfmc(budget=budget, small_budget=False)
+    for d in (d_small, d_corner):
+        md = np.asarray(d["samples"])
+        assert md[0] >= 1
+        assert md @ w[d["models"]] <= budget * (1 + 1e-12)
+        assert np.all(np.isfinite(d["errors"]))
