@@ -112,6 +112,16 @@ def _merge_and_write(fname: str, ls: Sequence[int], No: int, out: dict,
     old = np.load(fname, allow_pickle=True)
     try:
         assert list(np.asarray(old["models"][0])) == list(ls)
+        old_keys = {k for k in old.files if "values" in k or "inputs" in k}
+        if old_keys != set(out):
+            # appending with a different outputs_to_save filter would grow
+            # only the shared columns, silently misassociating rows across
+            # columns on later reads (same guard as merge_snapshot_files)
+            raise ValueError(
+                "snapshot file %s was written with a different "
+                "outputs_to_save filter than this run (%s vs %s); "
+                "use a fresh samplefile" %
+                (fname, sorted(old_keys), sorted(out)))
         meta["n_samples"] = np.array([int(np.asarray(
             old["n_samples"]).ravel()[0]) + N])
         cols = {k: (lambda k=k: _cat(old[k], out.get(k)))

@@ -726,6 +726,25 @@ def test_snapshot_spool_unit(tmp_path):
     sp2.cleanup()
 
 
+def test_snapshot_append_filter_mismatch(tmp_path):
+    """Appending to a snapshot file written under a different
+    outputs_to_save filter must raise, not silently grow only the shared
+    columns (which would misassociate rows across columns on read)."""
+    from bluest_tpu.sampling.snapshots import append_snapshots
+    rng = np.random.default_rng(1)
+    f = str(tmp_path / "snap.npz")
+    v = rng.random((5, 2, 2))
+    x = rng.random((5, 3))
+    append_snapshots(f, [0, 1], 2, v, x, outputs_to_save=[1])
+    with pytest.raises(ValueError, match="outputs_to_save"):
+        append_snapshots(f, [0, 1], 2, v, x)   # now saving all outputs
+    # matching filter still appends fine
+    append_snapshots(f, [0, 1], 2, v, x, outputs_to_save=[1])
+    d = dict(np.load(str(tmp_path / "snap01.npz"), allow_pickle=True))
+    assert int(np.asarray(d["n_samples"]).ravel()[0]) == 10
+    assert len(np.asarray(d["values_1_0"])) == 10
+
+
 def test_mfmc_small_budget_e2e():
     """setup_mfmc(small_budget=True) routes through the Gruber low-budget
     integer scheme (reference mfmc_low_budget_integer_solution,
