@@ -466,13 +466,12 @@ class MOSAP:
         the smoothed max-variance, solvers/spg_alloc.py) for
         cross-validation; eps mode by homogeneity, or budget bisection
         when per-model caps break the homogeneity reduction."""
-        from ..solvers.spg_alloc import (solve_budget_spg_multi,
+        from ..solvers.spg_alloc import (_cap_arrays,
+                                         solve_budget_spg_multi,
                                          eps_caps_budget_search)
         datas = [s.data for s in self.SAPS]
         es, rhs = self.get_max_sample_constraints(max_model_samples)
-        cr = (np.asarray(es, dtype=float).reshape(-1, self.L)
-              if es else None)
-        crhs = np.asarray(rhs, dtype=float) if es else None
+        cr, crhs = _cap_arrays(self.L, es, rhs)
         if budget is None:
             # homogeneity reduction with per-output weights eps_n^2:
             # min max_n V_n/eps_n^2 at a fixed budget + exact rescale is
@@ -486,7 +485,7 @@ class MOSAP:
             m0 = self._feasibility_rescale(m0, eps)
             if m0 is None:
                 return None
-            if cr is None or np.all(cr @ m0 <= crhs * 1.0 + 1e-9):
+            if np.all(cr @ m0 <= crhs + 1e-9):   # vacuous when no caps
                 return m0
 
             def ratio_of(m):

@@ -297,12 +297,10 @@ class SAP:
         (sap.py:242-456).  Budget mode native (caps via the Dykstra
         projection); eps mode by homogeneity, or budget bisection when
         caps break the homogeneity reduction."""
-        from ..solvers.spg_alloc import (solve_budget_spg,
+        from ..solvers.spg_alloc import (_cap_arrays, solve_budget_spg,
                                          eps_caps_budget_search)
         es, rhs = self.get_max_sample_constraints(max_model_samples)
-        cr = (np.asarray(es, dtype=float).reshape(-1, self.L)
-              if es else None)
-        crhs = np.asarray(rhs, dtype=float) if es else None
+        cr, crhs = _cap_arrays(self.L, es, rhs)
 
         def ratio_of(m):
             m = np.maximum(m, 0)
@@ -321,7 +319,7 @@ class SAP:
             if not np.isfinite(alpha) or alpha <= 0:
                 return None
             m0 = alpha * np.maximum(m0, 0)
-            if cr is None or np.all(cr @ m0 <= crhs * 1.0 + 1e-9):
+            if np.all(cr @ m0 <= crhs + 1e-9):   # vacuous when no caps
                 return m0
             # caps bind: bisection on the capped budget problem seeded
             # at the uncapped optimum's cost

@@ -597,22 +597,29 @@ class BLUEProblem:
             self.n_outputs, len(key_ls), N, self._collect_spill_bytes,
             outputs_to_save=self.params["outputs_to_save"], tmpdir=sdir)
 
-    def _kernel_collect_run(self, key_ls, key, N, samplefile):
+    def _kernel_collect_run(self, key_ls, key, N, samplefile, sink=None):
         """Factored kernel-engine sampling with snapshot collection:
         per-bucket outputs/inputs stream through a CollectSink so XL
-        runs stay memory-bounded; returns the SampleSums."""
-        sink = self._collect_sink(key_ls, N, samplefile)
+        runs stay memory-bounded; returns the SampleSums.  With an
+        external ``sink`` the caller owns the write/close (the top-up
+        loop batches several small rounds into one npz append)."""
+        own = sink is None
+        if own:
+            sink = self._collect_sink(key_ls, N, samplefile)
         try:
             sums = self._kernel_engine().sample_sums(
                 key_ls, key, int(N), collect=True, on_chunk=sink.add)
-            sink.write(samplefile, key_ls)
+            if own:
+                sink.write(samplefile, key_ls)
         finally:
-            sink.close()
+            if own:
+                sink.close()
         return sums
 
-    def _group_collect_run(self, key_ls, key, N, samplefile):
+    def _group_collect_run(self, key_ls, key, N, samplefile, sink=None):
         """Run the snapshot-collecting group engine and append the valid
-        rows to the samplefile (chunked); returns the summed SampleSums."""
+        rows to the samplefile (chunked); returns the summed SampleSums.
+        With an external ``sink`` the caller owns the write/close."""
         ckey = (key_ls, "collect")
         if ckey not in self._engines:
             cfn = jax_engine.make_collect_fn(
@@ -625,7 +632,9 @@ class BLUEProblem:
         total = None
         done = 0
         chunk_i = 0
-        sink = self._collect_sink(key_ls, N, samplefile)
+        own = sink is None
+        if own:
+            sink = self._collect_sink(key_ls, N, samplefile)
         try:
             while done < N:
                 n_c = min(self._COLLECT_CHUNK, N - done)
@@ -646,9 +655,11 @@ class BLUEProblem:
                     total.n_failed + sums.n_failed)
                 done += n_c
                 chunk_i += 1
-            sink.write(samplefile, key_ls)
+            if own:
+                sink.write(samplefile, key_ls)
         finally:
-            sink.close()
+            if own:
+                sink.close()
         return total
 
     def _device_finalize(self, key_ls, N, sums, t0=None,
@@ -665,28 +676,43 @@ class BLUEProblem:
         # until all N are finite, blue_fn.py:118-129).
         samplefile = self.params["samplefile"]
         rounds = 0
-        while int(sums.n_failed) > 0 and rounds < 4:
-            deficit = int(sums.n_failed)
-            key2 = jax.random.fold_in(self._ensure_base_key(),
-                                      self._call_counter)
-            self._call_counter += 1
-            # top-up samples must reach the snapshot stream too, or the
-            # npz rows silently undercount the estimator's N
-            if self._has_factored_jax_model():
-                if samplefile is not None:
-                    extra = self._kernel_collect_run(key_ls, key2, deficit,
-                                                     samplefile)
+        topup_sink = None
+        try:
+            while int(sums.n_failed) > 0 and rounds < 4:
+                deficit = int(sums.n_failed)
+                key2 = jax.random.fold_in(self._ensure_base_key(),
+                                          self._call_counter)
+                self._call_counter += 1
+                # top-up samples must reach the snapshot stream too, or
+                # the npz rows silently undercount the estimator's N.
+                # One sink spans all rounds: a per-round append would
+                # re-read + rewrite the group's whole npz each time.
+                if samplefile is not None and topup_sink is None:
+                    topup_sink = self._collect_sink(key_ls, deficit,
+                                                    samplefile)
+                if self._has_factored_jax_model():
+                    if samplefile is not None:
+                        extra = self._kernel_collect_run(
+                            key_ls, key2, deficit, samplefile,
+                            sink=topup_sink)
+                    else:
+                        extra = self._kernel_engine().sample_sums(
+                            key_ls, key2, deficit)
+                elif samplefile is not None:
+                    extra = self._group_collect_run(
+                        key_ls, key2, deficit, samplefile, sink=topup_sink)
                 else:
-                    extra = self._kernel_engine().sample_sums(
-                        key_ls, key2, deficit)
-            elif samplefile is not None:
-                extra = self._group_collect_run(key_ls, key2, deficit,
-                                                samplefile)
-            else:
-                extra = self._group_engine(key_ls, deficit)(key2, deficit)
-            sums = type(sums)(*[a + b for a, b in
-                                zip(sums[:-1], extra[:-1])], extra.n_failed)
-            rounds += 1
+                    extra = self._group_engine(key_ls, deficit)(key2,
+                                                                deficit)
+                sums = type(sums)(*[a + b for a, b in
+                                    zip(sums[:-1], extra[:-1])],
+                                  extra.n_failed)
+                rounds += 1
+            if topup_sink is not None:
+                topup_sink.write(samplefile, key_ls)
+        finally:
+            if topup_sink is not None:
+                topup_sink.close()
         se = np.asarray(sums.sumse)
         if se.ndim == 3 and se.shape[-1] == 1:
             se = se[..., 0]          # scalar outputs: drop the vector dim

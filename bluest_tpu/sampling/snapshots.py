@@ -39,6 +39,10 @@ def append_snapshots(filename: str, ls: Sequence[int], No: int,
     fname = snapshot_filename(filename, ls)
     L = len(ls)
     N = values.shape[0]
+    if N == 0:
+        # every attempted row was non-finite: nothing to persist (and
+        # reshape(0, -1) below would raise on the ambiguous -1)
+        return fname
     if outputs_to_save is None:
         outputs_to_save = list(range(No))
 
@@ -172,6 +176,10 @@ class SnapshotSpool:
         inputs = np.asarray(inputs)
         if values.shape[0] != inputs.shape[0]:
             raise ValueError("values/inputs row mismatch")
+        if values.shape[0] == 0:
+            # a chunk whose rows were all non-finite: nothing to spool
+            # (reshape(0, -1) below would raise on the ambiguous -1)
+            return
         self._q.put((values, inputs))
         self.rows += int(values.shape[0])
 

@@ -717,6 +717,23 @@ def test_snapshot_spool_unit(tmp_path):
         np.asarray(d["inputs_1"]), np.concatenate([x1, x2]))
     assert int(np.asarray(d["n_samples"]).ravel()[0]) == 12
 
+    # zero-row chunks (every attempted row non-finite) are skipped, not
+    # crashed on (reshape(0, -1) is ambiguous in numpy)
+    sp0 = SnapshotSpool(2, 2, tmpdir=str(tmp_path))
+    sp0.append(np.zeros((0, 2, 2)), np.zeros((0, 3)))
+    sp0.append(v1, x1)
+    f0 = append_spooled_snapshots(str(tmp_path / "zr.npz"), [0, 1], 2, sp0)
+    sp0.cleanup()
+    assert int(np.asarray(np.load(f0, allow_pickle=True)["n_samples"]
+                          ).ravel()[0]) == 5
+
+    # an all-zero-row sink writes nothing (and does not raise)
+    from bluest_tpu.sampling.snapshots import CollectSink
+    sink = CollectSink(2, 2, 10, 1 << 30, tmpdir=str(tmp_path))
+    sink.add(np.zeros((0, 2, 2)), np.zeros((0, 3)), attempted_rows=10)
+    sink.write(str(tmp_path / "empty.npz"), [0, 1])
+    assert not os.path.isfile(str(tmp_path / "empty01.npz"))
+
     # inconsistent chunk layout raises on finish (writer thread error)
     sp2 = SnapshotSpool(1, 1, tmpdir=str(tmp_path))
     sp2.append(rng.random((4, 1, 1)), rng.random((4, 2)))

@@ -218,3 +218,36 @@ def test_woodbury_auto_rule():
     Hs = np.eye(2)[None]
     with _pytest.raises(ValueError):
         scl(c, Gl, hl, As, Hs, woodbury=True)
+
+
+def test_structured_gl_zero_diag(rng):
+    """A zero entry in the diag block is legal input: the structured
+    hmat_lp assembly handles it (no dense fallback needed), Woodbury
+    auto stays off, and explicit woodbury=True raises (its capacitance
+    factorization divides by the diagonal)."""
+    M, K = 4, 2
+    A = rng.standard_normal((M, M))
+    C = A @ A.T + M * np.eye(M)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    data = psimod.GroupData.build(gs)
+    psi = np.asarray(data.psi)
+    w = np.linspace(2.0, 1.0, gs.L)
+    budget = 500.0
+    c, Gl, hl, As, Hs, scale = _blue_sdp_budget(gs, psi, w, budget)
+    res_ref = solve_cone_lp(c, Gl, hl, As, Hs)
+    # drop the (inactive) t >= 0 row: s_0 = 0 - 0 >= 0 is vacuous, the
+    # optimum is unchanged, and the diag block now has a zero entry
+    Gl0 = Gl.copy()
+    hl0 = hl.copy()
+    Gl0[0] = 0.0
+    hl0[0] = 0.0
+    res0 = solve_cone_lp(c, Gl0, hl0, As, Hs)
+    assert res0.status in ("optimal", "inaccurate")
+    np.testing.assert_allclose(res0.pobj, res_ref.pobj, rtol=1e-6)
+    # zero entries carry ~1e-8 solver-noise tails; pobj is the real gate
+    np.testing.assert_allclose(res0.x, res_ref.x, rtol=1e-4, atol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        solve_cone_lp(c, Gl0, hl0, As, Hs, woodbury=True)
