@@ -17,7 +17,7 @@ from ..solvers.sdp import solve_cone_lp
 from ..solvers.integer import best_integer_blue_multi
 from . import cones
 from . import certificate as certmod
-from .sap import SAP, _OK_STATUSES, validated_nlp_point
+from .sap import SAP, _OK_STATUSES, cone_backend, validated_nlp_point
 
 
 class BLUESTError(RuntimeError):
@@ -239,6 +239,11 @@ class MOSAP:
             samples = self.sdp_solve(budget=budget, eps=eps,
                                      max_model_samples=max_model_samples,
                                      solver_params=solver_params)
+        elif solver in ("admm", "scs"):
+            samples = self.sdp_solve(budget=budget, eps=eps,
+                                     max_model_samples=max_model_samples,
+                                     solver_params=solver_params,
+                                     backend="admm")
         elif solver in ("scipy", "ipopt"):
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                        max_model_samples=max_model_samples)
@@ -247,9 +252,10 @@ class MOSAP:
                                      max_model_samples=max_model_samples)
         else:
             raise ValueError("solvers available: 'sdp' (default), "
-                             "'scipy', 'spg'")
+                             "'admm', 'scipy', 'spg'")
 
-        if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
+        if samples is None and solver in ("cvxopt", "cvxpy", "sdp",
+                                          "admm", "scs"):
             # robustness fallback: the host NLP solves instances the IPM
             # stalls on (and vice versa)
             self.n_nlp_fallbacks += 1
@@ -329,12 +335,12 @@ class MOSAP:
         return samples
 
     def sdp_solve(self, budget=None, eps=None, max_model_samples=None,
-                  solver_params=None):
+                  solver_params=None, backend="ipm"):
         es, rhs = self.get_max_sample_constraints(max_model_samples)
-        params = dict(tol=1e-8, feastol=1e-8, max_iter=200)
+        cone_solve, params, allowed = cone_backend(backend)
         if solver_params:
             params.update({k: v for k, v in solver_params.items()
-                           if k in ("tol", "feastol", "max_iter")})
+                           if k in allowed})
         psis = [s.psi for s in self.SAPS]
         e_rows = self._e_rows()
 
@@ -348,14 +354,14 @@ class MOSAP:
                 e_common = max(np.sqrt(CC[0, 0]) for CC in self.C) / 100.0
                 m = self._direct_eps_solve(
                     np.full(self.n_outputs, e_common), e_rows, [], [],
-                    psis, params, rescale=False)
+                    psis, params, rescale=False, cone_solve=cone_solve)
                 if m is not None and float(m @ self.costs) > 0:
                     return m * (budget / float(m @ self.costs))
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, e_rows,
                 budget, es, rhs)
-            res = solve_cone_lp(c, Gl, hl, As, Hs,
-                                verbose=self.verbose, **params)
+            res = cone_solve(c, Gl, hl, As, Hs,
+                             verbose=self.verbose, **params)
             certmod.record(self.certificates, "budget-epigraph", res)
             if res.status not in _OK_STATUSES:
                 self._stash_guess(res, budget)
@@ -369,7 +375,8 @@ class MOSAP:
         # heterogeneous (the epigraph form's LMI corners then span
         # orders of magnitude and stall the IPM)
         m = self._direct_eps_solve(eps, e_rows, es, rhs, psis, params,
-                                   rescale=(len(es) == 0))
+                                   rescale=(len(es) == 0),
+                                   cone_solve=cone_solve)
         if m is not None:
             candidates.append(m)
 
@@ -387,8 +394,8 @@ class MOSAP:
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, [], 1.0,
                 eps_weights=np.asarray(eps, dtype=float))
-            res = solve_cone_lp(c, Gl, hl, As, Hs,
-                                verbose=self.verbose, **params)
+            res = cone_solve(c, Gl, hl, As, Hs,
+                             verbose=self.verbose, **params)
             certmod.record(self.certificates, "scaled-budget-epigraph", res)
             if res.status in _OK_STATUSES:
                 m = self._feasibility_rescale(res.x[1:], eps)
@@ -431,15 +438,15 @@ class MOSAP:
         return alpha * m0
 
     def _direct_eps_solve(self, eps, e_rows, es, rhs, psis, params,
-                          rescale: bool = True):
+                          rescale: bool = True, cone_solve=solve_cone_lp):
         """Direct eps-form SDP with the meps conditioning rescale."""
         n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
         meps = 100.0 / np.sqrt(n_mc)
         c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
             psis, self.mappings, self.L, self.costs, e_rows,
             np.asarray(eps) / meps, meps, es, rhs)
-        res = solve_cone_lp(c, Gl, hl, As, Hs, verbose=self.verbose,
-                            **params)
+        res = cone_solve(c, Gl, hl, As, Hs, verbose=self.verbose,
+                         **params)
         certmod.record(self.certificates, "direct-eps", res)
         if res.status not in _OK_STATUSES:
             return None

@@ -29,6 +29,23 @@ from . import certificate as certmod
 _OK_STATUSES = ("optimal", "inaccurate")
 
 
+def cone_backend(backend: str):
+    """Resolve a cone-solver backend name to (solver_fn, default_params,
+    accepted solver_params keys).  ``"ipm"`` is the production JAX
+    interior-point solver; ``"admm"`` the operator-splitting solver
+    (solvers/admm.py) -- an algorithmically independent second SDP
+    family used for cross-validation, mirroring the reference's
+    interchangeable cvxopt/cvxpy backends (sap.py:242-385)."""
+    if backend == "admm":
+        from ..solvers.admm import solve_cone_lp_admm
+        return (solve_cone_lp_admm, dict(tol=1e-7, max_iter=30000),
+                ("tol", "max_iter", "alpha"))
+    if backend != "ipm":
+        raise ValueError("cone backends available: 'ipm', 'admm'")
+    return (solve_cone_lp, dict(tol=1e-8, feastol=1e-8, max_iter=200),
+            ("tol", "feastol", "max_iter"))
+
+
 def validated_nlp_point(r, feasible):
     """Validate a trust-constr result before handing it downstream.
 
@@ -168,6 +185,11 @@ class SAP:
             samples = self.sdp_solve(budget=budget, eps=eps,
                                      max_model_samples=max_model_samples,
                                      solver_params=solver_params)
+        elif solver in ("admm", "scs"):
+            samples = self.sdp_solve(budget=budget, eps=eps,
+                                     max_model_samples=max_model_samples,
+                                     solver_params=solver_params,
+                                     backend="admm")
         elif solver in ("scipy", "ipopt"):
             samples = self.scipy_solve(budget=budget, eps=eps, x0=x0,
                                        max_model_samples=max_model_samples)
@@ -176,9 +198,10 @@ class SAP:
                                      max_model_samples=max_model_samples)
         else:
             raise ValueError("solvers available: 'sdp' (default), "
-                             "'scipy', 'spg'")
+                             "'admm', 'scipy', 'spg'")
 
-        if samples is None and solver in ("cvxopt", "cvxpy", "sdp"):
+        if samples is None and solver in ("cvxopt", "cvxpy", "sdp",
+                                          "admm", "scs"):
             # robustness fallback: the host NLP solves instances the IPM
             # stalls on (and vice versa)
             self.n_nlp_fallbacks += 1
@@ -214,26 +237,27 @@ class SAP:
         return samples
 
     def sdp_solve(self, budget=None, eps=None, max_model_samples=None,
-                  solver_params=None):
+                  solver_params=None, backend="ipm"):
         es, rhs = self.get_max_sample_constraints(max_model_samples)
-        params = dict(tol=1e-8, feastol=1e-8, max_iter=200)
+        cone_solve, params, allowed = cone_backend(backend)
         if solver_params:
             params.update({k: v for k, v in solver_params.items()
-                           if k in ("tol", "feastol", "max_iter")})
+                           if k in allowed})
         mapping = [np.arange(self.L)]
         if budget is not None:
             if len(es) == 0:
                 # budget mode through the direct eps form + ray rescale
                 # (same Pareto frontier by homogeneity; see MOSAP.sdp_solve)
                 m = self.sdp_solve(eps=np.sqrt(self.C[0, 0]) / 100.0,
-                                   solver_params=solver_params)
+                                   solver_params=solver_params,
+                                   backend=backend)
                 if m is not None and float(m @ self.costs) > 0:
                     return m * (budget / float(m @ self.costs))
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [self.e],
                 budget, es, rhs)
-            res = solve_cone_lp(c, Gl, hl, As, Hs,
-                                verbose=self.verbose, **params)
+            res = cone_solve(c, Gl, hl, As, Hs,
+                             verbose=self.verbose, **params)
             certmod.record(self.certificates, "budget-epigraph", res)
             if res.status not in _OK_STATUSES:
                 return None
@@ -258,8 +282,8 @@ class SAP:
         c, Gl, hl, As, Hs, scales = cones.build_eps_sdp(
             [self.psi], mapping, self.L, self.costs, [self.e],
             np.array([eps / meps]), meps, es, rhs)
-        res = solve_cone_lp(c, Gl, hl, As, Hs,
-                            verbose=self.verbose, **params)
+        res = cone_solve(c, Gl, hl, As, Hs,
+                         verbose=self.verbose, **params)
         certmod.record(self.certificates, "direct-eps", res)
         if res.status in _OK_STATUSES:
             m = np.maximum(res.x, 0) / meps ** 2
@@ -278,8 +302,8 @@ class SAP:
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [], 1.0,
                 eps_weights=np.array([eps]))
-            res = solve_cone_lp(c, Gl, hl, As, Hs,
-                                verbose=self.verbose, **params)
+            res = cone_solve(c, Gl, hl, As, Hs,
+                             verbose=self.verbose, **params)
             certmod.record(self.certificates, "scaled-budget-epigraph", res)
             if res.status in _OK_STATUSES:
                 m = feasibility_rescale(res.x[1:])

@@ -1,0 +1,183 @@
+"""Operator-splitting (ADMM/SCS) cone solver: the second, algorithmically
+independent SDP backend (solvers/admm.py).  Mirrors the reference's
+interchangeable-solver cross-checks (solver_test blocks, reference
+bluest_NS.py:124-140) with the IPM as the counterpart."""
+
+import numpy as np
+import pytest
+from itertools import combinations
+
+from bluest_tpu.core import GroupStructure, psi as psimod
+from bluest_tpu.allocation import cones
+from bluest_tpu.allocation.sap import SAP
+from bluest_tpu.allocation.mosap import MOSAP
+from bluest_tpu.solvers.admm import solve_cone_lp_admm
+from bluest_tpu.solvers.sdp import solve_cone_lp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def _random_blue(rng, M, K, seed_shift=0.0):
+    A = rng.standard_normal((M, M))
+    C = A @ A.T + (M + seed_shift) * np.eye(M)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    data = psimod.GroupData.build(gs)
+    return C, gs, np.asarray(data.psi), groups
+
+
+def test_admm_pure_lp():
+    # min -x1 - 2 x2  s.t. 0 <= x <= 1  ->  x* = (1, 1)
+    c = np.array([-1.0, -2.0])
+    Gl = np.vstack([np.eye(2), -np.eye(2)])
+    hl = np.array([1.0, 1.0, 0.0, 0.0])
+    res = solve_cone_lp_admm(c, Gl, hl)
+    assert res.status == "optimal"
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-6)
+
+
+def test_admm_min_eig_sdp():
+    # min x  s.t.  [[x, 1], [1, x]] >= 0  ->  x* = 1
+    c = np.array([1.0])
+    As = np.array([[[[-1.0, 0.0], [0.0, -1.0]]]])
+    Hs = np.array([[[0.0, 1.0], [1.0, 0.0]]])
+    res = solve_cone_lp_admm(c, None, None, As, Hs)
+    assert res.status == "optimal"
+    np.testing.assert_allclose(res.x, [1.0], atol=1e-6)
+
+
+def test_admm_infeasible_lp():
+    # x <= -1 and x >= 0: infeasible
+    c = np.array([1.0])
+    Gl = np.array([[1.0], [-1.0]])
+    hl = np.array([-1.0, 0.0])
+    res = solve_cone_lp_admm(c, Gl, hl, max_iter=5000)
+    assert res.status in ("infeasible", "max_iter", "failed")
+    assert res.status != "optimal"
+
+
+@pytest.mark.parametrize("M,K", [(4, 2), (5, 3)])
+def test_admm_matches_ipm_budget(rng, M, K):
+    """Budget-mode MLBLUE program: the two backends must agree on the
+    optimal epigraph value (the achieved max variance)."""
+    _, gs, psi, _ = _random_blue(rng, M, K)
+    w = np.geomspace(4.0, 1.0, gs.L)
+    c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
+        [psi], [np.arange(gs.L)], gs.L, w, [gs.e], 1000.0)
+    ri = solve_cone_lp(c, Gl, hl, As, Hs)
+    ra = solve_cone_lp_admm(c, Gl, hl, As, Hs)
+    assert ra.status in ("optimal", "inaccurate")
+    np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-5)
+
+
+def test_admm_matches_ipm_eps(rng):
+    """eps-mode (min cost at tolerance): objective agreement."""
+    C, gs, psi, _ = _random_blue(rng, 5, 2)
+    w = np.geomspace(4.0, 1.0, gs.L)
+    eps = np.sqrt(C[0, 0]) / 30.0
+    c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
+        [psi], [np.arange(gs.L)], gs.L, w, [gs.e], np.array([eps]), 1.0)
+    ri = solve_cone_lp(c, Gl, hl, As, Hs)
+    ra = solve_cone_lp_admm(c, Gl, hl, As, Hs)
+    assert ra.status in ("optimal", "inaccurate")
+    np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-4)
+
+
+def test_sap_solver_admm_end_to_end(rng):
+    """SAP.solve(solver='admm'): continuous allocations from the two SDP
+    families must land on the same cost/variance frontier."""
+    C, gs, _, groups = _random_blue(rng, 4, 2)
+    w = np.geomspace(8.0, 1.0, gs.L)
+    sap_a = SAP(C, 2, groups, w)
+    sap_i = SAP(C, 2, groups, w)
+    eps = np.sqrt(C[0, 0]) / 25.0
+    ma = sap_a.solve(eps=eps, solver="admm", continuous_relaxation=True)
+    mi = sap_i.solve(eps=eps, solver="sdp", continuous_relaxation=True)
+    assert ma is not None and mi is not None
+    cost_a = float(ma @ w)
+    cost_i = float(mi @ w)
+    np.testing.assert_allclose(cost_a, cost_i, rtol=2e-3)
+    # both satisfy the tolerance (up to solver accuracy)
+    assert sap_a.variance(ma) <= eps ** 2 * 1.001
+    assert sap_i.variance(mi) <= eps ** 2 * 1.001
+    # integer path also works end to end on the admm family
+    m_int = sap_a.solve(eps=eps, solver="admm")
+    assert m_int is not None
+    assert sap_a.variance(m_int) <= eps ** 2 * 1.0002
+
+
+def test_mosap_solver_admm_multi_output(rng):
+    """Multi-output cross-family agreement under heterogeneous eps."""
+    M, K, No = 4, 2, 2
+    A = rng.standard_normal((M, M))
+    C0 = A @ A.T + M * np.eye(M)
+    B = rng.standard_normal((M, M))
+    C1 = B @ B.T + M * np.eye(M)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    L = sum(len(gk) for gk in groups)
+    w = np.geomspace(8.0, 1.0, L)
+    Ks = [K] * No
+    multi_groups = [groups] * No
+    multi_costs = [w.copy() for _ in range(No)]
+    mos_a = MOSAP([C0, C1], K, Ks, groups, multi_groups, w, multi_costs,
+                  verbose=False)
+    mos_i = MOSAP([C0, C1], K, Ks, groups, multi_groups, w, multi_costs,
+                  verbose=False)
+    eps = [np.sqrt(C0[0, 0]) / 20.0, np.sqrt(C1[0, 0]) / 35.0]
+    ma = mos_a.solve(eps=eps, solver="admm", continuous_relaxation=True)
+    mi = mos_i.solve(eps=eps, solver="sdp", continuous_relaxation=True)
+    assert ma is not None and mi is not None
+    np.testing.assert_allclose(float(ma @ w), float(mi @ w), rtol=5e-3)
+    for mos, m in ((mos_a, ma), (mos_i, mi)):
+        for n in range(No):
+            v = mos.SAPS[n].variance(m[mos.mappings[n]])
+            assert v <= eps[n] ** 2 * 1.005
+
+
+def test_blueproblem_admm_solver_e2e():
+    """optimization_solver='admm' flows through setup_solver/solve like
+    the reference's interchangeable solver names (blue_models.py:24)."""
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+
+    p = ExpSeriesProblem(3, C=None, costs=np.array([9.0, 3.0, 1.0]),
+                         covariance_estimation_samples=128, verbose=False,
+                         optimization_solver="admm")
+    out = p.setup_solver(K=2, budget=2000.0)
+    assert out is not None
+    assert float(out["total_cost"]) <= 2000.0 * 1.0002
+    mus, errs, tot = p.solve()
+    assert np.all(np.isfinite(np.asarray(mus, dtype=float)))
+    # same problem under the IPM: errors land on the same frontier
+    p2 = ExpSeriesProblem(3, C=None, costs=np.array([9.0, 3.0, 1.0]),
+                          covariance_estimation_samples=128, verbose=False)
+    out2 = p2.setup_solver(K=2, budget=2000.0)
+    e1 = float(np.max(np.asarray(out["errors"], dtype=float)))
+    e2 = float(np.max(np.asarray(out2["errors"], dtype=float)))
+    # pilot covariances differ across the two problems, so compare loosely
+    assert e1 <= 2.0 * e2 and e2 <= 2.0 * e1
+
+
+def test_admm_respects_caps(rng):
+    """Per-model sample caps (reference sap.py:222-240) bind identically
+    across the two SDP families."""
+    C, gs, _, groups = _random_blue(rng, 4, 2)
+    w = np.geomspace(8.0, 1.0, gs.L)
+    sap_a = SAP(C, 2, groups, w)
+    sap_i = SAP(C, 2, groups, w)
+    eps = np.sqrt(C[0, 0]) / 20.0
+    caps = np.array([np.inf, 200.0, 150.0, np.inf])
+    ma = sap_a.solve(eps=eps, solver="admm", continuous_relaxation=True,
+                     max_model_samples=caps)
+    mi = sap_i.solve(eps=eps, solver="sdp", continuous_relaxation=True,
+                     max_model_samples=caps)
+    assert ma is not None and mi is not None
+    es, rhs = sap_a.get_max_sample_constraints(caps)
+    for ee, rr in zip(es, rhs):
+        assert float(ee @ ma) <= rr * 1.001 + 1e-9
+        assert float(ee @ mi) <= rr * 1.001 + 1e-9
+    np.testing.assert_allclose(float(ma @ w), float(mi @ w), rtol=5e-3)
