@@ -38,7 +38,7 @@ def cone_backend(backend: str):
     interchangeable cvxopt/cvxpy backends (sap.py:242-385)."""
     if backend == "admm":
         from ..solvers.admm import solve_cone_lp_admm
-        return (solve_cone_lp_admm, dict(tol=1e-7, max_iter=30000),
+        return (solve_cone_lp_admm, dict(tol=1e-6, max_iter=60000),
                 ("tol", "max_iter", "alpha"))
     if backend != "ipm":
         raise ValueError("cone backends available: 'ipm', 'admm'")

@@ -26,7 +26,7 @@ bluest_NS.py:124-140); cvxopt/cvxpy are not installable here, so this
 module supplies the missing *independent SDP* family next to the IPM
 (solvers/sdp.py), the scipy NLP, and the SPG family.  First-order cone
 solvers converge linearly at best, so this backend targets validation
-accuracy (~1e-7 residuals), not the IPM's 1e-9: use it through
+accuracy (~1e-6 residuals), not the IPM's 1e-9: use it through
 ``SAP.solve(solver="admm")`` / ``MOSAP.solve(solver="admm")`` on
 moderate instances, not as the production default.
 
@@ -238,9 +238,9 @@ def solve_cone_lp_admm(c: np.ndarray,
                        hl: Optional[np.ndarray] = None,
                        As: Optional[np.ndarray] = None,
                        Hs: Optional[np.ndarray] = None,
-                       max_iter: int = 30000,
-                       tol: float = 1e-7,
-                       alpha: float = 1.5,
+                       max_iter: int = 60000,
+                       tol: float = 1e-6,
+                       alpha: float = 1.8,
                        ruiz_iters: int = 10,
                        verbose: bool = False) -> ConeLPResult:
     """Solve the cone program with the operator-splitting method.
