@@ -38,12 +38,12 @@ def cone_backend(backend: str):
     interchangeable cvxopt/cvxpy backends (sap.py:242-385)."""
     if backend == "admm":
         from ..solvers.admm import solve_cone_lp_admm
-        return (solve_cone_lp_admm, dict(tol=1e-6, max_iter=60000),
-                ("tol", "max_iter", "alpha"))
+        # empty overrides: solve_cone_lp_admm's own defaults are the
+        # single source of truth for the validation-role tuning
+        return (solve_cone_lp_admm, {}, ("tol", "max_iter", "alpha"))
     if backend != "ipm":
         raise ValueError("cone backends available: 'ipm', 'admm'")
-    return (solve_cone_lp, dict(tol=1e-8, feastol=1e-8, max_iter=200),
-            ("tol", "feastol", "max_iter"))
+    return (solve_cone_lp, {}, ("tol", "feastol", "max_iter"))
 
 
 def validated_nlp_point(r, feasible):
