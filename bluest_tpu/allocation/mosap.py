@@ -17,7 +17,8 @@ from ..solvers.sdp import solve_cone_lp
 from ..solvers.integer import best_integer_blue_multi
 from . import cones
 from . import certificate as certmod
-from .sap import SAP, _OK_STATUSES, cone_backend, validated_nlp_point
+from .sap import (SAP, _OK_STATUSES, budget_level_bisection, cone_backend,
+                  validated_nlp_point)
 
 
 class BLUESTError(RuntimeError):
@@ -39,8 +40,10 @@ def prewarm_forms_for(budget, max_model_samples, L: int,
             np.asarray(max_model_samples, dtype=float))))
     if budget is not None:
         # no caps: direct-eps ray + rescale (the epigraph form only runs
-        # on the rare ray failure); caps: budget-epigraph with cap rows
-        return [(True, n_caps)] if n_caps else [(False, 0)]
+        # on the rare ray failure); caps: budget-epigraph with cap rows,
+        # then the direct-eps-with-caps bisection whenever the epigraph
+        # certificate isn't tight (the common rescue on degenerate sets)
+        return [(True, n_caps), (False, n_caps)] if n_caps else [(False, 0)]
     forms = [(False, n_caps)]
     if n_caps == 0 and L <= 600:
         # the scaled-epigraph cross-check only races direct-eps at small L
@@ -355,18 +358,58 @@ class MOSAP:
                 m = self._direct_eps_solve(
                     np.full(self.n_outputs, e_common), e_rows, [], [],
                     psis, params, rescale=False, cone_solve=cone_solve)
+                # homogeneity needs the >=1-sample rows slack at the SOLVE
+                # scale: if one binds (e.m near 1), the scaled ray inherits
+                # its distortion -- re-solve at the tolerance that puts the
+                # optimizer well inside that halfspace (e.m ~ 20)
+                if m is not None:
+                    lhs = min(float(ee @ m) for ee in e_rows)
+                    if lhs < 10.0:
+                        m2 = self._direct_eps_solve(
+                            np.full(self.n_outputs,
+                                    e_common * np.sqrt(max(lhs, 1.0) / 20.0)),
+                            e_rows, [], [], psis, params, rescale=False,
+                            cone_solve=cone_solve)
+                        if m2 is not None:
+                            m = m2
                 if m is not None and float(m @ self.costs) > 0:
-                    return m * (budget / float(m @ self.costs))
+                    m = m * (budget / float(m @ self.costs))
+                    # at the budget scale the >=1 rows must still hold;
+                    # if not, the optimum has them active (inhomogeneous
+                    # regime) -- fall through to the epigraph + bisection
+                    if min(float(ee @ m) for ee in e_rows) >= 1.0 - 1e-9:
+                        return m
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, e_rows,
                 budget, es, rhs)
             res = cone_solve(c, Gl, hl, As, Hs,
                              verbose=self.verbose, **params)
             certmod.record(self.certificates, "budget-epigraph", res)
-            if res.status not in _OK_STATUSES:
-                self._stash_guess(res, budget)
-                return None
-            return np.maximum(res.x[1:], 0) * budget
+            m_epi = None
+            if res.status in _OK_STATUSES:
+                m_epi = np.maximum(res.x[1:], 0) * budget
+            epi_tight = (m_epi is not None and certmod.is_tight(
+                self.certificates[-1]))
+            if epi_tight:
+                return m_epi
+            # Conditioning rescue: the t-epigraph LMI stalls the IPM on
+            # near-degenerate covariances (the same weakness the no-caps
+            # path above dodges), so solve the budget problem through the
+            # well-conditioned direct-eps form with caps instead -- a
+            # bisection on the common variance level v, using
+            # cost(v) monotone nonincreasing (min max_n V_n at budget B
+            # == smallest v whose min-cost at tolerance sqrt(v) is <= B).
+            m_bis = self._budget_caps_bisection(
+                budget, e_rows, es, rhs, psis, params, cone_solve, m_epi)
+            if m_bis is not None and m_epi is not None:
+                return min((m_bis, m_epi),
+                           key=lambda m: self._max_variance(m))
+            if m_bis is not None:
+                return m_bis
+            if m_epi is not None:
+                return m_epi
+            self._stash_guess(res, budget)
+            return None
 
         candidates = []
 
@@ -437,6 +480,55 @@ class MOSAP:
             return None
         return alpha * m0
 
+    def _max_variance(self, m):
+        """max_n V_n(m) with the scale trick that dodges the 0.05-entry
+        cutoff in variance() (see _feasibility_rescale)."""
+        m = np.maximum(np.asarray(m, dtype=float), 0)
+        if m.max() <= 0:
+            return np.inf
+        Ksc = 1.0 / m.max()
+        try:
+            return max(Ksc * self.SAPS[n].variance(Ksc * m[self.mappings[n]])
+                       for n in range(self.n_outputs))
+        except (AssertionError, np.linalg.LinAlgError):
+            return np.inf
+
+    def _budget_caps_bisection(self, budget, e_rows, es, rhs, psis, params,
+                               cone_solve, m_epi=None):
+        """Budget mode under per-model caps via the direct-eps form.
+
+        cost(v) := min {w.m : V_n(m) <= v for all n, m >= 0, caps} is
+        monotone nonincreasing in the common variance level v (see
+        sap.budget_level_bisection).  Every solve reuses ONE traced cone
+        program (the (eps, n_caps) shape is fixed; only hl data changes),
+        so the bisection costs iterations-many IPM dispatches, not
+        compiles."""
+        def cost_at(v):
+            eps_v = np.full(self.n_outputs, np.sqrt(v))
+            m = self._direct_eps_solve(eps_v, e_rows, es, rhs, psis,
+                                       params, rescale=False,
+                                       cone_solve=cone_solve)
+            if m is None:
+                return None, np.inf  # below the cap floor / solver stall
+            return m, float(m @ self.costs)
+
+        # starting level: the epigraph candidate's achieved level if any,
+        # else the no-caps ray's level at this budget (a lower bound --
+        # caps only shrink the feasible set)
+        if m_epi is not None:
+            v = self._max_variance(m_epi)
+        else:
+            e_common = max(np.sqrt(CC[0, 0]) for CC in self.C) / 100.0
+            m0 = self._direct_eps_solve(
+                np.full(self.n_outputs, e_common), e_rows, [], [],
+                psis, params, rescale=False, cone_solve=cone_solve)
+            if m0 is None or float(m0 @ self.costs) <= 0:
+                return None
+            v = self._max_variance(m0 * (budget / float(m0 @ self.costs)))
+        if not np.isfinite(v) or v <= 0:
+            return None
+        return budget_level_bisection(cost_at, v, budget)
+
     def _direct_eps_solve(self, eps, e_rows, es, rhs, psis, params,
                           rescale: bool = True, cone_solve=solve_cone_lp):
         """Direct eps-form SDP with the meps conditioning rescale."""
@@ -453,7 +545,29 @@ class MOSAP:
         m = np.maximum(res.x, 0) / meps ** 2
         if rescale:
             m = self._feasibility_rescale(m, eps)
+        elif len(es) > 0 and m is not None:
+            # caps forbid the homogeneity rescale, so solver status is the
+            # only optimality signal -- and for the first-order backend on
+            # near-degenerate instances an "optimal"/"inaccurate" point can
+            # be tolerance-infeasible by orders of magnitude.  Reject those
+            # so the caller's fallback chain engages.
+            ratio = max(self._eps_ratio_n(m, eps, n)
+                        for n in range(self.n_outputs))
+            if not np.isfinite(ratio) or ratio > 1.05:
+                return None
         return m
+
+    def _eps_ratio_n(self, m, eps, n):
+        """V_n(m)/eps_n^2 via the cutoff-dodging scale trick."""
+        m = np.maximum(np.asarray(m, dtype=float), 0)
+        if m.max() <= 0:
+            return np.inf
+        Ksc = 1.0 / m.max()
+        try:
+            return (Ksc * self.SAPS[n].variance(Ksc * m[self.mappings[n]])
+                    / eps[n] ** 2)
+        except (AssertionError, np.linalg.LinAlgError):
+            return np.inf
 
     def _stash_guess(self, res, budget):
         """Keep a failed IPM's best iterate as a warm start for the NLP
@@ -645,8 +759,13 @@ class MOSAP:
                          options={"maxiter": 5000,
                                   "verbose": 3 * int(self.verbose)},
                          tol=1e-7)
-            x = validated_nlp_point(
-                r, lambda x: w @ np.maximum(x[1:], 0) <= 1.0001 * budget)
+            def budget_feasible(x):
+                m = np.maximum(x[1:], 0)
+                if w @ m > 1.0001 * budget:
+                    return False
+                return all(float(ees @ m) <= 1.001 * rr + 1e-9
+                           for ees, rr in zip(es, rhs))
+            x = validated_nlp_point(r, budget_feasible)
             return None if x is None else x[1:]
 
         bounds = Bounds(np.zeros(L), np.inf * np.ones(L), keep_feasible=True)
@@ -680,6 +799,13 @@ class MOSAP:
 
         def feasible(x):
             m = np.maximum(x, 0)
+            # the caps are constraints too: without this check a stalled
+            # trust-constr can return a massively oversampled point that
+            # is variance-feasible but violates the caps by orders of
+            # magnitude (seen on the Matern golden's degenerate instance)
+            if any(float(ees @ m) > 1.001 * rr + 1e-9
+                   for ees, rr in zip(es, rhs)):
+                return False
             try:
                 return all(
                     self.SAPS[n].variance(m[self.mappings[n]], delta=delta)

@@ -46,6 +46,38 @@ def cone_backend(backend: str):
     return (solve_cone_lp, {}, ("tol", "feastol", "max_iter"))
 
 
+def budget_level_bisection(cost_at, v0, budget, max_steps=42):
+    """Smallest common variance level v with cost(v) <= budget.
+
+    ``cost_at(v) -> (m, cost)`` must be monotone nonincreasing in v
+    (min-cost at tolerance sqrt(v); infeasible/stalled solves return
+    cost=inf).  min max-variance at budget B == smallest v whose
+    min-cost at level v fits B, so a log-space bisection on v solves
+    budget mode through the well-conditioned direct-eps form -- the
+    rescue for instances where the t-epigraph LMI stalls the IPM.
+    Returns the best budget-feasible allocation found, or None."""
+    best = None
+    lo = hi = None  # lo: cost > budget (or infeasible); hi: cost <= budget
+    v = v0
+    for _ in range(max_steps):
+        m, cost = cost_at(v)
+        if cost <= budget * (1.0 + 1e-9):
+            best, hi = m, v
+            if cost >= budget * (1.0 - 1e-4):
+                break  # spent essentially the whole budget
+        else:
+            lo = v
+        if lo is None:
+            v = hi / 4.0            # expand down: overshoot the budget
+        elif hi is None:
+            v = lo * 4.0            # expand up: get budget-feasible
+        else:
+            if hi / lo < 1.0 + 1e-9:
+                break
+            v = np.sqrt(lo * hi)    # log-space bisection
+    return best
+
+
 def validated_nlp_point(r, feasible):
     """Validate a trust-constr result before handing it downstream.
 
@@ -248,20 +280,50 @@ class SAP:
             if len(es) == 0:
                 # budget mode through the direct eps form + ray rescale
                 # (same Pareto frontier by homogeneity; see MOSAP.sdp_solve)
-                m = self.sdp_solve(eps=np.sqrt(self.C[0, 0]) / 100.0,
-                                   solver_params=solver_params,
+                e0 = np.sqrt(self.C[0, 0]) / 100.0
+                m = self.sdp_solve(eps=e0, solver_params=solver_params,
                                    backend=backend)
+                # homogeneity needs e.m >= 1 slack at the SOLVE scale: if
+                # it binds there, the scaled ray inherits its distortion
+                if m is not None:
+                    lhs = float(self.e @ m)
+                    if lhs < 10.0:
+                        m2 = self.sdp_solve(
+                            eps=e0 * np.sqrt(max(lhs, 1.0) / 20.0),
+                            solver_params=solver_params, backend=backend)
+                        if m2 is not None:
+                            m = m2
                 if m is not None and float(m @ self.costs) > 0:
-                    return m * (budget / float(m @ self.costs))
+                    m = m * (budget / float(m @ self.costs))
+                    # inhomogeneous regime (e.m = 1 active at the budget
+                    # scale): fall through to the epigraph + bisection
+                    if float(self.e @ m) >= 1.0 - 1e-9:
+                        return m
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [self.e],
                 budget, es, rhs)
             res = cone_solve(c, Gl, hl, As, Hs,
                              verbose=self.verbose, **params)
             certmod.record(self.certificates, "budget-epigraph", res)
-            if res.status not in _OK_STATUSES:
-                return None
-            return np.maximum(res.x[1:], 0) * budget
+            m_epi = None
+            if res.status in _OK_STATUSES:
+                m_epi = np.maximum(res.x[1:], 0) * budget
+            if m_epi is not None and certmod.is_tight(self.certificates[-1]):
+                return m_epi
+            # conditioning rescue (see budget_level_bisection)
+            def cost_at(v):
+                mv = self._direct_eps_solve(np.sqrt(v), es, rhs, params,
+                                            cone_solve)
+                if mv is None:
+                    return None, np.inf
+                return mv, float(mv @ self.costs)
+            v0 = self._variance_of(m_epi) if m_epi is not None else None
+            if v0 is None or not np.isfinite(v0) or v0 <= 0:
+                v0 = self.C[0, 0] / 1e4
+            m_bis = budget_level_bisection(cost_at, v0, budget)
+            if m_bis is not None and m_epi is not None:
+                return min((m_bis, m_epi), key=self._variance_of)
+            return m_bis if m_bis is not None else m_epi
         def feasibility_rescale(m0):
             """alpha*m0 with alpha = V(m0)/eps^2 (homogeneity; see MOSAP)."""
             m0 = np.maximum(m0, 0)
@@ -278,15 +340,8 @@ class SAP:
 
         candidates = []
         # (a) direct eps SDP with a meps rescale for conditioning
-        meps = 100.0 / np.sqrt(max(self.C[0, 0], 1e-300) / eps ** 2)
-        c, Gl, hl, As, Hs, scales = cones.build_eps_sdp(
-            [self.psi], mapping, self.L, self.costs, [self.e],
-            np.array([eps / meps]), meps, es, rhs)
-        res = cone_solve(c, Gl, hl, As, Hs,
-                         verbose=self.verbose, **params)
-        certmod.record(self.certificates, "direct-eps", res)
-        if res.status in _OK_STATUSES:
-            m = np.maximum(res.x, 0) / meps ** 2
+        m = self._direct_eps_solve(eps, es, rhs, params, cone_solve)
+        if m is not None:
             if len(es) == 0:
                 m = feasibility_rescale(m)
             if m is not None:
@@ -312,6 +367,43 @@ class SAP:
         if not candidates:
             return None
         return min(candidates, key=lambda m: float(m @ self.costs))
+
+    def _direct_eps_solve(self, eps, es, rhs, params,
+                          cone_solve=solve_cone_lp):
+        """Direct eps-form SDP with the meps conditioning rescale (no
+        feasibility rescale -- callers that may hold caps handle it)."""
+        mapping = [np.arange(self.L)]
+        meps = 100.0 / np.sqrt(max(self.C[0, 0], 1e-300) / eps ** 2)
+        c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
+            [self.psi], mapping, self.L, self.costs, [self.e],
+            np.array([eps / meps]), meps, es, rhs)
+        res = cone_solve(c, Gl, hl, As, Hs,
+                         verbose=self.verbose, **params)
+        certmod.record(self.certificates, "direct-eps", res)
+        if res.status not in _OK_STATUSES:
+            return None
+        m = np.maximum(res.x, 0) / meps ** 2
+        if len(es) > 0:
+            # no homogeneity rescale under caps: validate the tolerance
+            # (solver status alone can pass an infeasible first-order
+            # point on near-degenerate instances; see MOSAP counterpart)
+            v = self._variance_of(m)
+            if not np.isfinite(v) or v > 1.05 * eps ** 2:
+                return None
+        return m
+
+    def _variance_of(self, m):
+        """V(m) with the scale trick that dodges the 0.05-entry cutoff
+        in variance() (see feasibility_rescale)."""
+        m = np.maximum(np.asarray(m, dtype=float), 0)
+        if m.max() <= 0:
+            return np.inf
+        Ksc = 1.0 / m.max()
+        try:
+            v = Ksc * self.variance(Ksc * m)
+        except (AssertionError, np.linalg.LinAlgError):
+            return np.inf
+        return v if np.isfinite(v) else np.inf
 
     @on_allocation_device
     def spg_solve(self, budget=None, eps=None, max_model_samples=None):
@@ -443,7 +535,11 @@ class SAP:
                          tol=1e-8)
 
             def feasible(x):
-                return w @ np.maximum(x, 0) <= 1.0001 * budget
+                m = np.maximum(x, 0)
+                if w @ m > 1.0001 * budget:
+                    return False
+                return all(float(ee @ m) <= 1.001 * rr + 1e-9
+                           for ee, rr in zip(es, rhs))
         else:
             epsq = eps ** 2
             nl = NonlinearConstraint(
@@ -462,9 +558,13 @@ class SAP:
                          tol=1e-10)
 
             def feasible(x):
+                m = np.maximum(x, 0)
+                # caps are constraints too (see MOSAP.scipy_solve)
+                if any(float(ee @ m) > 1.001 * rr + 1e-9
+                       for ee, rr in zip(es, rhs)):
+                    return False
                 try:
-                    return (self.variance(np.maximum(x, 0))
-                            <= 1.001 * eps ** 2)
+                    return self.variance(m) <= 1.001 * eps ** 2
                 except (AssertionError, np.linalg.LinAlgError):
                     return False
         return validated_nlp_point(r, feasible)

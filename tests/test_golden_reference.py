@@ -139,3 +139,108 @@ def test_navier_stokes_budget_mode_respects_budget():
         assert out["total_cost"] <= budget * (1 + 1e-9)
         assert out["total_cost"] >= 0.99 * budget
         assert np.all(np.asarray(out["samples"]) >= 1)
+
+
+# ---------------------- Matern restrictions dataset ---------------------- #
+
+MAT_REF = ("/root/reference/examples/paper_examples/restrictions_matern/"
+           "restrictions_matern_model_data.npz")
+# Study constants (restrictions_matern.py:252-253, plot_results.py:46-49):
+# eps = 5e-3 sqrt(C[0,0]); the caps emulate only Nrestr samples of the two
+# finest meshes being affordable (max_model_samples[:2] = Nrestr).
+MAT_EPS = 0.0018621360085025829
+MAT_BUDGET = 317994.6666666667
+MAT_CAPS = np.concatenate([[32.0, 32.0], np.full(5, np.inf)])
+# plot_results.py:64 records the exact-covariance K=3 optimum ("cost0")
+MAT_COST0 = 56299.4444444444
+
+
+@pytest.mark.skipif(not os.path.exists(MAT_REF),
+                    reason="reference checkout not available")
+def test_matern_dataset_eps_mode_reproduces_cost0():
+    """Third golden dataset: the 7-model Matern restriction study
+    (restrictions_matern.py:155-182).  At the study's tolerance with the
+    study's per-model caps, the continuous K=3 optimum must reproduce the
+    committed exact-covariance cost (plot_results.py:64, 'cost0')."""
+    p = BLUEProblem(7, datafile=MAT_REF, verbose=False)
+    assert p.M == 7 and p.n_outputs == 1
+    # EPS is derived from this covariance: 5e-3 * sqrt(C[0,0])
+    assert 5e-3 * np.sqrt(p.get_covariance()[0, 0]) == pytest.approx(
+        MAT_EPS, rel=1e-12)
+    out = p.setup_solver(K=3, eps=MAT_EPS, continuous_relaxation=True,
+                         max_model_samples=MAT_CAPS)
+    assert out["total_cost"] == pytest.approx(MAT_COST0, rel=5e-3)
+    assert float(np.max(out["errors"])) <= MAT_EPS * 1.001
+    assert p.MOSAP.n_nlp_fallbacks == 0
+
+
+@pytest.mark.skipif(not os.path.exists(MAT_REF),
+                    reason="reference checkout not available")
+def test_matern_dataset_solver_families_honest():
+    """The study's solver_test runs the vendor solvers interchangeably
+    over K in {3,5,7} with caps (restrictions_matern.py:166-180).  This
+    dataset is NEAR-DEGENERATE (mesh-level correlations ~1 - 1e-5):
+    among our families only the second-order IPM solves it to optimality
+    -- the same reality as the paper's reliance on cvxopt.  The contract
+    tested here: (a) the IPM covers K in {3,5,7} with zero fallbacks and
+    a K-monotone frontier; (b) every other family either raises
+    BLUESTError (honest failure) or returns a point that satisfies the
+    tolerance AND the caps -- never a silently infeasible or
+    cap-violating allocation (the bug class this golden caught: a
+    stalled trust-constr point 2000x over the caps, and an 'inaccurate'
+    first-order point 30x off tolerance, were both accepted before).
+    Frontier agreement for the non-IPM families is covered on generic
+    instances (test_admm cross-family tier, test_allocation)."""
+    from bluest_tpu import BLUESTError
+
+    costs_ladder = {}
+    for K in (3, 5, 7):
+        p = BLUEProblem(7, datafile=MAT_REF, verbose=False)
+        out = p.setup_solver(K=K, eps=MAT_EPS, continuous_relaxation=True,
+                             max_model_samples=MAT_CAPS)
+        costs_ladder[K] = float(out["total_cost"])
+        assert p.MOSAP.n_nlp_fallbacks == 0
+    # enlarging the feasible set (higher K) can only improve the optimum
+    # (1e-4 slack: IPM relative accuracy on near-degenerate instances)
+    assert costs_ladder[5] <= costs_ladder[3] * (1 + 1e-4)
+    assert costs_ladder[7] <= costs_ladder[5] * (1 + 1e-4)
+
+    for solver in ("admm", "scipy", "spg"):
+        p = BLUEProblem(7, datafile=MAT_REF, verbose=False,
+                        optimization_solver=solver)
+        try:
+            out = p.setup_solver(K=3, eps=MAT_EPS,
+                                 continuous_relaxation=True,
+                                 max_model_samples=MAT_CAPS)
+        except BLUESTError:
+            continue  # honest failure beats silent garbage
+        m = np.asarray(p.MOSAP.continuous_solution, dtype=float)
+        ratio = p.MOSAP._eps_ratio_n(m, np.array([MAT_EPS]), 0)
+        assert ratio <= 1.01, solver
+        es, rhs = p.MOSAP.get_max_sample_constraints(MAT_CAPS)
+        for ee, rr in zip(es, rhs):
+            assert float(ee @ m) <= rr * 1.005 + 1e-9, solver
+        # bounded conservatism: a feasible point may overshoot the
+        # optimum (first-order accuracy) but not unboundedly
+        assert float(out["total_cost"]) <= 10.0 * costs_ladder[3], solver
+
+
+@pytest.mark.skipif(not os.path.exists(MAT_REF),
+                    reason="reference checkout not available")
+def test_matern_dataset_budget_mode_with_caps():
+    """Budget mode at the study's committed budget (plot_results.py:49)
+    with the caps active: the integer allocation must fit the budget and
+    the achieved error must sit on the eps-mode frontier (solving eps
+    mode at the achieved error must cost no less than what was spent,
+    up to solver accuracy)."""
+    p = BLUEProblem(7, datafile=MAT_REF, verbose=False)
+    out = p.setup_solver(K=3, budget=MAT_BUDGET,
+                         max_model_samples=MAT_CAPS)
+    spent = float(out["total_cost"])
+    assert spent <= MAT_BUDGET * 1.0002
+    err = float(np.max(out["errors"]))
+    assert np.isfinite(err) and err < MAT_EPS  # well inside the tolerance
+    p2 = BLUEProblem(7, datafile=MAT_REF, verbose=False)
+    out2 = p2.setup_solver(K=3, eps=err, continuous_relaxation=True,
+                           max_model_samples=MAT_CAPS)
+    assert spent >= float(out2["total_cost"]) * 0.995
