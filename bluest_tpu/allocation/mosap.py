@@ -42,8 +42,10 @@ def prewarm_forms_for(budget, max_model_samples, L: int,
         # no caps: direct-eps ray + rescale (the epigraph form only runs
         # on the rare ray failure); caps: budget-epigraph with cap rows,
         # then the direct-eps-with-caps bisection whenever the epigraph
-        # certificate isn't tight (the common rescue on degenerate sets)
-        return [(True, n_caps), (False, n_caps)] if n_caps else [(False, 0)]
+        # certificate isn't tight (the common rescue on degenerate sets),
+        # whose starting-level probe may solve the 0-cap eps form
+        return ([(True, n_caps), (False, n_caps), (False, 0)]
+                if n_caps else [(False, 0)])
     forms = [(False, n_caps)]
     if n_caps == 0 and L <= 600:
         # the scaled-epigraph cross-check only races direct-eps at small L
@@ -231,9 +233,17 @@ class MOSAP:
         # (bench calibration, complexity studies) then pay only the integer
         # projection.  Per-model caps break the scaling.
         ray_key = ("budget_ray", solver)
-        if (budget is not None and max_model_samples is None
-                and getattr(self, "_ray_cache", {}).get(ray_key) is not None):
-            samples = self._ray_cache[ray_key] * budget
+        cached_ray = (getattr(self, "_ray_cache", {}).get(ray_key)
+                      if budget is not None and max_model_samples is None
+                      else None)
+        # a ray is only valid at this budget while the >=1-sample rows stay
+        # satisfied after rescaling (they are the one inhomogeneous part)
+        if cached_ray is not None and any(
+                float(ee @ cached_ray) * budget < 1.0 - 1e-9
+                for ee in self._e_rows()):
+            cached_ray = None
+        if cached_ray is not None:
+            samples = cached_ray * budget
             # the cached ray's certificates still certify this solve
             # (the continuous optimum scales linearly with the budget)
             self.certificates = list(
@@ -309,7 +319,12 @@ class MOSAP:
                 if resc is not None:
                     samples = resc
 
-        if budget is not None and max_model_samples is None:
+        if budget is not None and max_model_samples is None and all(
+                # only a solution with the >=1-sample rows strictly slack
+                # lies on the homogeneous ray; an active row (the epigraph
+                # fall-through regime) makes the optimum budget-dependent
+                float(ee @ np.asarray(samples, float)) > 1.01
+                for ee in self._e_rows()):
             if not hasattr(self, "_ray_cache"):
                 self._ray_cache = {}
             if not hasattr(self, "_ray_certs"):
@@ -348,6 +363,7 @@ class MOSAP:
         e_rows = self._e_rows()
 
         if budget is not None:
+            m_ray = None  # budget-scaled ray point (feasibility fallback)
             if len(es) == 0:
                 # Budget mode without caps through the DIRECT eps form +
                 # ray rescale: min-max-variance and min-cost-at-tolerance
@@ -373,12 +389,12 @@ class MOSAP:
                         if m2 is not None:
                             m = m2
                 if m is not None and float(m @ self.costs) > 0:
-                    m = m * (budget / float(m @ self.costs))
+                    m_ray = m * (budget / float(m @ self.costs))
                     # at the budget scale the >=1 rows must still hold;
                     # if not, the optimum has them active (inhomogeneous
                     # regime) -- fall through to the epigraph + bisection
-                    if min(float(ee @ m) for ee in e_rows) >= 1.0 - 1e-9:
-                        return m
+                    if min(float(ee @ m_ray) for ee in e_rows) >= 1.0 - 1e-9:
+                        return m_ray
             c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
                 psis, self.mappings, self.L, self.costs, e_rows,
                 budget, es, rhs)
@@ -388,6 +404,11 @@ class MOSAP:
             m_epi = None
             if res.status in _OK_STATUSES:
                 m_epi = np.maximum(res.x[1:], 0) * budget
+                # an "inaccurate" epigraph point can overspend / overcap by
+                # orders of magnitude (which also fakes a low variance in
+                # the min() race below) -- treat infeasible ones as failed
+                if not self._budget_feasible(m_epi, budget, es, rhs):
+                    m_epi = None
             epi_tight = (m_epi is not None and certmod.is_tight(
                 self.certificates[-1]))
             if epi_tight:
@@ -399,8 +420,12 @@ class MOSAP:
             # bisection on the common variance level v, using
             # cost(v) monotone nonincreasing (min max_n V_n at budget B
             # == smallest v whose min-cost at tolerance sqrt(v) is <= B).
+            # v0 hint: the ray fall-through point, if there was one (the
+            # no-caps starting probe would just repeat its solve).
+            v_hint = self._max_variance(m_ray) if m_ray is not None else None
             m_bis = self._budget_caps_bisection(
-                budget, e_rows, es, rhs, psis, params, cone_solve, m_epi)
+                budget, e_rows, es, rhs, psis, params, cone_solve, m_epi,
+                v_hint=v_hint)
             if m_bis is not None and m_epi is not None:
                 return min((m_bis, m_epi),
                            key=lambda m: self._max_variance(m))
@@ -481,20 +506,20 @@ class MOSAP:
         return alpha * m0
 
     def _max_variance(self, m):
-        """max_n V_n(m) with the scale trick that dodges the 0.05-entry
-        cutoff in variance() (see _feasibility_rescale)."""
+        """max_n V_n(m) (the cutoff-dodging evaluation; inf on failure)."""
+        return max(self._eps_ratio_n(m, np.ones(self.n_outputs), n)
+                   for n in range(self.n_outputs))
+
+    def _budget_feasible(self, m, budget, es, rhs):
+        """Budget + cap rows hold (slack matches the NLP validators)."""
         m = np.maximum(np.asarray(m, dtype=float), 0)
-        if m.max() <= 0:
-            return np.inf
-        Ksc = 1.0 / m.max()
-        try:
-            return max(Ksc * self.SAPS[n].variance(Ksc * m[self.mappings[n]])
-                       for n in range(self.n_outputs))
-        except (AssertionError, np.linalg.LinAlgError):
-            return np.inf
+        if float(m @ self.costs) > 1.0001 * budget:
+            return False
+        return all(float(ees @ m) <= 1.001 * rr + 1e-9
+                   for ees, rr in zip(es, rhs))
 
     def _budget_caps_bisection(self, budget, e_rows, es, rhs, psis, params,
-                               cone_solve, m_epi=None):
+                               cone_solve, m_epi=None, v_hint=None):
         """Budget mode under per-model caps via the direct-eps form.
 
         cost(v) := min {w.m : V_n(m) <= v for all n, m >= 0, caps} is
@@ -507,31 +532,44 @@ class MOSAP:
             eps_v = np.full(self.n_outputs, np.sqrt(v))
             m = self._direct_eps_solve(eps_v, e_rows, es, rhs, psis,
                                        params, rescale=False,
-                                       cone_solve=cone_solve)
+                                       cone_solve=cone_solve, validate=True)
             if m is None:
                 return None, np.inf  # below the cap floor / solver stall
             return m, float(m @ self.costs)
 
-        # starting level: the epigraph candidate's achieved level if any,
-        # else the no-caps ray's level at this budget (a lower bound --
-        # caps only shrink the feasible set)
-        if m_epi is not None:
-            v = self._max_variance(m_epi)
-        else:
+        # starting level: the epigraph candidate's achieved level, else the
+        # caller's hint (e.g. the ray fall-through point), else the no-caps
+        # ray's level at this budget (a lower bound -- caps only shrink the
+        # feasible set); last resort a covariance-derived default so a
+        # degenerate m_epi never silently skips the rescue
+        v = self._max_variance(m_epi) if m_epi is not None else np.inf
+        if (not np.isfinite(v) or v <= 0) and v_hint is not None:
+            v = v_hint
+        if not np.isfinite(v) or v <= 0:
             e_common = max(np.sqrt(CC[0, 0]) for CC in self.C) / 100.0
             m0 = self._direct_eps_solve(
                 np.full(self.n_outputs, e_common), e_rows, [], [],
                 psis, params, rescale=False, cone_solve=cone_solve)
-            if m0 is None or float(m0 @ self.costs) <= 0:
-                return None
-            v = self._max_variance(m0 * (budget / float(m0 @ self.costs)))
+            if m0 is not None and float(m0 @ self.costs) > 0:
+                v = self._max_variance(m0 * (budget / float(m0 @ self.costs)))
         if not np.isfinite(v) or v <= 0:
-            return None
+            v = max(CC[0, 0] for CC in self.C) / 1e4
         return budget_level_bisection(cost_at, v, budget)
 
     def _direct_eps_solve(self, eps, e_rows, es, rhs, psis, params,
-                          rescale: bool = True, cone_solve=solve_cone_lp):
-        """Direct eps-form SDP with the meps conditioning rescale."""
+                          rescale: bool = True, cone_solve=solve_cone_lp,
+                          validate=None):
+        """Direct eps-form SDP with the meps conditioning rescale.
+
+        ``validate``: tolerance-check the point (V_n <= 1.05 eps_n^2)
+        instead of trusting solver status -- for the first-order backend
+        on near-degenerate instances an "optimal"/"inaccurate" point can
+        be tolerance-infeasible by orders of magnitude, so rejection here
+        engages the caller's fallback chain.  Defaults to on whenever
+        the homogeneity rescale is unavailable to fix feasibility (caps
+        present); the budget bisection forces it on (its monotone
+        cost(v) assumption needs tolerance-true points), and the budget
+        ray forces it off (only the point's direction matters there)."""
         n_mc = max(CC[0, 0] / ep ** 2 for CC, ep in zip(self.C, eps))
         meps = 100.0 / np.sqrt(n_mc)
         c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
@@ -545,12 +583,7 @@ class MOSAP:
         m = np.maximum(res.x, 0) / meps ** 2
         if rescale:
             m = self._feasibility_rescale(m, eps)
-        elif len(es) > 0 and m is not None:
-            # caps forbid the homogeneity rescale, so solver status is the
-            # only optimality signal -- and for the first-order backend on
-            # near-degenerate instances an "optimal"/"inaccurate" point can
-            # be tolerance-infeasible by orders of magnitude.  Reject those
-            # so the caller's fallback chain engages.
+        elif (len(es) > 0 if validate is None else validate):
             ratio = max(self._eps_ratio_n(m, eps, n)
                         for n in range(self.n_outputs))
             if not np.isfinite(ratio) or ratio > 1.05:

@@ -46,7 +46,8 @@ def cone_backend(backend: str):
     return (solve_cone_lp, {}, ("tol", "feastol", "max_iter"))
 
 
-def budget_level_bisection(cost_at, v0, budget, max_steps=42):
+def budget_level_bisection(cost_at, v0, budget, max_steps=42,
+                           min_spend_frac=0.99):
     """Smallest common variance level v with cost(v) <= budget.
 
     ``cost_at(v) -> (m, cost)`` must be monotone nonincreasing in v
@@ -55,14 +56,22 @@ def budget_level_bisection(cost_at, v0, budget, max_steps=42):
     min-cost at level v fits B, so a log-space bisection on v solves
     budget mode through the well-conditioned direct-eps form -- the
     rescue for instances where the t-epigraph LMI stalls the IPM.
-    Returns the best budget-feasible allocation found, or None."""
-    best = None
+
+    The value function cost(v) of the convex program is continuous, so
+    the true budget optimum spends essentially the whole budget (it
+    blows up toward the cap-floor level, it does not jump across B).  A
+    converged bracket whose feasible side still underspends means the
+    backend stopped tracking the frontier (first-order stall), not that
+    the optimum underspends -- reject it (``min_spend_frac``) so the
+    caller's fallback chain engages instead of returning a feasible but
+    massively suboptimal allocation."""
+    best, best_cost = None, -np.inf
     lo = hi = None  # lo: cost > budget (or infeasible); hi: cost <= budget
     v = v0
     for _ in range(max_steps):
         m, cost = cost_at(v)
         if cost <= budget * (1.0 + 1e-9):
-            best, hi = m, v
+            best, best_cost, hi = m, cost, v
             if cost >= budget * (1.0 - 1e-4):
                 break  # spent essentially the whole budget
         else:
@@ -75,6 +84,8 @@ def budget_level_bisection(cost_at, v0, budget, max_steps=42):
             if hi / lo < 1.0 + 1e-9:
                 break
             v = np.sqrt(lo * hi)    # log-space bisection
+    if best is not None and best_cost < min_spend_frac * budget:
+        return None
     return best
 
 
@@ -277,28 +288,31 @@ class SAP:
                            if k in allowed})
         mapping = [np.arange(self.L)]
         if budget is not None:
+            m_ray = None
             if len(es) == 0:
                 # budget mode through the direct eps form + ray rescale
-                # (same Pareto frontier by homogeneity; see MOSAP.sdp_solve)
+                # (same Pareto frontier by homogeneity; see MOSAP.sdp_solve).
+                # NO feasibility rescale here: the guard below must see the
+                # raw solve-scale point (a rescale factor > 1 would inflate
+                # e.m past the threshold and mask a binding >=1-sample row)
                 e0 = np.sqrt(self.C[0, 0]) / 100.0
-                m = self.sdp_solve(eps=e0, solver_params=solver_params,
-                                   backend=backend)
+                m = self._direct_eps_solve(e0, [], [], params, cone_solve)
                 # homogeneity needs e.m >= 1 slack at the SOLVE scale: if
                 # it binds there, the scaled ray inherits its distortion
                 if m is not None:
                     lhs = float(self.e @ m)
                     if lhs < 10.0:
-                        m2 = self.sdp_solve(
-                            eps=e0 * np.sqrt(max(lhs, 1.0) / 20.0),
-                            solver_params=solver_params, backend=backend)
+                        m2 = self._direct_eps_solve(
+                            e0 * np.sqrt(max(lhs, 1.0) / 20.0), [], [],
+                            params, cone_solve)
                         if m2 is not None:
                             m = m2
                 if m is not None and float(m @ self.costs) > 0:
-                    m = m * (budget / float(m @ self.costs))
+                    m_ray = m * (budget / float(m @ self.costs))
                     # inhomogeneous regime (e.m = 1 active at the budget
                     # scale): fall through to the epigraph + bisection
-                    if float(self.e @ m) >= 1.0 - 1e-9:
-                        return m
+                    if float(self.e @ m_ray) >= 1.0 - 1e-9:
+                        return m_ray
             c, Gl, hl, As, Hs, scales = cones.build_budget_sdp(
                 [self.psi], mapping, self.L, self.costs, [self.e],
                 budget, es, rhs)
@@ -308,16 +322,26 @@ class SAP:
             m_epi = None
             if res.status in _OK_STATUSES:
                 m_epi = np.maximum(res.x[1:], 0) * budget
+                # an "inaccurate" point can overspend/overcap by orders of
+                # magnitude (which also fakes a low variance in the min()
+                # race below) -- treat infeasible ones as failed
+                if (float(m_epi @ self.costs) > 1.0001 * budget
+                        or any(float(ee @ m_epi) > 1.001 * rr + 1e-9
+                               for ee, rr in zip(es, rhs))):
+                    m_epi = None
             if m_epi is not None and certmod.is_tight(self.certificates[-1]):
                 return m_epi
             # conditioning rescue (see budget_level_bisection)
             def cost_at(v):
                 mv = self._direct_eps_solve(np.sqrt(v), es, rhs, params,
-                                            cone_solve)
+                                            cone_solve, validate=True)
                 if mv is None:
                     return None, np.inf
                 return mv, float(mv @ self.costs)
             v0 = self._variance_of(m_epi) if m_epi is not None else None
+            if (v0 is None or not np.isfinite(v0) or v0 <= 0) \
+                    and m_ray is not None:
+                v0 = self._variance_of(m_ray)
             if v0 is None or not np.isfinite(v0) or v0 <= 0:
                 v0 = self.C[0, 0] / 1e4
             m_bis = budget_level_bisection(cost_at, v0, budget)
@@ -369,9 +393,11 @@ class SAP:
         return min(candidates, key=lambda m: float(m @ self.costs))
 
     def _direct_eps_solve(self, eps, es, rhs, params,
-                          cone_solve=solve_cone_lp):
+                          cone_solve=solve_cone_lp, validate=None):
         """Direct eps-form SDP with the meps conditioning rescale (no
-        feasibility rescale -- callers that may hold caps handle it)."""
+        feasibility rescale -- callers that may hold caps handle it).
+        ``validate`` as in MOSAP._direct_eps_solve: tolerance-check the
+        point instead of trusting solver status (default: iff caps)."""
         mapping = [np.arange(self.L)]
         meps = 100.0 / np.sqrt(max(self.C[0, 0], 1e-300) / eps ** 2)
         c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
@@ -383,10 +409,7 @@ class SAP:
         if res.status not in _OK_STATUSES:
             return None
         m = np.maximum(res.x, 0) / meps ** 2
-        if len(es) > 0:
-            # no homogeneity rescale under caps: validate the tolerance
-            # (solver status alone can pass an infeasible first-order
-            # point on near-degenerate instances; see MOSAP counterpart)
+        if len(es) > 0 if validate is None else validate:
             v = self._variance_of(m)
             if not np.isfinite(v) or v > 1.05 * eps ** 2:
                 return None
