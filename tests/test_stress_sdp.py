@@ -100,3 +100,44 @@ def test_degenerate_instance_no_fallback(seed):
                key=lambda c: max(c["relgap"], c["pres"], c["dres"]))
     assert best["status"] in ("optimal", "inaccurate")
     assert best["relgap"] <= 1e-4 and best["pres"] <= 1e-5
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_budget_with_caps_on_frontier(seed):
+    """Budget mode under per-model caps (the mode the three-way corpus
+    above does not reach): the continuous solution must spend the budget
+    (or be cap-floored), respect the caps, stay IPM-only, and sit on the
+    eps-mode frontier -- re-solving eps mode at the achieved max variance
+    must cost no less than what was spent (up to solver accuracy).  This
+    regime used to stall the t-epigraph IPM on degenerate instances and
+    silently hand back grossly suboptimal NLP points (caught by the
+    Matern golden); the direct-eps bisection rescue owns it now."""
+    rng, mos, Cs, flat, gcosts = build_instance(1000 + seed)
+    No = mos.n_outputs
+    M = mos.N
+    cheapest_cover = min(c for g, c in zip(flat, gcosts) if 0 in g)
+    budget = float(10 ** rng.uniform(2.5, 5)) * gcosts.min() \
+        + 3 * cheapest_cover
+    caps = np.full(M, np.inf)
+    # cap the two cheapest models (where the optimizer wants volume)
+    for j in (M - 1, M - 2):
+        caps[j] = float(10 ** rng.uniform(2, 4))
+    m = mos.solve(budget=budget, max_model_samples=caps,
+                  continuous_relaxation=True)
+    assert m is not None
+    assert mos.n_nlp_fallbacks == 0
+    m = np.asarray(m, dtype=float)
+    spent = float(m @ gcosts)
+    assert spent <= 1.0002 * budget
+    es, rhs = mos.get_max_sample_constraints(caps)
+    for ees, rr in zip(es, rhs):
+        assert float(ees @ m) <= 1.001 * rr + 1e-9
+    # frontier consistency: the achieved worst variance, fed back as an
+    # eps-mode tolerance with the same caps, costs what was spent
+    Vs = mos.variances(m)
+    eps_back = np.sqrt(np.maximum(np.asarray(Vs, dtype=float), 1e-300))
+    mos2 = build_instance(1000 + seed)[1]
+    m2 = mos2.solve(eps=eps_back, max_model_samples=caps,
+                    continuous_relaxation=True)
+    assert m2 is not None
+    assert spent >= 0.98 * float(np.asarray(m2, float) @ gcosts)
