@@ -21,10 +21,38 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: TPU compiles dominate cold-start time for
 # the per-model kernels; cache them across processes.  Override the
 # location with BLUEST_TPU_CACHE, disable with BLUEST_TPU_CACHE=0.
+#
+# The directory is suffixed with a host-CPU-feature fingerprint: JAX's
+# cache key does NOT include the compiling machine's CPU features, so on
+# heterogeneous fleets an XLA:CPU executable AOT-compiled on one machine
+# (e.g. with amx/prefer-no-gather) gets deserialized on another -- the
+# loader warns "could lead to execution errors such as SIGILL" and we
+# observed hard SIGSEGVs inside get_executable_and_time doing exactly
+# this.  Scoping the cache per CPU flavor keeps it correct AND warm on
+# every machine it has seen before.
+
+
+def _host_cpu_fingerprint() -> str:
+    import hashlib
+    import platform
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1]
+                                                   .split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux fallback
+        feats += " " + platform.processor()
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 _cache = os.environ.get("BLUEST_TPU_CACHE",
                         os.path.expanduser("~/.cache/bluest_tpu_xla"))
 if _cache != "0":
     try:
+        _cache = os.path.join(_cache, "cpu-" + _host_cpu_fingerprint())
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
