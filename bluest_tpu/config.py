@@ -56,6 +56,13 @@ if _cache != "0":
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # By default jax bakes "<cache_dir>/xla_gpu_per_fusion_autotune_
+        # cache_dir" into the XLA debug options, which end up in the cache
+        # KEY -- so entries written under one cache path can never be read
+        # under another (this sank the first cache-warmer design), and any
+        # cache relocation silently invalidates everything.  The feature is
+        # GPU-only; drop it so keys are path-independent on CPU/TPU.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "")
     except Exception:  # pragma: no cover - cache is best effort
         pass
 

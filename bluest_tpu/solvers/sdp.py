@@ -744,17 +744,86 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
 
 # ------------------------------- solver ---------------------------------- #
 
+_WARMER_SPAWNED = set()
+_WARMER_PROCS = []
+
+
+def _spawn_cache_warmer(shape_key):
+    """Write this shape's persistent-cache entry from a SACRIFICIAL
+    subprocess.
+
+    XLA:CPU's ``LoadedExecutable.serialize()`` intermittently SEGFAULTS
+    on the big fused IPM while_loop module in this jaxlib build (the
+    same C++ path that sank the jax.export disk-cache attempt; observed
+    twice in-suite, each inside compilation_cache put/get).  In-process
+    cache WRITES for this module are therefore disabled (_run_ipm), and
+    a detached warmer re-compiles the same program shape into a private
+    directory, then atomically renames the entries into the shared
+    cache: a warmer crash loses nothing, a killed warmer cannot leave a
+    truncated (read-crashing) entry, and every later process still gets
+    the ~6 s/shape cache hit.  Disable with BLUEST_TPU_IPM_CACHE_WARMER=0
+    (entries are then simply never written for this module)."""
+    import subprocess
+    import sys
+    if os.environ.get("BLUEST_TPU_IPM_CACHE_WARMER", "1") == "0":
+        return
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        return
+    with _WARMED_LOCK:
+        if shape_key in _WARMER_SPAWNED:
+            return
+        _WARMER_SPAWNED.add(shape_key)
+    nx, p, nb, n, woodbury = shape_key
+    env = dict(os.environ)
+    env["BLUEST_TPU_CACHE"] = cache_dir + ".warm.%d" % os.getpid()
+    env["BLUEST_TPU_CACHE_PROMOTE"] = cache_dir
+    env["BLUEST_TPU_IPM_CACHE_WRITES"] = "1"
+    env["BLUEST_TPU_IPM_CACHE_WARMER"] = "0"
+    env["BLUEST_TPU_IPM_PREWARM"] = "0"
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "bluest_tpu.solvers.sdp", "warm-cache",
+             str(nx), str(p), str(nb), str(n), str(int(woodbury))],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            stdin=subprocess.DEVNULL, start_new_session=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+    except OSError:  # pragma: no cover - warmer is best effort
+        return
+    with _WARMED_LOCK:
+        # reap finished warmers (otherwise they linger as zombies until
+        # this process exits) and track the new one
+        _WARMER_PROCS[:] = [q for q in _WARMER_PROCS if q.poll() is None]
+        _WARMER_PROCS.append(proc)
+
+
 def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
              verbose, woodbury):
     """Dispatch the fused IPM program.
 
-    (A jax.export StableHLO disk cache was tried here to skip the ~1s
-    per-process trace+lower of the while_loop program -- the persistent
-    XLA cache only skips backend compilation -- but deserialized exports
-    of this module crash/hang this jax build's XLA:CPU; the direct call
-    stands until the toolchain supports it.)"""
-    return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
-                      max_iter, verbose=verbose, woodbury=woodbury)
+    Persistent-cache WRITES are suppressed for this dispatch (reads
+    still hit): serializing this module crashes this build's XLA:CPU
+    intermittently -- see _spawn_cache_warmer, which populates the
+    cache out-of-process instead.  (A jax.export StableHLO disk cache
+    was tried earlier to also skip the ~1s per-process trace+lower;
+    deserialized exports of this module crash/hang the same way.)"""
+    from jax._src import config as _jconfig
+    c = arrays[0]
+    Gl = arrays[1]
+    As = arrays[3]
+    shape_key = (int(c.shape[0]), int(Gl.shape[0]),
+                 int(As.shape[0]) if As is not None and As.ndim == 4 else 0,
+                 int(As.shape[-1]) if As is not None and As.ndim == 4 else 0,
+                 bool(woodbury))
+    if os.environ.get("BLUEST_TPU_IPM_CACHE_WRITES") == "1":
+        # the sacrificial warmer subprocess: writes enabled on purpose
+        return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
+                          max_iter, verbose=verbose, woodbury=woodbury)
+    _spawn_cache_warmer(shape_key)
+    with _jconfig.persistent_cache_min_compile_time_secs(1e18):
+        return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
+                          max_iter, verbose=verbose, woodbury=woodbury)
 
 
 _WARMED = set()
@@ -952,3 +1021,55 @@ def solve_cone_lp(c: np.ndarray,
         status = "failed"
     return ConeLPResult(x=xb, status=status, iterations=it,
                         gap=gap, pres=pres, dres=dres, pobj=pobj)
+
+
+def _warm_cache_main(argv):
+    """Sacrificial cache-warmer entry (see _spawn_cache_warmer).
+
+    Compiles the fused IPM program for the given shape into the PRIVATE
+    cache directory bluest_tpu.config derived from BLUEST_TPU_CACHE
+    (set by the parent), then atomically renames the entries into
+    BLUEST_TPU_CACHE_PROMOTE.  Crashing anywhere in here is harmless:
+    the rename-based promotion means no truncated entry can ever become
+    visible to readers."""
+    nx, p, nb, n, woodbury = (int(a) for a in argv[:5])
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+    try:
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+    except Exception:
+        pass
+    rng = np.random.default_rng(0)
+    c = np.ones(nx)
+    Gl = np.vstack([-np.eye(nx), rng.random((p - nx, nx))])
+    hl = np.concatenate([np.zeros(nx), np.full(p - nx, float(nx))])
+    v = rng.standard_normal((nb, nx, n))
+    As = -v[..., None] * v[..., None, :]
+    Hs = np.tile(np.eye(n), (nb, 1, 1)) * float(nx)
+    try:
+        solve_cone_lp(c, Gl, hl, As, Hs, max_iter=1, woodbury=bool(woodbury))
+    except Exception:
+        pass  # only the compile (and its cache write) matters
+
+    src_root = _jax.config.jax_compilation_cache_dir
+    dst = os.environ.get("BLUEST_TPU_CACHE_PROMOTE")
+    if not (src_root and dst and os.path.isdir(src_root)):
+        return
+    os.makedirs(dst, exist_ok=True)
+    import shutil
+    for name in os.listdir(src_root):
+        s = os.path.join(src_root, name)
+        d = os.path.join(dst, name)
+        if os.path.isfile(s) and not os.path.exists(d):
+            try:
+                os.rename(s, d)  # atomic: same filesystem by construction
+            except OSError:
+                pass
+    shutil.rmtree(os.path.dirname(src_root), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    if len(_sys.argv) >= 7 and _sys.argv[1] == "warm-cache":
+        _warm_cache_main(_sys.argv[2:])
