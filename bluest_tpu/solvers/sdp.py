@@ -773,6 +773,12 @@ def _spawn_cache_warmer(shape_key):
     with _WARMED_LOCK:
         if shape_key in _WARMER_SPAWNED:
             return
+        # at most 2 live warmers: a suite touching many fresh shapes
+        # must not fork a compile-storm; skipped shapes retry on a later
+        # dispatch (the key is only marked once a warmer is launched)
+        _WARMER_PROCS[:] = [q for q in _WARMER_PROCS if q.poll() is None]
+        if len(_WARMER_PROCS) >= 2:
+            return
         _WARMER_SPAWNED.add(shape_key)
     nx, p, nb, n, woodbury = shape_key
     env = dict(os.environ)
