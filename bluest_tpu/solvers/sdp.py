@@ -744,76 +744,83 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
 
 # ------------------------------- solver ---------------------------------- #
 
-_WARMER_SPAWNED = set()
-_WARMER_PROCS = []
+_WARMER_BY_SHAPE = {}
 
 
-def _spawn_cache_warmer(shape_key):
-    """Write this shape's persistent-cache entry from a SACRIFICIAL
-    subprocess.
+def _shape_sentinel(cache_dir, shape_key):
+    return os.path.join(cache_dir, "ipm-shape-%s.ok"
+                        % "-".join(str(int(v)) for v in shape_key))
 
-    XLA:CPU's ``LoadedExecutable.serialize()`` intermittently SEGFAULTS
-    on the big fused IPM while_loop module in this jaxlib build (the
-    same C++ path that sank the jax.export disk-cache attempt; observed
-    twice in-suite, each inside compilation_cache put/get).  In-process
-    cache WRITES for this module are therefore disabled (_run_ipm), and
-    a detached warmer re-compiles the same program shape into a private
-    directory, then atomically renames the entries into the shared
-    cache: a warmer crash loses nothing, a killed warmer cannot leave a
-    truncated (read-crashing) entry, and every later process still gets
-    the ~6 s/shape cache hit.  Disable with BLUEST_TPU_IPM_CACHE_WARMER=0
-    (entries are then simply never written for this module)."""
+
+def _run_cache_warmer(shape_key):
+    """Compile this shape's persistent-cache entry in a SACRIFICIAL
+    subprocess and wait for it.
+
+    This build's XLA:CPU compile stack intermittently SEGFAULTS on the
+    big fused IPM while_loop module -- observed in-suite inside
+    backend_compile_and_load, LoadedExecutable.serialize() AND
+    deserialize_executable (the same C++ paths that sank the earlier
+    jax.export disk-cache attempt), at roughly 1-in-several-hundred
+    compiles.  So the main process NEVER compiles-and-serializes this
+    module when it can avoid it: a warmer subprocess compiles the same
+    program shape into a private directory and atomically renames the
+    entries into the shared cache (a warmer crash loses nothing and
+    cannot publish a truncated entry), then drops a per-shape sentinel
+    file.  _run_ipm waits here on cold shapes so its own compile
+    becomes a cache read; if the warmer fails, the in-process compile
+    proceeds as before.  Concurrent callers (the MOSAP prewarm daemon
+    thread + the main thread) wait on the SAME subprocess.  Disable
+    with BLUEST_TPU_IPM_CACHE_WARMER=0."""
     import subprocess
     import sys
-    if os.environ.get("BLUEST_TPU_IPM_CACHE_WARMER", "1") == "0":
-        return
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
         return
     with _WARMED_LOCK:
-        if shape_key in _WARMER_SPAWNED:
-            return
-        # at most 2 live warmers: a suite touching many fresh shapes
-        # must not fork a compile-storm; skipped shapes retry on a later
-        # dispatch (the key is only marked once a warmer is launched)
-        _WARMER_PROCS[:] = [q for q in _WARMER_PROCS if q.poll() is None]
-        if len(_WARMER_PROCS) >= 2:
-            return
-        _WARMER_SPAWNED.add(shape_key)
-    nx, p, nb, n, woodbury = shape_key
-    env = dict(os.environ)
-    env["BLUEST_TPU_CACHE"] = cache_dir + ".warm.%d" % os.getpid()
-    env["BLUEST_TPU_CACHE_PROMOTE"] = cache_dir
-    env["BLUEST_TPU_IPM_CACHE_WRITES"] = "1"
-    env["BLUEST_TPU_IPM_CACHE_WARMER"] = "0"
-    env["BLUEST_TPU_IPM_PREWARM"] = "0"
-    try:
-        proc = subprocess.Popen(
-            [sys.executable, "-m", "bluest_tpu.solvers.sdp", "warm-cache",
-             str(nx), str(p), str(nb), str(n), str(int(woodbury))],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            stdin=subprocess.DEVNULL, start_new_session=True, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))))
-    except OSError:  # pragma: no cover - warmer is best effort
-        return
-    with _WARMED_LOCK:
-        # reap finished warmers (otherwise they linger as zombies until
-        # this process exits) and track the new one
-        _WARMER_PROCS[:] = [q for q in _WARMER_PROCS if q.poll() is None]
-        _WARMER_PROCS.append(proc)
+        proc = _WARMER_BY_SHAPE.get(shape_key)
+        if proc is None:
+            nx, p, nb, n, woodbury = shape_key
+            env = dict(os.environ)
+            env["BLUEST_TPU_CACHE"] = cache_dir + ".warm.%d" % os.getpid()
+            env["BLUEST_TPU_CACHE_PROMOTE"] = cache_dir
+            env["BLUEST_TPU_IPM_CACHE_WRITES"] = "1"
+            env["BLUEST_TPU_IPM_CACHE_WARMER"] = "0"
+            env["BLUEST_TPU_IPM_PREWARM"] = "0"
+            try:
+                proc = subprocess.Popen(
+                    [sys.executable, "-m", "bluest_tpu.solvers.sdp",
+                     "warm-cache", str(nx), str(p), str(nb), str(n),
+                     str(int(woodbury))],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    stdin=subprocess.DEVNULL, start_new_session=True,
+                    env=env,
+                    cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))))
+            except OSError:  # pragma: no cover - warmer is best effort
+                proc = None
+            _WARMER_BY_SHAPE[shape_key] = proc
+    if proc is not None:
+        try:
+            # the K=7 golden's program compiles for minutes through the
+            # remote tunnel; a timeout only means we fall back to the
+            # (riskier) in-process compile
+            proc.wait(timeout=float(os.environ.get(
+                "BLUEST_TPU_IPM_WARMER_TIMEOUT", "1200")))
+        except subprocess.TimeoutExpired:
+            pass
 
 
 def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
              verbose, woodbury):
     """Dispatch the fused IPM program.
 
-    Persistent-cache WRITES are suppressed for this dispatch (reads
-    still hit): serializing this module crashes this build's XLA:CPU
-    intermittently -- see _spawn_cache_warmer, which populates the
-    cache out-of-process instead.  (A jax.export StableHLO disk cache
-    was tried earlier to also skip the ~1s per-process trace+lower;
-    deserialized exports of this module crash/hang the same way.)"""
+    On a cold shape the compile is delegated to a sacrificial warmer
+    subprocess and the in-process compile becomes a cache read; cache
+    WRITES stay suppressed in-process either way (see _run_cache_warmer
+    for the XLA:CPU crash class this dodges).  (A jax.export StableHLO
+    disk cache was tried earlier to also skip the ~1s per-process
+    trace+lower; deserialized exports of this module crash/hang the
+    same way.)"""
     from jax._src import config as _jconfig
     c = arrays[0]
     Gl = arrays[1]
@@ -821,12 +828,16 @@ def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
     shape_key = (int(c.shape[0]), int(Gl.shape[0]),
                  int(As.shape[0]) if As is not None and As.ndim == 4 else 0,
                  int(As.shape[-1]) if As is not None and As.ndim == 4 else 0,
-                 bool(woodbury))
+                 int(bool(woodbury)))
     if os.environ.get("BLUEST_TPU_IPM_CACHE_WRITES") == "1":
         # the sacrificial warmer subprocess: writes enabled on purpose
         return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
                           max_iter, verbose=verbose, woodbury=woodbury)
-    _spawn_cache_warmer(shape_key)
+    if os.environ.get("BLUEST_TPU_IPM_CACHE_WARMER", "1") != "0":
+        cache_dir = jax.config.jax_compilation_cache_dir
+        if cache_dir and not os.path.exists(
+                _shape_sentinel(cache_dir, shape_key)):
+            _run_cache_warmer(shape_key)
     with _jconfig.persistent_cache_min_compile_time_secs(1e18):
         return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
                           max_iter, verbose=verbose, woodbury=woodbury)
@@ -1053,10 +1064,11 @@ def _warm_cache_main(argv):
     v = rng.standard_normal((nb, nx, n))
     As = -v[..., None] * v[..., None, :]
     Hs = np.tile(np.eye(n), (nb, 1, 1)) * float(nx)
+    ok = True
     try:
         solve_cone_lp(c, Gl, hl, As, Hs, max_iter=1, woodbury=bool(woodbury))
     except Exception:
-        pass  # only the compile (and its cache write) matters
+        ok = False  # only the compile (and its cache write) matters
 
     src_root = _jax.config.jax_compilation_cache_dir
     dst = os.environ.get("BLUEST_TPU_CACHE_PROMOTE")
@@ -1073,6 +1085,17 @@ def _warm_cache_main(argv):
             except OSError:
                 pass
     shutil.rmtree(os.path.dirname(src_root), ignore_errors=True)
+    if ok:
+        # per-shape sentinel: tells _run_ipm the shared cache holds this
+        # shape, so the main process skips the risky in-process compile
+        sent = _shape_sentinel(dst, (nx, p, nb, n, int(woodbury)))
+        tmp = sent + ".tmp.%d" % os.getpid()
+        try:
+            with open(tmp, "w") as f:
+                f.write("ok\n")
+            os.rename(tmp, sent)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
