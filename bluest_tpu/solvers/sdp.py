@@ -744,103 +744,35 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
 
 # ------------------------------- solver ---------------------------------- #
 
-_WARMER_BY_SHAPE = {}
+def _dispatch_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
+                  verbose, woodbury):
+    """Raw dispatch of the fused IPM program in THIS process (used by the
+    crash-isolation worker, and directly when isolation is disabled)."""
+    return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
+                      max_iter, verbose=verbose, woodbury=woodbury)
 
 
-def _shape_sentinel(cache_dir, shape_key):
-    return os.path.join(cache_dir, "ipm-shape-%s.ok"
-                        % "-".join(str(int(v)) for v in shape_key))
-
-
-def _run_cache_warmer(shape_key):
-    """Compile this shape's persistent-cache entry in a SACRIFICIAL
-    subprocess and wait for it.
-
-    This build's XLA:CPU compile stack intermittently SEGFAULTS on the
-    big fused IPM while_loop module -- observed in-suite inside
-    backend_compile_and_load, LoadedExecutable.serialize() AND
-    deserialize_executable (the same C++ paths that sank the earlier
-    jax.export disk-cache attempt), at roughly 1-in-several-hundred
-    compiles.  So the main process NEVER compiles-and-serializes this
-    module when it can avoid it: a warmer subprocess compiles the same
-    program shape into a private directory and atomically renames the
-    entries into the shared cache (a warmer crash loses nothing and
-    cannot publish a truncated entry), then drops a per-shape sentinel
-    file.  _run_ipm waits here on cold shapes so its own compile
-    becomes a cache read; if the warmer fails, the in-process compile
-    proceeds as before.  Concurrent callers (the MOSAP prewarm daemon
-    thread + the main thread) wait on the SAME subprocess.  Disable
-    with BLUEST_TPU_IPM_CACHE_WARMER=0."""
-    import subprocess
-    import sys
-    cache_dir = jax.config.jax_compilation_cache_dir
-    if not cache_dir:
-        return
-    with _WARMED_LOCK:
-        proc = _WARMER_BY_SHAPE.get(shape_key)
-        if proc is None:
-            nx, p, nb, n, woodbury = shape_key
-            env = dict(os.environ)
-            env["BLUEST_TPU_CACHE"] = cache_dir + ".warm.%d" % os.getpid()
-            env["BLUEST_TPU_CACHE_PROMOTE"] = cache_dir
-            env["BLUEST_TPU_IPM_CACHE_WRITES"] = "1"
-            env["BLUEST_TPU_IPM_CACHE_WARMER"] = "0"
-            env["BLUEST_TPU_IPM_PREWARM"] = "0"
-            try:
-                proc = subprocess.Popen(
-                    [sys.executable, "-m", "bluest_tpu.solvers.sdp",
-                     "warm-cache", str(nx), str(p), str(nb), str(n),
-                     str(int(woodbury))],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                    stdin=subprocess.DEVNULL, start_new_session=True,
-                    env=env,
-                    cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                        os.path.abspath(__file__)))))
-            except OSError:  # pragma: no cover - warmer is best effort
-                proc = None
-            _WARMER_BY_SHAPE[shape_key] = proc
-    if proc is not None:
-        try:
-            # the K=7 golden's program compiles for minutes through the
-            # remote tunnel; a timeout only means we fall back to the
-            # (riskier) in-process compile
-            proc.wait(timeout=float(os.environ.get(
-                "BLUEST_TPU_IPM_WARMER_TIMEOUT", "1200")))
-        except subprocess.TimeoutExpired:
-            pass
-
-
-def _run_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter,
+def _run_ipm(arrays_np, cnorm, hnorm, step_frac, tol, feastol, max_iter,
              verbose, woodbury):
-    """Dispatch the fused IPM program.
+    """Dispatch the fused IPM program, crash-isolated by default.
 
-    On a cold shape the compile is delegated to a sacrificial warmer
-    subprocess and the in-process compile becomes a cache read; cache
-    WRITES stay suppressed in-process either way (see _run_cache_warmer
-    for the XLA:CPU crash class this dodges).  (A jax.export StableHLO
-    disk cache was tried earlier to also skip the ~1s per-process
-    trace+lower; deserialized exports of this module crash/hang the
-    same way.)"""
-    from jax._src import config as _jconfig
-    c = arrays[0]
-    Gl = arrays[1]
-    As = arrays[3]
-    shape_key = (int(c.shape[0]), int(Gl.shape[0]),
-                 int(As.shape[0]) if As is not None and As.ndim == 4 else 0,
-                 int(As.shape[-1]) if As is not None and As.ndim == 4 else 0,
-                 int(bool(woodbury)))
-    if os.environ.get("BLUEST_TPU_IPM_CACHE_WRITES") == "1":
-        # the sacrificial warmer subprocess: writes enabled on purpose
-        return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
-                          max_iter, verbose=verbose, woodbury=woodbury)
-    if os.environ.get("BLUEST_TPU_IPM_CACHE_WARMER", "1") != "0":
-        cache_dir = jax.config.jax_compilation_cache_dir
-        if cache_dir and not os.path.exists(
-                _shape_sentinel(cache_dir, shape_key)):
-            _run_cache_warmer(shape_key)
-    with _jconfig.persistent_cache_min_compile_time_secs(1e18):
-        return _ipm_solve(*arrays, cnorm, hnorm, step_frac, tol, feastol,
-                          max_iter, verbose=verbose, woodbury=woodbury)
+    ``arrays_np`` are host numpy.  This build's XLA:CPU PJRT surface
+    intermittently SEGFAULTS on this module (compile, executable
+    serialize AND cache-read deserialize -- see solvers/ipm_worker.py
+    for the full post-mortem), so the dispatch runs in a persistent
+    worker subprocess whose crash costs a restart + retry instead of
+    the user's process.  BLUEST_TPU_IPM_ISOLATE=0 dispatches in-process
+    (debugging).  (A jax.export StableHLO disk cache was tried earlier
+    to also skip the ~1s per-process trace+lower; deserialized exports
+    of this module crash/hang the same way.)"""
+    if os.environ.get("BLUEST_TPU_IPM_ISOLATE", "1") != "0":
+        from .ipm_worker import get_client
+        return get_client().run(
+            (tuple(np.asarray(a) for a in arrays_np), cnorm, hnorm,
+             step_frac, tol, feastol, max_iter, verbose, woodbury))
+    arrays = tuple(jnp.asarray(a) for a in arrays_np)
+    return _dispatch_ipm(arrays, cnorm, hnorm, step_frac, tol, feastol,
+                         max_iter, verbose, woodbury)
 
 
 _WARMED = set()
@@ -994,13 +926,21 @@ def solve_cone_lp(c: np.ndarray,
         Gall_dev = _Gall
         GtG = _Gall.T @ _Gall
 
-    arrays = (jnp.asarray(c_np), jnp.asarray(Gl_dev), jnp.asarray(hl_np),
-              jnp.asarray(As_np), jnp.asarray(Hs_np),
-              jnp.asarray(Gall_dev), jnp.asarray(GtG),
-              jnp.asarray(gl_diag), jnp.asarray(R_np))
-    (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
-        arrays, cnorm, hnorm, step_frac, tol, feastol, max_iter, verbose,
-        bool(woodbury))
+    arrays_np = (c_np, Gl_dev, hl_np, As_np, Hs_np, Gall_dev, GtG,
+                 gl_diag, R_np)
+    try:
+        (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
+            arrays_np, cnorm, hnorm, step_frac, tol, feastol, max_iter,
+            verbose, bool(woodbury))
+    except RuntimeError as exc:
+        # isolation worker exhausted its retries (infrastructure crash,
+        # not a numerical failure): report "failed" so the caller's NLP
+        # fallback chain engages instead of killing the user's process
+        if verbose:
+            print("cone solve infrastructure failure: %s" % exc)
+        return ConeLPResult(x=np.full(nx, np.nan), status="failed",
+                            iterations=0, gap=np.inf, pres=np.inf,
+                            dres=np.inf, pobj=np.nan)
 
     it = int(it)
     if not np.isfinite(float(best_merit)):
@@ -1038,67 +978,3 @@ def solve_cone_lp(c: np.ndarray,
         status = "failed"
     return ConeLPResult(x=xb, status=status, iterations=it,
                         gap=gap, pres=pres, dres=dres, pobj=pobj)
-
-
-def _warm_cache_main(argv):
-    """Sacrificial cache-warmer entry (see _spawn_cache_warmer).
-
-    Compiles the fused IPM program for the given shape into the PRIVATE
-    cache directory bluest_tpu.config derived from BLUEST_TPU_CACHE
-    (set by the parent), then atomically renames the entries into
-    BLUEST_TPU_CACHE_PROMOTE.  Crashing anywhere in here is harmless:
-    the rename-based promotion means no truncated entry can ever become
-    visible to readers."""
-    nx, p, nb, n, woodbury = (int(a) for a in argv[:5])
-    import jax as _jax
-    _jax.config.update("jax_platforms", "cpu")
-    try:
-        import jax.extend.backend as _jeb
-        _jeb.clear_backends()
-    except Exception:
-        pass
-    rng = np.random.default_rng(0)
-    c = np.ones(nx)
-    Gl = np.vstack([-np.eye(nx), rng.random((p - nx, nx))])
-    hl = np.concatenate([np.zeros(nx), np.full(p - nx, float(nx))])
-    v = rng.standard_normal((nb, nx, n))
-    As = -v[..., None] * v[..., None, :]
-    Hs = np.tile(np.eye(n), (nb, 1, 1)) * float(nx)
-    ok = True
-    try:
-        solve_cone_lp(c, Gl, hl, As, Hs, max_iter=1, woodbury=bool(woodbury))
-    except Exception:
-        ok = False  # only the compile (and its cache write) matters
-
-    src_root = _jax.config.jax_compilation_cache_dir
-    dst = os.environ.get("BLUEST_TPU_CACHE_PROMOTE")
-    if not (src_root and dst and os.path.isdir(src_root)):
-        return
-    os.makedirs(dst, exist_ok=True)
-    import shutil
-    for name in os.listdir(src_root):
-        s = os.path.join(src_root, name)
-        d = os.path.join(dst, name)
-        if os.path.isfile(s) and not os.path.exists(d):
-            try:
-                os.rename(s, d)  # atomic: same filesystem by construction
-            except OSError:
-                pass
-    shutil.rmtree(os.path.dirname(src_root), ignore_errors=True)
-    if ok:
-        # per-shape sentinel: tells _run_ipm the shared cache holds this
-        # shape, so the main process skips the risky in-process compile
-        sent = _shape_sentinel(dst, (nx, p, nb, n, int(woodbury)))
-        tmp = sent + ".tmp.%d" % os.getpid()
-        try:
-            with open(tmp, "w") as f:
-                f.write("ok\n")
-            os.rename(tmp, sent)
-        except OSError:
-            pass
-
-
-if __name__ == "__main__":
-    import sys as _sys
-    if len(_sys.argv) >= 7 and _sys.argv[1] == "warm-cache":
-        _warm_cache_main(_sys.argv[2:])
