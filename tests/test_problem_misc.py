@@ -158,8 +158,10 @@ def test_prewarm_forms_for_dispatch_logic():
     caps = [np.inf, 50.0, 100.0]
     # budget, no caps: direct-eps ray only
     assert prewarm_forms_for(10.0, None, 1000) == [(False, 0)]
-    # budget + caps: budget-epigraph with one row per finite cap
-    assert prewarm_forms_for(10.0, caps, 1000) == [(True, 2)]
+    # budget + caps: budget-epigraph with one row per finite cap, plus
+    # the direct-eps-with-caps bisection rescue and its 0-cap level probe
+    assert prewarm_forms_for(10.0, caps, 1000) == [
+        (True, 2), (False, 2), (False, 0)]
     # eps, no caps, large L: direct-eps only (no epigraph cross-check)
     assert prewarm_forms_for(None, None, 1000) == [(False, 0)]
     # eps, no caps, small L: direct-eps + the epigraph cross-check
