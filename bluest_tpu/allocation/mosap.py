@@ -329,9 +329,18 @@ class MOSAP:
                 self._ray_cache = {}
             if not hasattr(self, "_ray_certs"):
                 self._ray_certs = {}
-            self._ray_cache.setdefault(
-                ray_key, np.asarray(samples, float) / budget)
-            self._ray_certs.setdefault(ray_key, list(self.certificates))
+            if continuous_relaxation:
+                # don't displace a cleaned (sparse) ray with a diffuse one
+                self._ray_cache.setdefault(
+                    ray_key, np.asarray(samples, float) / budget)
+                self._ray_certs.setdefault(ray_key, list(self.certificates))
+            else:
+                # full solves store the post-cleanup ray: a diffuse interior
+                # point cached by a continuous-relaxation sweep would make
+                # every later budget-mode solve repeat the null-space
+                # cleanup walk (~0.2 s at L=385) on the rescaled dense point
+                self._ray_cache[ray_key] = np.asarray(samples, float) / budget
+                self._ray_certs[ray_key] = list(self.certificates)
 
         if not continuous_relaxation:
             try:

@@ -136,6 +136,38 @@ def test_mosap_cleanup_reduces_support():
     assert int(np.sum(mc > 1e-9)) <= nnz_before
 
 
+def test_mosap_ray_cache_prefers_cleaned_ray():
+    """A continuous-relaxation budget sweep caches the diffuse interior
+    point on the budget ray; a later full solve must REPLACE it with the
+    post-cleanup sparse ray, so warm budget re-solves (bench calibration,
+    complexity sweeps) skip the null-space cleanup walk entirely."""
+    mosap, Cs, costs = make_mosap(M=6, K=3)
+    budget = 200 * max(costs)
+    key = ("budget_ray", "sdp")
+
+    m_cont = mosap.solve(budget=budget, solver="sdp",
+                         continuous_relaxation=True)
+    assert m_cont is not None
+    ray = mosap._ray_cache[key]
+    diffuse_nnz = int(np.sum(ray > 1e-12 * ray.max()))
+    assert diffuse_nnz > 4 * mosap.N          # the regression's precondition
+
+    m_full = mosap.solve(budget=budget, solver="sdp")
+    assert m_full is not None
+    ray = mosap._ray_cache[key]
+    cleaned_nnz = int(np.sum(ray > 1e-12 * ray.max()))
+    assert cleaned_nnz <= 4 * mosap.N
+    assert cleaned_nnz < diffuse_nnz
+
+    calls = []
+    orig = mosap.cleanup_solution
+    mosap.cleanup_solution = \
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    m2 = mosap.solve(budget=1.1 * budget, solver="sdp")
+    assert m2 is not None
+    assert not calls                          # warm re-solve: no cleanup
+
+
 def test_mosap_estimator_assembly():
     mosap, Cs, costs = make_mosap(M=4, K=2)
     budget = 100 * max(costs)
