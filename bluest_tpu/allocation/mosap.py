@@ -18,7 +18,7 @@ from ..solvers.integer import best_integer_blue_multi
 from . import cones
 from . import certificate as certmod
 from .sap import (SAP, _OK_STATUSES, budget_level_bisection, cone_backend,
-                  validated_nlp_point)
+                  caps_satisfied, validated_nlp_point)
 
 
 class BLUESTError(RuntimeError):
@@ -267,10 +267,12 @@ class MOSAP:
             raise ValueError("solvers available: 'sdp' (default), "
                              "'admm', 'scipy', 'spg'")
 
+        used_fallback = False
         if samples is None and solver in ("cvxopt", "cvxpy", "sdp",
                                           "admm", "scs"):
             # robustness fallback: the host NLP solves instances the IPM
             # stalls on (and vice versa)
+            used_fallback = True
             self.n_nlp_fallbacks += 1
             if self.verbose:
                 print("SDP solver failed; falling back to scipy NLP...")
@@ -329,8 +331,10 @@ class MOSAP:
                 self._ray_cache = {}
             if not hasattr(self, "_ray_certs"):
                 self._ray_certs = {}
-            if continuous_relaxation:
-                # don't displace a cleaned (sparse) ray with a diffuse one
+            if continuous_relaxation or used_fallback:
+                # don't displace a cleaned (sparse) ray with a diffuse one,
+                # nor a cone-family ray (with its certificates) with an
+                # NLP-fallback point from a transient solver failure
                 self._ray_cache.setdefault(
                     ray_key, np.asarray(samples, float) / budget)
                 self._ray_certs.setdefault(ray_key, list(self.certificates))
@@ -524,8 +528,7 @@ class MOSAP:
         m = np.maximum(np.asarray(m, dtype=float), 0)
         if float(m @ self.costs) > 1.0001 * budget:
             return False
-        return all(float(ees @ m) <= 1.001 * rr + 1e-9
-                   for ees, rr in zip(es, rhs))
+        return caps_satisfied(m, es, rhs)
 
     def _budget_caps_bisection(self, budget, e_rows, es, rhs, psis, params,
                                cone_solve, m_epi=None, v_hint=None):
@@ -543,8 +546,12 @@ class MOSAP:
                                        params, rescale=False,
                                        cone_solve=cone_solve, validate=True)
             if m is None:
-                return None, np.inf  # below the cap floor / solver stall
-            return m, float(m @ self.costs)
+                # certified infeasibility (tau collapse) marks the cap
+                # floor: underspending there is the true optimum (see
+                # sap.budget_level_bisection)
+                return None, np.inf, (self.certificates[-1]["status"]
+                                      == "infeasible")
+            return m, float(m @ self.costs), False
 
         # starting level: the epigraph candidate's achieved level, else the
         # caller's hint (e.g. the ray fall-through point), else the no-caps
@@ -597,6 +604,11 @@ class MOSAP:
                         for n in range(self.n_outputs))
             if not np.isfinite(ratio) or ratio > 1.05:
                 return None
+            # an "inaccurate" point can also overcap -- oversampling a
+            # capped model FAKES a low variance, so the tolerance check
+            # alone would bless exactly the bad points
+            if not caps_satisfied(m, es, rhs):
+                return None
         return m
 
     def _eps_ratio_n(self, m, eps, n):
@@ -606,10 +618,12 @@ class MOSAP:
             return np.inf
         Ksc = 1.0 / m.max()
         try:
-            return (Ksc * self.SAPS[n].variance(Ksc * m[self.mappings[n]])
-                    / eps[n] ** 2)
+            r = (Ksc * self.SAPS[n].variance(Ksc * m[self.mappings[n]])
+                 / eps[n] ** 2)
         except (AssertionError, np.linalg.LinAlgError):
             return np.inf
+        # NaN would poison every downstream min()/max() race key
+        return r if np.isfinite(r) else np.inf
 
     def _stash_guess(self, res, budget):
         """Keep a failed IPM's best iterate as a warm start for the NLP
@@ -805,8 +819,7 @@ class MOSAP:
                 m = np.maximum(x[1:], 0)
                 if w @ m > 1.0001 * budget:
                     return False
-                return all(float(ees @ m) <= 1.001 * rr + 1e-9
-                           for ees, rr in zip(es, rhs))
+                return caps_satisfied(m, es, rhs)
             x = validated_nlp_point(r, budget_feasible)
             return None if x is None else x[1:]
 
@@ -845,8 +858,7 @@ class MOSAP:
             # trust-constr can return a massively oversampled point that
             # is variance-feasible but violates the caps by orders of
             # magnitude (seen on the Matern golden's degenerate instance)
-            if any(float(ees @ m) > 1.001 * rr + 1e-9
-                   for ees, rr in zip(es, rhs)):
+            if not caps_satisfied(m, es, rhs):
                 return False
             try:
                 return all(

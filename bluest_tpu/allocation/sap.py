@@ -50,32 +50,39 @@ def budget_level_bisection(cost_at, v0, budget, max_steps=42,
                            min_spend_frac=0.99):
     """Smallest common variance level v with cost(v) <= budget.
 
-    ``cost_at(v) -> (m, cost)`` must be monotone nonincreasing in v
-    (min-cost at tolerance sqrt(v); infeasible/stalled solves return
-    cost=inf).  min max-variance at budget B == smallest v whose
+    ``cost_at(v) -> (m, cost, infeasible)`` must be monotone
+    nonincreasing in v (min-cost at tolerance sqrt(v); infeasible or
+    stalled solves return cost=inf, with ``infeasible`` True only when
+    the solver CERTIFIED the level infeasible -- the HSD tau-collapse
+    certificate).  min max-variance at budget B == smallest v whose
     min-cost at level v fits B, so a log-space bisection on v solves
     budget mode through the well-conditioned direct-eps form -- the
     rescue for instances where the t-epigraph LMI stalls the IPM.
 
     The value function cost(v) of the convex program is continuous, so
     the true budget optimum spends essentially the whole budget (it
-    blows up toward the cap-floor level, it does not jump across B).  A
-    converged bracket whose feasible side still underspends means the
+    blows up toward the cap-floor level, it does not jump across B) --
+    UNLESS per-model caps bound the achievable spend below the budget,
+    in which case the optimum sits at the certified cap floor and
+    legitimately underspends.  A converged bracket whose feasible side
+    underspends WITHOUT a certified-infeasible floor below it means the
     backend stopped tracking the frontier (first-order stall), not that
     the optimum underspends -- reject it (``min_spend_frac``) so the
     caller's fallback chain engages instead of returning a feasible but
     massively suboptimal allocation."""
     best, best_cost = None, -np.inf
     lo = hi = None  # lo: cost > budget (or infeasible); hi: cost <= budget
+    floor_certified = False
     v = v0
     for _ in range(max_steps):
-        m, cost = cost_at(v)
+        m, cost, infeasible = cost_at(v)
         if cost <= budget * (1.0 + 1e-9):
             best, best_cost, hi = m, cost, v
             if cost >= budget * (1.0 - 1e-4):
                 break  # spent essentially the whole budget
         else:
             lo = v
+            floor_certified = floor_certified or bool(infeasible)
         if lo is None:
             v = hi / 4.0            # expand down: overshoot the budget
         elif hi is None:
@@ -84,9 +91,21 @@ def budget_level_bisection(cost_at, v0, budget, max_steps=42,
             if hi / lo < 1.0 + 1e-9:
                 break
             v = np.sqrt(lo * hi)    # log-space bisection
-    if best is not None and best_cost < min_spend_frac * budget:
+    if (best is not None and best_cost < min_spend_frac * budget
+            and not floor_certified):
         return None
     return best
+
+
+def caps_satisfied(m, es, rhs, slack: float = 1.001,
+                   atol: float = 1e-9) -> bool:
+    """Per-model cap rows ``ES_i @ m <= rhs_i`` hold within the integer
+    search's slack.  THE cap-feasibility predicate -- every validator
+    (epigraph point, direct-eps point, NLP fallback, bisection rescue)
+    must use the same tolerance or they silently disagree about which
+    candidate survives."""
+    return all(float(ee @ m) <= slack * rr + atol
+               for ee, rr in zip(es, rhs))
 
 
 def validated_nlp_point(r, feasible):
@@ -326,8 +345,7 @@ class SAP:
                 # magnitude (which also fakes a low variance in the min()
                 # race below) -- treat infeasible ones as failed
                 if (float(m_epi @ self.costs) > 1.0001 * budget
-                        or any(float(ee @ m_epi) > 1.001 * rr + 1e-9
-                               for ee, rr in zip(es, rhs))):
+                        or not caps_satisfied(m_epi, es, rhs)):
                     m_epi = None
             if m_epi is not None and certmod.is_tight(self.certificates[-1]):
                 return m_epi
@@ -336,8 +354,11 @@ class SAP:
                 mv = self._direct_eps_solve(np.sqrt(v), es, rhs, params,
                                             cone_solve, validate=True)
                 if mv is None:
-                    return None, np.inf
-                return mv, float(mv @ self.costs)
+                    # certified infeasibility (tau collapse) marks the cap
+                    # floor: underspending there is the true optimum
+                    return None, np.inf, (self.certificates[-1]["status"]
+                                          == "infeasible")
+                return mv, float(mv @ self.costs), False
             v0 = self._variance_of(m_epi) if m_epi is not None else None
             if (v0 is None or not np.isfinite(v0) or v0 <= 0) \
                     and m_ray is not None:
@@ -412,6 +433,11 @@ class SAP:
         if len(es) > 0 if validate is None else validate:
             v = self._variance_of(m)
             if not np.isfinite(v) or v > 1.05 * eps ** 2:
+                return None
+            # an "inaccurate" point can also overcap -- oversampling a
+            # capped model FAKES a low variance, so the tolerance check
+            # alone would bless exactly the bad points
+            if not caps_satisfied(m, es, rhs):
                 return None
         return m
 
@@ -561,8 +587,7 @@ class SAP:
                 m = np.maximum(x, 0)
                 if w @ m > 1.0001 * budget:
                     return False
-                return all(float(ee @ m) <= 1.001 * rr + 1e-9
-                           for ee, rr in zip(es, rhs))
+                return caps_satisfied(m, es, rhs)
         else:
             epsq = eps ** 2
             nl = NonlinearConstraint(
@@ -583,8 +608,7 @@ class SAP:
             def feasible(x):
                 m = np.maximum(x, 0)
                 # caps are constraints too (see MOSAP.scipy_solve)
-                if any(float(ee @ m) > 1.001 * rr + 1e-9
-                       for ee, rr in zip(es, rhs)):
+                if not caps_satisfied(m, es, rhs):
                     return False
                 try:
                     return self.variance(m) <= 1.001 * eps ** 2

@@ -136,6 +136,50 @@ def test_mosap_cleanup_reduces_support():
     assert int(np.sum(mc > 1e-9)) <= nnz_before
 
 
+def test_budget_bisection_certified_cap_floor():
+    """An underspending bisection result is accepted exactly when the
+    level below it is CERTIFIED infeasible (caps bound the achievable
+    spend -- the true optimum underspends); an uncertified underspend
+    (first-order stall) is still rejected."""
+    from bluest_tpu.allocation.sap import budget_level_bisection
+    point = np.array([1.0, 2.0])
+
+    def cost_at_certified(v):
+        if v < 1.0:
+            return None, np.inf, True       # tau-collapse certificate
+        return point, 10.0, False           # spends 10% of budget=100
+
+    def cost_at_stall(v):
+        if v < 1.0:
+            return None, np.inf, False      # solver stall, no certificate
+        return point, 10.0, False
+
+    assert budget_level_bisection(cost_at_certified, 4.0, 100.0) is point
+    assert budget_level_bisection(cost_at_stall, 4.0, 100.0) is None
+
+
+def test_direct_eps_validate_rejects_overcap():
+    """An 'optimal'-status point that violates the caps must be rejected
+    by the validator: oversampling a capped model FAKES a low variance,
+    so the tolerance check alone would bless exactly the bad points."""
+    from bluest_tpu.solvers.sdp import ConeLPResult
+    sap, C, costs = make_sap(M=4, K=2, seed=5)
+    mms = np.full(4, np.inf)
+    mms[1] = 5.0
+    es, rhs = sap.get_max_sample_constraints(mms)
+    eps = np.sqrt(C[0, 0]) / 30
+    meps = 100.0 / np.sqrt(max(C[0, 0], 1e-300) / eps ** 2)
+    big = np.full(sap.L, 1e4) * meps ** 2   # hugely overcapped, tiny variance
+
+    def fake(c, Gl, hl, As, Hs, **kw):
+        return ConeLPResult(big, "optimal", 1, 0.0, 0.0, 0.0,
+                            float(np.asarray(c) @ big))
+
+    m = sap._direct_eps_solve(eps, es, rhs, {}, cone_solve=fake,
+                              validate=True)
+    assert m is None
+
+
 def test_mosap_ray_cache_prefers_cleaned_ray():
     """A continuous-relaxation budget sweep caches the diffuse interior
     point on the budget ray; a later full solve must REPLACE it with the
