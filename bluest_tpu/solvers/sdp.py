@@ -56,6 +56,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ipm_worker import IPMWorkerInfraError
+
 __all__ = ["ConeLPResult", "solve_cone_lp"]
 
 
@@ -147,12 +149,25 @@ def _wood_factor(d0, W, jitter=1e-14):
     fallback chain -- so the 4-step default is a robustness requirement,
     not a tuning preference."""
     r = W.shape[1]
+    if _WOOD_PAD > 0:
+        # zero-column padding to an aligned rank: the capacitance GEMM
+        # (r, nx)@(nx, r) is the per-iteration hot spot and odd r can
+        # land it in a slow shape regime on some backends; zero columns
+        # append an identity block to C, so the factorization and every
+        # _wood_apply are EXACTLY unchanged mathematically
+        r_pad = _WOOD_PAD * -(-r // _WOOD_PAD)
+        if r_pad != r:
+            W = jnp.pad(W, ((0, 0), (0, r_pad - r)))
+            r = r_pad
     Wd = W / d0[:, None]
     C = jnp.eye(r, dtype=W.dtype) + W.T @ Wd
     return d0, W, Wd, _chol_factor(C, jitter=jitter)
 
 
 _WOOD_REFINE = int(os.environ.get("BLUEST_TPU_WOOD_REFINE", "4"))
+# Zero-pad the Woodbury low-rank factor to a multiple of this (0 = off);
+# purely a GEMM-shape experiment knob, mathematically a no-op.
+_WOOD_PAD = int(os.environ.get("BLUEST_TPU_WOOD_PAD", "0"))
 # Gondzio centrality correctors per iteration (LP + tau/kappa blocks).
 # Default OFF: measured on the K=7 HH golden (L=3301), one corrector cuts
 # iterations 64 -> 55 and tightens dres 1.6e-5 -> 4.1e-8, but the extra
@@ -765,7 +780,12 @@ def _run_ipm(arrays_np, cnorm, hnorm, step_frac, tol, feastol, max_iter,
     (debugging).  (A jax.export StableHLO disk cache was tried earlier
     to also skip the ~1s per-process trace+lower; deserialized exports
     of this module crash/hang the same way.)"""
-    if os.environ.get("BLUEST_TPU_IPM_ISOLATE", "1") != "0":
+    # the worker pins jax_platforms=cpu (the crash is XLA:CPU-specific),
+    # so isolation only applies while the allocation runs on the CPU
+    # backend (the default); under BLUEST_TPU_ALLOC_DEVICE=default the
+    # dispatch stays in-process on the main device as documented
+    if (os.environ.get("BLUEST_TPU_IPM_ISOLATE", "1") != "0"
+            and os.environ.get("BLUEST_TPU_ALLOC_DEVICE", "cpu") == "cpu"):
         from .ipm_worker import get_client
         return get_client().run(
             (tuple(np.asarray(a) for a in arrays_np), cnorm, hnorm,
@@ -932,10 +952,12 @@ def solve_cone_lp(c: np.ndarray,
         (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
             arrays_np, cnorm, hnorm, step_frac, tol, feastol, max_iter,
             verbose, bool(woodbury))
-    except RuntimeError as exc:
+    except IPMWorkerInfraError as exc:
         # isolation worker exhausted its retries (infrastructure crash,
         # not a numerical failure): report "failed" so the caller's NLP
-        # fallback chain engages instead of killing the user's process
+        # fallback chain engages instead of killing the user's process.
+        # Deterministic in-worker exceptions (bug-type) PROPAGATE -- see
+        # ipm_worker.IPMWorkerClient.run -- so this cannot mask defects.
         if verbose:
             print("cone solve infrastructure failure: %s" % exc)
         return ConeLPResult(x=np.full(nx, np.nan), status="failed",

@@ -54,6 +54,31 @@ def test_worker_restarts_after_kill():
     assert client._proc is not None and client._proc.poll() is None
 
 
+def test_infra_failure_reports_failed_status(monkeypatch):
+    """Retry exhaustion (IPMWorkerInfraError) must surface as
+    status='failed' (NLP-fallback chain), never crash the caller."""
+    class _Boom:
+        def run(self, payload, timeout=None):
+            raise ipm_worker.IPMWorkerInfraError("rigged outage")
+
+    monkeypatch.setattr(ipm_worker, "get_client", lambda: _Boom())
+    c, Gl, hl, As, Hs = _program(seed=11)
+    r = solve_cone_lp(c, Gl, hl, As, Hs)
+    assert r.status == "failed"
+    assert np.all(np.isnan(r.x))
+
+
+def test_worker_stderr_is_logged():
+    """Worker stderr goes to a log file (the SIGSEGV/AOT-mismatch
+    diagnostics), not to /dev/null."""
+    client = ipm_worker.get_client()
+    # ensure at least one worker has run
+    c, Gl, hl, As, Hs = _program(seed=13)
+    solve_cone_lp(c, Gl, hl, As, Hs)
+    import os
+    assert os.path.exists(client._log_path())
+
+
 def test_worker_error_reply_raises_not_crashes():
     client = ipm_worker.get_client()
     with pytest.raises(RuntimeError, match="ipm worker error"):
