@@ -87,22 +87,38 @@ def total_samples(problem):
 
 def run_bluest_tpu(problem, budget0=2.0e4):
     """Returns (alloc_seconds, sample_seconds, n_evals, mus, errs)."""
-    t0 = time.time()
-    # rescale the budget so the estimation phase draws ~TARGET_SAMPLES.
-    # The allocation ray is homogeneous in the budget, so the calibration
-    # iterations only need the CONTINUOUS totals -- the integer corner
-    # search runs once, on the final budget.
+    # two allocation reps: rep 1 is the headline (first allocation in a
+    # prewarmed process, the round-2-comparable semantics); rep 2 drops
+    # the MOSAP structure + ray caches and re-solves from scratch, so it
+    # isolates the steady-state re-solve cost (structure assembly + IPM +
+    # cleanup + integer search with the per-shape jit programs already
+    # compiled).  The reps are NOT interchangeable -- rep 1 additionally
+    # pays the per-process compiles of the solve-time-shaped programs
+    # (integer corner search, certificate kernels) that prewarm cannot
+    # know ahead of time -- so no min() across them.
+    alloc_runs = []
     budget = budget0
-    problem.setup_solver(K=K, budget=budget, continuous_relaxation=True)
-    for _ in range(3):
-        n0 = total_samples(problem)
-        if 0.85 <= n0 / TARGET_SAMPLES <= 1.15:
-            break
-        budget = budget * TARGET_SAMPLES / max(n0, 1)
-        problem.setup_solver(K=K, budget=budget,
-                             continuous_relaxation=True)
-    problem.setup_solver(K=K, budget=budget)
-    alloc_s = time.time() - t0
+    for rep in range(2):
+        if rep:
+            problem._mosap_key = None    # fresh MOSAP: no ray/structure cache
+        t0 = time.time()
+        # rescale the budget so the estimation phase draws ~TARGET_SAMPLES.
+        # The allocation ray is homogeneous in the budget, so the
+        # calibration iterations only need the CONTINUOUS totals -- the
+        # integer corner search runs once, on the final budget.  (Rep 2
+        # starts at the calibrated budget and converges immediately, but
+        # still pays the same solve sequence on a fresh structure.)
+        problem.setup_solver(K=K, budget=budget, continuous_relaxation=True)
+        for _ in range(3):
+            n0 = total_samples(problem)
+            if 0.85 <= n0 / TARGET_SAMPLES <= 1.15:
+                break
+            budget = budget * TARGET_SAMPLES / max(n0, 1)
+            problem.setup_solver(K=K, budget=budget,
+                                 continuous_relaxation=True)
+        problem.setup_solver(K=K, budget=budget)
+        alloc_runs.append(time.time() - t0)
+    alloc_s = alloc_runs[0]
 
     # best-of-2 on the estimation phase: identical device programs, so
     # the spread between the runs is pure window noise (tunnel/dispatch
@@ -115,7 +131,7 @@ def run_bluest_tpu(problem, budget0=2.0e4):
         sample_runs.append(time.time() - t0)
         if mus is None:
             mus, errs = m, e
-    return (alloc_s, min(sample_runs), sample_runs,
+    return (alloc_s, alloc_runs, min(sample_runs), sample_runs,
             total_evaluations(problem), mus, errs)
 
 
@@ -325,7 +341,7 @@ def main():
         BASELINE_SAMPLE_CAP = 200
 
     problem = build_problem()
-    alloc_s, sample_s, sample_runs, n_evals, mus, errs = \
+    alloc_s, alloc_runs, sample_s, sample_runs, n_evals, mus, errs = \
         run_bluest_tpu(problem)
     n_samples = total_samples(problem)
     ours = alloc_s + sample_s
@@ -348,6 +364,7 @@ def main():
         "vs_baseline": round(baseline / ours, 2),
         "detail": {
             "alloc_s": round(alloc_s, 3),
+            "alloc_rebuild_s": round(alloc_runs[1], 3),
             "alloc_warm_s": round(alloc_warm_s, 3),
             "sample_s": round(sample_s, 3),
             "sample_runs_s": [round(s, 3) for s in sample_runs],
