@@ -166,7 +166,12 @@ def _wood_factor(d0, W, jitter=1e-14):
 
 _WOOD_REFINE = int(os.environ.get("BLUEST_TPU_WOOD_REFINE", "4"))
 # Zero-pad the Woodbury low-rank factor to a multiple of this (0 = off);
-# purely a GEMM-shape experiment knob, mathematically a no-op.
+# purely a GEMM-shape experiment knob, mathematically a no-op.  Measured
+# on the K=7 HH golden (L=3301, r 531 -> 640, tools/ab_profile.py, 3 ABBA
+# blocks): a LOSS -- per-iteration B/A median 1.43 ([0.87, 1.78, 1.43]),
+# identical cost, zero fallbacks.  The capacitance GEMM is not
+# shape-alignment-bound on this host backend; keep 0 here and re-try only
+# on real MXU hardware where the lane story differs.
 _WOOD_PAD = int(os.environ.get("BLUEST_TPU_WOOD_PAD", "0"))
 # Gondzio centrality correctors per iteration (LP + tau/kappa blocks).
 # Default OFF: measured on the K=7 HH golden (L=3301), one corrector cuts
