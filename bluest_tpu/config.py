@@ -55,7 +55,14 @@ if _cache != "0":
         _cache = os.path.join(_cache, "cpu-" + _host_cpu_fingerprint())
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.1s, not the 1.0s default: the allocation path leans on many
+        # 0.2-0.5s programs (cleanup-matrix kernels, corner-search eigh
+        # chunks) that the default threshold silently recompiles in EVERY
+        # fresh process -- profiled at 1.7s of the bench's first
+        # allocation (4 compiles x ~0.42s, all below 1.0s)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(os.environ.get(
+                              "BLUEST_TPU_CACHE_MIN_COMPILE_S", "0.1")))
         # By default jax bakes "<cache_dir>/xla_gpu_per_fusion_autotune_
         # cache_dir" into the XLA debug options, which end up in the cache
         # KEY -- so entries written under one cache path can never be read
