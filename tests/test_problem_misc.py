@@ -138,7 +138,13 @@ def test_prewarm_solver_shape_contract():
     p = ExpSeriesProblem(5, C=C, costs=np.array([16.0, 8, 4, 2, 1]),
                          verbose=False)
     L_pred = p.prewarm_solver(K=3)
+    # prewarm_solver constructs the full MOSAP through the structure
+    # cache, so the later setup_solver must REUSE the same object (psi
+    # assembly off the timed path)
+    warmed_mosap = p.MOSAP
+    assert warmed_mosap is not None and warmed_mosap.L == L_pred
     blue = p.setup_solver(K=3, budget=500.0)
+    assert p.MOSAP is warmed_mosap
     assert L_pred == len(blue["models"]) or L_pred == p.MOSAP.L
     assert p.MOSAP.L == L_pred
     # and the shape really is in the warmed set
