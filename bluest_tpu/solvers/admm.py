@@ -218,6 +218,10 @@ def _admm_run(Ah, bh, ch, p, nb, n, max_iter, tol, alpha):
         done = jnp.where(err < tol, 1, 0)
         done = jnp.where(tiny_tau & x_unb, 4, done)
         done = jnp.where(tiny_tau & z_inf, 3, done)   # infeasible wins
+        # non-finite data/iterates: every comparison above is False on
+        # NaN, which would otherwise grind through all max_iter batched
+        # eigh iterations before reporting -- exit now (status 'failed')
+        done = jnp.where(jnp.isfinite(err), done, 2)
 
         return {
             "u": un, "v": vn, "it": st["it"] + 1, "done": done,
@@ -258,8 +262,14 @@ def solve_cone_lp_admm(c: np.ndarray,
         As_np = np.zeros((0, nx, 1, 1))
         Hs_np = np.zeros((0, 1, 1))
     else:
+        # symmetrize like solve_cone_lp does: _svec_np keeps only the
+        # upper triangle, so an asymmetric input would otherwise make the
+        # two 'same contract' backends solve DIFFERENT LMIs -- fatal for
+        # the cross-validation role
         As_np = np.asarray(As, dtype=np.float64)
+        As_np = (As_np + np.swapaxes(As_np, -1, -2)) / 2.0
         Hs_np = np.asarray(Hs, dtype=np.float64)
+        Hs_np = (Hs_np + np.swapaxes(Hs_np, -1, -2)) / 2.0
     nb, _, n, _ = As_np.shape
     ns = (n * (n + 1)) // 2
     m = p + nb * ns
@@ -306,7 +316,7 @@ def solve_cone_lp_admm(c: np.ndarray,
             p, nb, n, int(max_iter), float(tol), float(alpha))]
 
     tau_f = float(tau)
-    if tau_f <= 0 or not np.isfinite(tau_f):
+    if int(done) == 2 or tau_f <= 0 or not np.isfinite(tau_f):
         status = {3: "infeasible", 4: "unbounded"}.get(int(done), "failed")
         return ConeLPResult(np.full(nx, np.nan), status, int(it),
                             float(gap), float(pres), float(dres), np.nan)

@@ -63,12 +63,21 @@ def feasible_integer_bounds(sol: np.ndarray, N: int, e: np.ndarray | None = None
 
 def corner_matrix(lb: np.ndarray, ub: np.ndarray) -> np.ndarray:
     """All floor/ceil corners as columns: (LL, 2^LL)
-    (reference unpackbits + fancy indexing, misc.py:169-175, 239-242)."""
+    (reference unpackbits + fancy indexing, misc.py:169-175, 239-242).
+
+    Built row-by-row in int32: the obvious broadcast
+    ``(arange(2^LL)[:, None] >> arange(LL)) & 1`` materializes a
+    (2^24, 24) int64 intermediate (~3.2 GB) at the permitted LL=24
+    limit; per-row generation peaks at one (2^LL,) uint32 vector and
+    the int32 result (sample bounds fit int32 by orders of magnitude)."""
     LL = len(lb)
-    bits = ((np.arange(2 ** LL, dtype=np.int64)[:, None]
-             >> np.arange(LL)[None, :]) & 1).astype(bool)
-    bnds = np.vstack([lb, ub])
-    return bnds[bits.astype(int), np.arange(LL)[None, :]].T
+    n = 1 << LL
+    cols = np.arange(n, dtype=np.uint32)
+    out = np.empty((LL, n), dtype=np.int32)
+    for j in range(LL):
+        bit = (cols >> np.uint32(j)) & np.uint32(1)
+        out[j] = np.where(bit.astype(bool), np.int32(ub[j]), np.int32(lb[j]))
+    return out
 
 
 @jax.jit
@@ -90,41 +99,34 @@ def _chunk_corner_var(basephi, psi_idx, ms_chunk):
     return _chunk_var00(phis)
 
 
-def _batched_variance00(phis: np.ndarray) -> np.ndarray:
-    """(B, M, M) -> (B,) of pinv(PHI)[0,0], Hermitian, rcond as reference
-    (misc.py:293-294, 368-369).  Chunked vmapped eigh; chunks are padded
-    to a fixed size so the jitted kernel compiles once per matrix size."""
-    B, M, _ = phis.shape
-    out = np.empty(B)
-    for s in range(0, B, _CHUNK):
-        block = phis[s:s + _CHUNK]
-        nb = block.shape[0]
-        if nb < _CHUNK and B > _CHUNK:
-            pad = np.broadcast_to(np.eye(M), (_CHUNK - nb, M, M))
-            block = np.concatenate([block, pad], axis=0)
-        out[s:s + _CHUNK] = np.asarray(_chunk_var00(jnp.asarray(block)))[:nb]
-    return out
-
-
 def _corner_variances(basephi: np.ndarray, psi_idx: np.ndarray,
                       ms: np.ndarray) -> np.ndarray:
     """Variances of all corner candidates, assembled and inverted on
     device in fixed-size chunks (basephi + psi_idx @ ms never materializes
     on the host)."""
     LL, B = ms.shape
+    # shape-stabilize the jitted kernel: EVERY chunk is padded to _CHUNK
+    # columns and LL to a multiple of 4 zero rows (zero columns of
+    # psi_idx contribute nothing to the PHI assembly), so the program
+    # key is (M^2, ceil4(LL), _CHUNK) -- a handful of programs instead
+    # of one compile round-trip per post-filter corner count
+    LLp = max(4, 4 * -(-LL // 4))
+    pidx_np = psi_idx
+    if LLp != LL:
+        pidx_np = np.concatenate(
+            [psi_idx, np.zeros((psi_idx.shape[0], LLp - LL))], axis=1)
     bphi = jnp.asarray(basephi)
-    pidx = jnp.asarray(psi_idx)
+    pidx = jnp.asarray(pidx_np)
     out = np.empty(B)
     for s in range(0, B, _CHUNK):
-        chunk = ms[:, s:s + _CHUNK]
+        chunk = ms[:, s:s + _CHUNK].astype(np.float64)
         nb = chunk.shape[1]
-        if nb < _CHUNK and B > _CHUNK:
-            chunk = np.concatenate(
-                [chunk, np.zeros((LL, _CHUNK - nb), dtype=chunk.dtype)],
-                axis=1)
+        if nb < _CHUNK or LLp != LL:
+            buf = np.zeros((LLp, _CHUNK))
+            buf[:LL, :nb] = chunk
+            chunk = buf
         out[s:s + _CHUNK] = np.asarray(
-            _chunk_corner_var(bphi, pidx, jnp.asarray(
-                chunk.astype(np.float64))))[:nb]
+            _chunk_corner_var(bphi, pidx, jnp.asarray(chunk)))[:nb]
     return out
 
 

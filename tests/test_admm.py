@@ -233,3 +233,42 @@ def test_admm_respects_caps(rng):
         assert float(ee @ ma) <= rr * 1.001 + 1e-9
         assert float(ee @ mi) <= rr * 1.001 + 1e-9
     np.testing.assert_allclose(float(ma @ w), float(mi @ w), rtol=5e-3)
+
+
+def test_admm_nonfinite_data_fails_fast():
+    """NaN in the problem data must exit the fused loop immediately with
+    status 'failed' -- every residual comparison is False on NaN, so
+    without the explicit guard the loop would grind through all 60k
+    batched-eigh iterations before reporting."""
+    from bluest_tpu.solvers.admm import solve_cone_lp_admm
+    c = np.ones(3)
+    Gl = -np.eye(3)
+    hl = np.array([np.nan, 0.0, 0.0])
+    r = solve_cone_lp_admm(c, Gl, hl, max_iter=60000)
+    assert r.status == "failed"
+    assert r.iterations <= 5
+
+
+def test_admm_symmetrizes_like_ipm():
+    """Both backends must solve the SAME LMI on asymmetric input: the
+    IPM averages (A+A')/2 while svec used to silently mirror the upper
+    triangle -- a spurious backend disagreement in the validation role."""
+    from bluest_tpu.solvers.admm import solve_cone_lp_admm
+    from bluest_tpu.solvers.sdp import solve_cone_lp
+    rng = np.random.default_rng(0)
+    nx, n = 6, 3
+    B = rng.standard_normal((nx, n, n))
+    S = B @ np.swapaxes(B, -1, -2) + 0.5 * np.eye(n)   # PSD slices
+    N = rng.standard_normal((nx, n, n)) * 0.3
+    N = N - np.swapaxes(N, -1, -2)              # antisymmetric noise
+    # covering SDP: min 1.x s.t. sum x_i S_i >= I, x >= 0 (pobj > 0)
+    As = (-(S + N))[None]                       # (1, nx, n, n), asymmetric
+    Hs = (-np.eye(n))[None]
+    c = np.ones(nx)
+    Gl = -np.eye(nx)
+    hl = np.zeros(nx)
+    ri = solve_cone_lp(c, Gl, hl, As, Hs)
+    ra = solve_cone_lp_admm(c, Gl, hl, As, Hs)
+    assert ri.status in ("optimal", "inaccurate")
+    assert ra.status in ("optimal", "inaccurate")
+    np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-3, atol=1e-6)
