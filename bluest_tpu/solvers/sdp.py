@@ -63,7 +63,8 @@ __all__ = ["ConeLPResult", "solve_cone_lp"]
 
 class ConeLPResult(NamedTuple):
     x: np.ndarray
-    status: str          # "optimal" | "inaccurate" | "max_iter" | "failed"
+    status: str          # "optimal" | "inaccurate" | "max_iter" |
+                         # "failed" | "infeasible" | "unbounded"
     iterations: int
     gap: float
     pres: float
@@ -664,7 +665,13 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
                   & jnp.isfinite(dres) & jnp.isfinite(pobj))
 
         relgap = gap / jnp.maximum(1.0, jnp.abs(pobj))
-        merit = jnp.maximum(relgap, jnp.maximum(pres, dres))
+        # best-iterate merit on a common scale: relgap converges against
+        # tol while pres/dres converge against feastol, so relgap is
+        # weighted by feastol/tol (identity at the defaults) -- otherwise
+        # a feastol > tol run can shadow a converged iterate behind an
+        # earlier lower-residual, higher-gap one
+        merit = jnp.maximum(relgap * (feastol / tol),
+                            jnp.maximum(pres, dres))
         improved = finite & (merit < st["best_merit"])
         if verbose:
             jax.debug.print(
@@ -840,7 +847,11 @@ def prewarm_mlblue(L: int, No: int, n: int,
     As = -v[..., None] * v[..., None, :]        # random PSD slices
     Hs = np.tile(np.eye(n), (No, 1, 1)) * float(nx)
     try:
-        solve_cone_lp(c, Gl, hl, As, Hs, max_iter=1)
+        res = solve_cone_lp(c, Gl, hl, As, Hs, max_iter=1)
+        if res.status == "failed":
+            # the warm-up itself failed through the worker-infra path
+            # (returned, not raised): nothing was traced -- allow a retry
+            _WARMED.discard(key)
     except Exception:                            # pragma: no cover
         _WARMED.discard(key)
 
@@ -953,55 +964,83 @@ def solve_cone_lp(c: np.ndarray,
 
     arrays_np = (c_np, Gl_dev, hl_np, As_np, Hs_np, Gall_dev, GtG,
                  gl_diag, R_np)
-    try:
-        (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
-            arrays_np, cnorm, hnorm, step_frac, tol, feastol, max_iter,
-            verbose, bool(woodbury))
-    except IPMWorkerInfraError as exc:
-        # isolation worker exhausted its retries (infrastructure crash,
-        # not a numerical failure): report "failed" so the caller's NLP
-        # fallback chain engages instead of killing the user's process.
-        # Deterministic in-worker exceptions (bug-type) PROPAGATE -- see
-        # ipm_worker.IPMWorkerClient.run -- so this cannot mask defects.
-        if verbose:
-            print("cone solve infrastructure failure: %s" % exc)
-        return ConeLPResult(x=np.full(nx, np.nan), status="failed",
-                            iterations=0, gap=np.inf, pres=np.inf,
-                            dres=np.inf, pobj=np.nan)
 
-    it = int(it)
-    if not np.isfinite(float(best_merit)):
-        return ConeLPResult(x=np.full(nx, np.nan), status="failed",
-                            iterations=it, gap=np.inf, pres=np.inf,
-                            dres=np.inf, pobj=np.nan)
-    gap = float(gap)
-    pres = float(pres)
-    dres = float(dres)
-    pobj = float(pobj)
-    xb = np.asarray(best_x) * colscale
-    relgap = gap / max(1.0, abs(pobj))
-    if pres < feastol and dres < feastol and relgap < tol:
-        status = "optimal"
-    elif pres < 1e3 * feastol and dres < 1e4 * feastol and relgap < 1e4 * tol:
-        # the reference's cvxopt defaults run at reltol 1e-4 (sap.py:37-43);
-        # on degenerate optimal faces the f64 gap floor sits well above the
-        # nominal tol while feasibility is at machine precision.  The dual
-        # residual (certificate side) gets an extra decade: late-stage
-        # (W^T W)^{-1} recovery noise is O(1e-4) relative while the primal
-        # point is excellent, and downstream consumers (homogeneity
-        # rescale, integer projection) re-establish feasibility exactly.
-        status = "inaccurate"
-    elif int(done) == 4:
-        # tau collapse: the HSD embedding's (in)feasibility certificate.
-        # Distinguished from generic numerical failure so callers and
-        # certificates can report it (downstream still treats it as
-        # not-OK; e.g. caps contradicting the coverage constraint).
-        # Checked before max_iter: a collapse detected on the last
-        # permitted iteration is still a certificate.
-        status = "infeasible"
-    elif it >= max_iter:
-        status = "max_iter"
-    else:
-        status = "failed"
-    return ConeLPResult(x=xb, status=status, iterations=it,
-                        gap=gap, pres=pres, dres=dres, pobj=pobj)
+    def _attempt(frac):
+        """One dispatch + status derivation.  Returns (result, infra)."""
+        try:
+            (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
+                arrays_np, cnorm, hnorm, frac, tol, feastol, max_iter,
+                verbose, bool(woodbury))
+        except IPMWorkerInfraError as exc:
+            # isolation worker exhausted its retries (infrastructure
+            # crash, not a numerical failure): report "failed" so the
+            # caller's NLP fallback chain engages instead of killing the
+            # user's process.  Deterministic in-worker exceptions
+            # (bug-type) PROPAGATE -- see ipm_worker.IPMWorkerClient.run
+            # -- so this cannot mask defects.
+            if verbose:
+                print("cone solve infrastructure failure: %s" % exc)
+            return ConeLPResult(x=np.full(nx, np.nan), status="failed",
+                                iterations=0, gap=np.inf, pres=np.inf,
+                                dres=np.inf, pobj=np.nan), True
+
+        it = int(it)
+        if not np.isfinite(float(best_merit)):
+            return ConeLPResult(x=np.full(nx, np.nan), status="failed",
+                                iterations=it, gap=np.inf, pres=np.inf,
+                                dres=np.inf, pobj=np.nan), False
+        gap_f = float(gap)
+        pres_f = float(pres)
+        dres_f = float(dres)
+        pobj_f = float(pobj)
+        xb = np.asarray(best_x) * colscale
+        relgap = gap_f / max(1.0, abs(pobj_f))
+        if pres_f < feastol and dres_f < feastol and relgap < tol:
+            status = "optimal"
+        elif (pres_f < 1e3 * feastol and dres_f < 1e4 * feastol
+              and relgap < 1e4 * tol):
+            # the reference's cvxopt defaults run at reltol 1e-4
+            # (sap.py:37-43); on degenerate optimal faces the f64 gap
+            # floor sits well above the nominal tol while feasibility is
+            # at machine precision.  The dual residual (certificate side)
+            # gets an extra decade: late-stage (W^T W)^{-1} recovery noise
+            # is O(1e-4) relative while the primal point is excellent, and
+            # downstream consumers (homogeneity rescale, integer
+            # projection) re-establish feasibility exactly.
+            status = "inaccurate"
+        elif int(done) == 4:
+            # tau collapse: the HSD embedding's (in)feasibility
+            # certificate.  Distinguished from generic numerical failure
+            # so callers and certificates can report it (downstream still
+            # treats it as not-OK; e.g. caps contradicting the coverage
+            # constraint).  Checked before max_iter: a collapse detected
+            # on the last permitted iteration is still a certificate.
+            status = "infeasible"
+        elif it >= max_iter:
+            status = "max_iter"
+        else:
+            status = "failed"
+        return ConeLPResult(x=xb, status=status, iterations=it,
+                            gap=gap_f, pres=pres_f, dres=dres_f,
+                            pobj=pobj_f), False
+
+    res, infra = _attempt(step_frac)
+    if res.status == "failed" and not infra and step_frac > 0.92:
+        # A 0.99 fraction-to-boundary can wedge the iterate off-center
+        # near the PSD boundary on generic (non-MLBLUE-shaped) cone
+        # programs: the step then collapses while centrality cannot be
+        # recovered (observed on random covering SDPs -- clean descent to
+        # gap ~4e-3, then step -> 0; the same instances converge in ~12
+        # iterations at 0.85).  Retry once conservatively: step_frac is a
+        # traced scalar, so this reuses the SAME compiled program, and
+        # MLBLUE production instances never return "failed" (stress
+        # corpus + goldens gate on it), so their path is untouched.
+        res2, _ = _attempt(0.85)
+        rank = {"optimal": 0, "inaccurate": 1, "infeasible": 2,
+                "unbounded": 2, "max_iter": 3, "failed": 4}
+        if rank.get(res2.status, 4) < rank.get(res.status, 4) or (
+                res2.status == res.status
+                and max(res2.pres, res2.dres, res2.gap)
+                < max(res.pres, res.dres, res.gap)):
+            res = res2
+    return res

@@ -251,3 +251,56 @@ def test_structured_gl_zero_diag(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         solve_cone_lp(c, Gl0, hl0, As, Hs, woodbury=True)
+
+
+def test_prewarm_retries_after_failed_warmup(monkeypatch):
+    """A warm-up that fails through the worker-infra path RETURNS
+    status='failed' (it does not raise), so the shape key must be
+    un-marked or the first real solve silently pays the full trace."""
+    from bluest_tpu.solvers import sdp
+
+    calls = []
+
+    def fake(c, Gl, hl, As, Hs, **kw):
+        calls.append(1)
+        return sdp.ConeLPResult(np.full(len(c), np.nan), "failed", 0,
+                                np.inf, np.inf, np.inf, np.nan)
+
+    monkeypatch.setattr(sdp, "solve_cone_lp", fake)
+    key = (977, 1, 4, False, 0)          # unique L: avoid cross-test hits
+    sdp._WARMED.discard(key)
+    sdp.prewarm_mlblue(977, 1, 4)
+    assert key not in sdp._WARMED
+    sdp.prewarm_mlblue(977, 1, 4)
+    assert len(calls) == 2               # retried, not no-opped
+
+
+def test_corner_matrix_bit_order():
+    """Row-by-row int32 generation must reproduce the reference
+    unpackbits bit order exactly (the native corner filter and the
+    randomized fallback both assume it)."""
+    from bluest_tpu.solvers.integer import corner_matrix
+    lb = np.array([1, 2, 3], dtype=np.int64)
+    ub = np.array([2, 3, 4], dtype=np.int64)
+    ms = corner_matrix(lb, ub)
+    bits = ((np.arange(8)[:, None] >> np.arange(3)[None, :]) & 1)
+    ref = np.vstack([lb, ub])[bits, np.arange(3)[None, :]].T
+    np.testing.assert_array_equal(ms, ref)
+
+
+def test_generic_covering_sdp_conservative_retry():
+    """Generic (non-MLBLUE-shaped) covering SDPs can wedge the 0.99
+    fraction-to-boundary off-center near the PSD boundary (clean descent
+    to gap ~4e-3, then step collapse).  solve_cone_lp retries once at
+    0.85 on a 'failed' status -- same compiled program, production
+    instances unaffected -- and must then solve these."""
+    from bluest_tpu.solvers.sdp import solve_cone_lp
+    for seed in (1, 2, 3):               # the documented stalling seeds
+        rng = np.random.default_rng(seed)
+        nx, n = 6, 3
+        B = rng.standard_normal((nx, n, n))
+        S = B @ np.swapaxes(B, -1, -2) + 0.5 * np.eye(n)
+        r = solve_cone_lp(np.ones(nx), -np.eye(nx), np.zeros(nx),
+                          (-S)[None], (-np.eye(n))[None])
+        assert r.status in ("optimal", "inaccurate"), (seed, r.status)
+        assert r.gap < 1e-6
