@@ -194,6 +194,22 @@ def drain_stranded_shm(comm_groups) -> None:
             except Exception:
                 pass
 
+    def bounded_get(q, timeout=1.0):
+        """q.get() with a hard timeout: a sender terminated mid-put
+        leaves a TRUNCATED message in the pipe, so empty() is False but
+        get() would block forever waiting for the missing bytes.  The
+        abandoned daemon thread (and its queue) leak on timeout -- this
+        only runs in abort cleanup, where a leaked thread beats a hang."""
+        import threading
+        box = []
+        t = threading.Thread(target=lambda: box.append(q.get()),
+                             daemon=True)
+        t.start()
+        t.join(timeout)
+        if box:
+            return True, box[0]
+        return False, None
+
     for comms in comm_groups:
         queues = comms[0]._q if comms else None
         if not queues:
@@ -204,7 +220,10 @@ def drain_stranded_shm(comm_groups) -> None:
                     try:
                         if q.empty():
                             break
-                        unlink(q.get())
+                        ok, payload = bounded_get(q)
+                        if not ok:
+                            break               # truncated frame: abandon
+                        unlink(payload)
                     except Exception:
                         break
 

@@ -508,8 +508,12 @@ class BLUEProblem:
                 mesh=self.mesh)
             # compile all model kernels concurrently up front (XLA releases
             # the GIL; on remote-compile TPU setups this roughly halves the
-            # cold start, and the persistent cache removes it on reruns)
-            self._kengine.precompile(parallel=True)
+            # cold start, and the persistent cache removes it on reruns).
+            # A samplefile run dispatches the theta-returning sweep
+            # variant -- warm it too or its compile lands mid-solve.
+            self._kengine.precompile(
+                parallel=True,
+                collect=self.params.get("samplefile") is not None)
         return self._kengine
 
     def _group_batch(self, N):

@@ -123,9 +123,15 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
 
     if sampler is None:
         rng = np.random.RandomState(1)
+        # reference convention (blue_fn.py:85-89): under a batched loop
+        # (N1 > 1) EVERY chunk must return length-N sequences -- the
+        # accumulation indexes Ps[n][i][w] even on an N % N1 == 1
+        # remainder chunk, where a bare float would crash it
+        want_batch = int(N1) > 1
 
         def sampler(ls, N=1):
-            draw = rng.randn(N) if N > 1 else float(rng.randn())
+            draw = (rng.randn(N) if (N > 1 or want_batch)
+                    else float(rng.randn()))
             return [draw for _ in ls]
 
     batched = len(signature(sampler).parameters) > 1
@@ -228,9 +234,13 @@ def _worker_chunk(args):
     (problem, ls, n, worker_id, No, compute_diffs,
      filename, outputs_to_save) = args
     problem.set_worker_id(worker_id)  # per-rank RNG hook
+    # honor sample_batch_size in the workers too: a vectorized black-box
+    # evaluate amortizing setup over the batch would otherwise silently
+    # degrade to one call per sample (the serial path plumbs N1 already)
+    n1 = int(getattr(problem, "params", {}).get("sample_batch_size", 1) or 1)
     return blue_fn(ls, n, problem, sampler=problem.sampler,
                    inners=problem.get_models_inner_products(),
-                   No=No, verbose=False,
+                   No=No, N1=n1, verbose=False,
                    compute_mlmc_differences=compute_diffs,
                    filename=filename, outputs_to_save=outputs_to_save)
 
@@ -419,8 +429,11 @@ def blue_fn_parallel(ls, N, problem, n_workers: int, No: int = 1,
                 out[0][n][i] += r[0][n][i]
             out[1][n] = out[1][n] + r[1][n]
             if compute_mlmc_differences:
+                # FULL matrices: the serial path fills both triangles, so
+                # an upper-only merge would leave the lower triangle and
+                # diagonal holding one worker's partial sums
                 for i in range(len(ls)):
-                    for j in range(i + 1, len(ls)):
+                    for j in range(len(ls)):
                         out[3][n][i][j] += r[3][n][i][j]
                         out[4][n][i][j] += r[4][n][i][j]
         out[2] += r[2]

@@ -74,7 +74,13 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
     Returns ``engine(key, N) -> SampleSums``.  The compiled engine should
     be cached by the caller (one per group)."""
 
-    n_shards = 1 if mesh is None else mesh.devices.size
+    # shard count comes from the SAMPLE axis, not the device count: on a
+    # 2D (samples x model) mesh, devices.size would make every shard skip
+    # to index ranges only devices.size/sample_shards of which are ever
+    # computed -- silently biasing the sums low (the idx<N mask cannot
+    # tell a skipped index from a finished one).  Mirrors KernelEngineV2.
+    has_sample = mesh is not None and SAMPLE_AXIS in mesh.axis_names
+    n_shards = mesh.shape[SAMPLE_AXIS] if has_sample else 1
     out_shape = jax.eval_shape(model_fn, jax.random.key(0)).shape
     d = out_shape[2] if len(out_shape) == 3 else 1
 
@@ -90,6 +96,10 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
             Ps, oks = jax.vmap(
                 lambda k: _one_sample(model_fn, k, max_resample))(keys)
             Ps = Ps.astype(jnp.float64)
+            # zero rejected rows: w masks them out of the sums, but
+            # 0 * NaN = NaN would still poison every einsum below
+            # (max_resample=0 drops, or a sample exhausting its retries)
+            Ps = jnp.where(jnp.isfinite(Ps), Ps, 0.0)
             if Ps.ndim == 3:
                 Ps = Ps[..., None]        # (B, No, L, d)
             w = ((idx < N) & oks).astype(jnp.float64)
@@ -110,16 +120,21 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
 
     def engine(key, N, n_pad: int):
         """N is dynamic (appears only in masks); n_pad is static."""
-        if mesh is None or n_shards == 1:
+        if mesh is None:
             return shard_sums(key, N, 0, n_pad)
 
         from jax.sharding import PartitionSpec as P
 
         def shard_fn(key, N):
-            i = jax.lax.axis_index(SAMPLE_AXIS)
+            # sample shards partition the index range; a model-only mesh
+            # still runs under shard_map so model_fn may use collectives
+            # over MODEL_AXIS (the nested-parallelism pattern)
+            i = jax.lax.axis_index(SAMPLE_AXIS) if has_sample else 0
             sums = shard_sums(key, N, i, n_pad)
-            return jax.tree.map(
-                lambda x: jax.lax.psum(x, SAMPLE_AXIS), sums)
+            if has_sample:
+                sums = jax.tree.map(
+                    lambda x: jax.lax.psum(x, SAMPLE_AXIS), sums)
+            return sums
 
         f = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
                           out_specs=P(), check_vma=False)
@@ -223,6 +238,7 @@ def build_group_collect_engine(collect_fn: Callable, No: int, L: int,
                 lambda k: _one_sample_collect(collect_fn, k,
                                               max_resample))(keys)
             P64 = Ps.astype(jnp.float64)
+            P64 = jnp.where(jnp.isfinite(P64), P64, 0.0)  # see group engine
             if P64.ndim == 3:
                 P64 = P64[..., None]       # (B, No, L, d)
             w = ((idx < N) & oks).astype(jnp.float64)

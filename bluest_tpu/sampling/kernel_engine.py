@@ -189,11 +189,13 @@ class KernelEngineV2:
     # ------------------------------------------------------------------ #
 
     def precompile(self, models=None, parallel: bool = True,
-                   group_sizes=(1, 2, 3, 4)):
+                   group_sizes=(1, 2, 3, 4), collect: bool = False):
         """Warm every buffer tier (see _tiers: up to three per model) of
         every model sweep and the combiners, concurrently (XLA
         compilation releases the GIL; sequential cold compiles otherwise
-        land in the middle of the first solve)."""
+        land in the middle of the first solve).  ``collect=True`` also
+        warms the theta-returning sweep variant that samplefile
+        collection dispatches (a distinct program per tier)."""
         import concurrent.futures as cf
         tiers = self._tiers()
         key = jax.random.key(0)
@@ -202,8 +204,8 @@ class KernelEngineV2:
         sizes = [k for k in group_sizes if k <= self.n_models]
 
         def warm_sweep(arg):
-            l, n_pad = arg
-            out = self._sweep(l, n_pad, False)(key, 0, 1)
+            l, n_pad, with_theta = arg
+            out = self._sweep(l, n_pad, with_theta)(key, 0, 1)
             jax.block_until_ready(out)
 
         def warm_combiner(arg):
@@ -220,7 +222,10 @@ class KernelEngineV2:
             # compile round-trip if it first appears mid-solve
             jax.block_until_ready(tuple(a + b for a, b in zip(part, part)))
 
-        jobs = [(l, t) for l in models for t in tiers]
+        jobs = [(l, t, False) for l in models for t in tiers]
+        if collect:
+            # only ls[0]'s sweep carries theta (sample_sums: pos == 0)
+            jobs += [(l, t, True) for l in models for t in tiers]
         cjobs = [(k, t) for k in sizes for t in tiers]
         if parallel and len(jobs) > 1:
             with cf.ThreadPoolExecutor(max_workers=8) as ex:

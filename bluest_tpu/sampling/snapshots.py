@@ -20,9 +20,13 @@ import numpy as np
 
 
 def snapshot_filename(filename: str, ls: Sequence[int]) -> str:
-    ext = "." + filename.split(".")[-1]
-    base = ".".join(filename.split(".")[:-1]) + "".join(str(l) for l in ls)
-    return base + ext
+    """Reference naming: basename + ''.join(models) + ext
+    (blue_fn.py:98-101).  Split only the BASENAME's extension: a dotted
+    parent directory ('run.v2/samples') or an extensionless name
+    ('samples' -> 'samples01', not '01.samples') must survive."""
+    head, tail = os.path.split(filename)
+    base, ext = os.path.splitext(tail)
+    return os.path.join(head, base + "".join(str(l) for l in ls) + ext)
 
 
 def append_snapshots(filename: str, ls: Sequence[int], No: int,

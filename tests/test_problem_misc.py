@@ -177,3 +177,34 @@ def test_prewarm_forms_for_dispatch_logic():
     # non-IPM solvers never trace a cone program
     assert prewarm_forms_for(10.0, None, 1000, solver="scipy") == []
     assert prewarm_forms_for(None, caps, 1000, solver="spg") == []
+
+
+def test_default_sampler_batched_remainder():
+    """The engine's default sampler under a batched loop (N1 > 1) must
+    return length-N sequences on EVERY chunk -- the reference convention
+    (blue_fn.py:85-89) -- or an N % N1 == 1 remainder chunk crashes on
+    Ps[n][i][w] with a bare float."""
+    from bluest_tpu.sampling import host_engine
+
+    class Stub:
+        def evaluate(self, ls, samples, N=1):
+            # batch-aware evaluate: samples[i] is a length-N sequence
+            return [[np.asarray(samples[i]) * (l + 1.0)
+                     for i, l in enumerate(ls)]]
+
+    # N=5, N1=2 -> chunks 2,2,1: the final chunk used to get a float draw
+    sumse, sumsc, cost = host_engine.blue_fn(
+        [0, 1], 5, Stub(), sampler=None, N1=2, verbose=False)
+    assert np.isfinite(sumse[0][0])
+    assert sumsc[0].shape == (2, 2)
+
+
+def test_snapshot_filename_path_handling():
+    """Reference naming (basename + models + ext, blue_fn.py:98-101) must
+    split only the BASENAME's extension: dotted parent directories and
+    extensionless names both mangled the target path before."""
+    from bluest_tpu.sampling.snapshots import snapshot_filename
+    assert snapshot_filename("snap.npz", [0, 2]) == "snap02.npz"
+    assert snapshot_filename("out.v2/snap.npz", [1]) == "out.v2/snap1.npz"
+    assert snapshot_filename("samples", [0, 1]) == "samples01"
+    assert snapshot_filename("run.d/samples", [3]) == "run.d/samples3"

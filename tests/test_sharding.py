@@ -180,3 +180,42 @@ def test_blueproblem_2d_mesh_pipeline():
     # E[sum exp(0.2 Z_i)] = D * exp(0.02)
     ref = 8 * np.exp(0.02)
     assert abs(mus[0] - ref) < 6 * max(errs[0], 0.1)
+
+
+def test_group_engine_2d_mesh_matches_single_device():
+    """On a 2D (samples x model) mesh the group engine must partition the
+    index range by the SAMPLE-axis size, not the device count -- deriving
+    shards from devices.size skipped half the index range and silently
+    biased every sum low (the idx<N mask cannot tell a skipped index
+    from a finished one)."""
+    model_fn = make_model_fn()
+    mesh = sample_model_mesh(4, 2)
+    N = 1000
+    eng1 = jax_engine.build_group_engine(model_fn, 2, 3, batch_size=64,
+                                         mesh=None)
+    eng2d = jax_engine.build_group_engine(model_fn, 2, 3, batch_size=64,
+                                          mesh=mesh)
+    key = jax.random.key(7)
+    s1 = eng1(key, N)
+    s2 = eng2d(key, N)
+    np.testing.assert_allclose(np.asarray(s2.sumse), np.asarray(s1.sumse),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2.sumsc), np.asarray(s1.sumsc),
+                               rtol=1e-12)
+    assert int(s2.n_failed) == 0
+
+
+def test_dropped_nan_samples_do_not_poison_sums():
+    """max_resample=0 means 'caller accepts drops': a non-finite sample
+    must be zeroed out of the einsums (0 * NaN = NaN otherwise) and
+    counted in n_failed."""
+    def model_fn(key):
+        z = jax.random.normal(key)
+        return jnp.where(z > 0.5, jnp.nan, z).reshape(1, 1)
+
+    eng = jax_engine.build_group_engine(model_fn, 1, 1, batch_size=64,
+                                        max_resample=0)
+    s = eng(jax.random.key(3), 500)
+    assert np.isfinite(np.asarray(s.sumse)).all()
+    assert np.isfinite(np.asarray(s.sumsc)).all()
+    assert 0 < int(s.n_failed) < 500
