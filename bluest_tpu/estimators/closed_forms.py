@@ -133,7 +133,10 @@ def _mfmc_prepare(sigmas, rhos, costs):
     sigmas = np.asarray(sigmas, dtype=float)
     rhos = np.asarray(rhos, dtype=float)
     costs = np.asarray(costs, dtype=float)
-    idx = np.argsort(np.abs(rhos))[::-1]
+    # stable descending sort: reversing an ascending argsort reverses
+    # tie order, so a low-fidelity model PERFECTLY correlated with model
+    # 0 (|rho| = 1) could land first and trip the assert
+    idx = np.argsort(-np.abs(rhos), kind="stable")
     assert idx[0] == 0
     s = sigmas[idx]
     rho = np.concatenate([rhos[idx], [0.0]])
@@ -167,7 +170,7 @@ def mfmc_check(sigmas, rhos, costs, samples):
     var = variance(m)
     return True, {"samples": m, "error": float(np.sqrt(var)),
                   "total_cost": float(m @ w), "alphas": alphas,
-                  "variance": var}
+                  "variance": var, "order": idx}
 
 
 def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
@@ -229,7 +232,7 @@ def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
 
     return feasible, {"samples": m, "error": float(np.sqrt(variance(m))),
                       "total_cost": float(m @ w), "alphas": alphas,
-                      "variance": variance}
+                      "variance": variance, "order": idx}
 
 
 def mfmc_low_budget(rhos, costs, budget):

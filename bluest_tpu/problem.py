@@ -310,6 +310,9 @@ class BLUEProblem:
                 "reordering a single output graph (n=%d) would desync the "
                 "shared model costs; use reorder_all_graph_nodes" % n)
         self.G[n].permute(p)
+        # the clique-enumeration universe must follow the relabeling, or
+        # setup_solver keeps enumerating over pre-permutation labels
+        self.SG[n] = list(self.G[n].component)
         self.dV[n] = self.dV[n][np.ix_(p, p)]
         if n == 0:
             self.costs = self.costs[p]
@@ -798,10 +801,12 @@ class BLUEProblem:
         from .solvers.sdp import prewarm_mlblue
         from .allocation.mosap import prewarm_forms_for
         from .config import allocation_device_scope
-        forms = prewarm_forms_for(budget, max_model_samples, L) \
-            or [(False, 0)]
-
         solver = self.params["optimization_solver"]
+        # honor the configured solver: warming the big fused IPM module
+        # for a scipy/spg/admm run would pay its remote compile (and its
+        # documented XLA:CPU crash exposure) for a program never used
+        forms = prewarm_forms_for(budget, max_model_samples, L,
+                                  solver=solver)
 
         def run():
             # build (and cache) the full MOSAP structure -- psi assembly
@@ -908,7 +913,11 @@ class BLUEProblem:
         cache_key = (K, tuple(Ks),
                      tuple(np.asarray(Cn).tobytes() for Cn in C),
                      repr(groups), repr(multi_groups), costs.tobytes())
-        if getattr(self, "_mosap_key", None) != cache_key:
+        if (getattr(self, "_mosap_key", None) != cache_key
+                or getattr(self, "MOSAP", None) is None):
+            # the second clause covers a pickle round trip: __getstate__
+            # drops the MOSAP (jitted closures) but _mosap_key survives,
+            # so a pure key match would hand the caller MOSAP=None
             from .config import allocation_device_scope
             from .allocation.mosap import prewarm_forms_for
             L_total = sum(len(gk) for gk in groups)
@@ -1121,7 +1130,10 @@ class BLUEProblem:
         """
         lme = len(self.check_costs(warning=True))
         w = self.get_costs()
-        idx = np.argsort(w)[::-1][lme:]
+        # stable descending sort: reversing an ascending argsort reverses
+        # tie order too, so a model tying model 0's cost could land first
+        # and trip the assert nondeterministically
+        idx = np.argsort(-w, kind="stable")[lme:]
         assert idx[0] == 0
         adj = self._intersection_adjacency()
         n = len(idx)
@@ -1209,12 +1221,21 @@ class BLUEProblem:
         Vb, Wb = [], []
         bound_all = np.zeros(B)
         feas_all = np.ones(B, dtype=bool)
+        # eps-mode bound must be in the SAME cost units as the pass-2
+        # incumbent objective: the allocation optimizes pair costs (Wb),
+        # but the selection objective and reported total_cost use raw
+        # per-model costs (reference convention, blue_models.py:717/726
+        # -- kept for paper-golden comparability).  Any variance-feasible
+        # schedule's raw cost is bounded below by the raw-cost continuous
+        # optimum, so bounding with W_raw keeps the pruning exact.
+        Wraw = np.where(mask, w[G], 0.0)
         for n in range(self.n_outputs):
             Vn, Wn = self._mlmc_level_data_batch(G, mask, lengths, n)
             Vb.append(Vn)
             Wb.append(Wn)
-            feas_n, bound_n = mlmc_bounds_batch(Vn, Wn, mask,
-                                                budget=budget, eps=eps[n])
+            feas_n, bound_n = mlmc_bounds_batch(
+                Vn, Wn if budget is not None else Wraw, mask,
+                budget=budget, eps=eps[n])
             feas_all &= feas_n & np.isfinite(bound_n)
             bound_all = np.maximum(bound_all, bound_n)
         order = np.argsort(np.where(feas_all, bound_all, np.inf))
@@ -1373,15 +1394,34 @@ class BLUEProblem:
                 data_list.append(data)
             if not feasible:
                 continue
+            # schedules and alphas live in |rho|-DESCENDING order (the
+            # order MFMC's nesting theory is stated in).  The shared
+            # schedule (element-wise max) is only meaningful when every
+            # output sorts the clique the same way; the reference merges
+            # and prices them in clique order regardless -- silently
+            # assigning counts to the wrong models whenever the orders
+            # differ (reference blue_models.py:849-856).  Here the group
+            # itself is emitted in the common sorted order, and a clique
+            # whose outputs disagree is skipped as infeasible.
+            order = data_list[0]["order"]
+            if any(not np.array_equal(d["order"], order)
+                   for d in data_list[1:]):
+                if self.verbose:
+                    print("MFMC: skipping clique %s (outputs disagree on "
+                          "the correlation ordering)" % (clique,))
+                continue
+            sorted_clique = [clique[j] for j in order]
             if budget is not None:
                 err = max(d["error"] for d in data_list)
                 if err < min_err:
-                    min_err, best_group, best_data = err, clique, data_list
+                    min_err = err
+                    best_group, best_data = sorted_clique, data_list
             else:
                 cost = np.max(np.vstack([d["samples"] for d in data_list]),
-                              axis=0) @ w[clique]
+                              axis=0) @ w[sorted_clique]
                 if cost < min_cost:
-                    min_cost, best_group, best_data = cost, clique, data_list
+                    min_cost = cost
+                    best_group, best_data = sorted_clique, data_list
 
         if best_group is None:
             raise BLUESTError("No feasible MFMC clique found")
@@ -1392,7 +1432,11 @@ class BLUEProblem:
             wg = w[best_group]
             samples = np.floor(samples - (max(cost - budget, 0)
                                           / (wg @ wg)) * wg).astype(np.int64)
-            samples[0] = max(samples[0], 1)
+            # the additive correction can floor later entries to zero or
+            # break the m_1 <= m_2 <= ... nesting solve_mfmc divides by;
+            # clamp to one sample and restore monotonicity (the reference
+            # only clamps samples[0], leaving divide-by-zero NaN means)
+            samples = np.maximum.accumulate(np.maximum(samples, 1))
             cost = samples @ wg
         errs = [np.sqrt(d["variance"](samples)) for d in best_data]
         alphas = [d["alphas"] for d in best_data]
@@ -1421,7 +1465,15 @@ class BLUEProblem:
             if not ok:
                 raise ValueError("Prescribed samples infeasible for MFMC")
             data_list.append(d)
-        return {"models": clique, "samples": samples,
+        order = data_list[0]["order"]
+        if any(not np.array_equal(d["order"], order)
+               for d in data_list[1:]):
+            raise ValueError("Outputs disagree on the MFMC correlation "
+                             "ordering; a shared schedule is ill-defined")
+        # models/samples/alphas all in the common |rho|-descending order
+        # (what solve_mfmc's nesting consumes; see setup_mfmc)
+        return {"models": [clique[j] for j in order],
+                "samples": np.asarray(samples)[order],
                 "errors": [d["error"] for d in data_list],
                 "total_cost": max(d["total_cost"] for d in data_list),
                 "alphas": [d["alphas"] for d in data_list]}
@@ -1485,6 +1537,9 @@ class BLUEProblem:
         else:
             N_MC = max(int(np.ceil(Vs[n] / eps[n] ** 2))
                        for n in range(self.n_outputs))
+        # at least one sample: a budget below one high-fidelity solve
+        # would otherwise divide the estimator (and errs) by zero
+        N_MC = max(N_MC, 1)
         tot_cost = N_MC * cost
         errs = np.sqrt(np.maximum(Vs, 0.0) / N_MC)
         if self.verbose:
@@ -1523,10 +1578,12 @@ class BLUEProblem:
 
         if self.verbose:
             print("Running variance test...", flush=True)
+        # pop BEFORE forwarding: setup_solver takes no verbose kwarg, so
+        # passing it through would crash the very call the pop sanitizes
+        kwargs.pop("verbose", None)
         self.setup_solver(K=K, budget=budget, eps=eps, **kwargs)
         err_ex = np.sqrt(np.asarray(self.MOSAP_output["variances"]))
         err = np.zeros_like(err_ex)
-        kwargs.pop("verbose", None)
         inners = self.get_models_inner_products()
 
         s1 = [0 for _ in range(self.n_outputs)]

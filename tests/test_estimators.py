@@ -135,3 +135,69 @@ def test_best_integer_blue_vs_bruteforce(rng):
             vals.append(np.linalg.pinv((psi @ val2).reshape(M, M),
                                        hermitian=True)[0, 0])
     assert fval <= min(vals) * (1 + 1e-9)
+
+
+def _mk_problem(C, costs, **kw):
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+    return ExpSeriesProblem(C.shape[0], C=C.copy(), costs=costs,
+                            verbose=False, **kw)
+
+
+def test_mfmc_rho_order_differs_from_index_order():
+    """When |rho| ordering differs from the model-index ordering, the
+    schedule must follow the CORRELATION order end-to-end: the reference
+    silently prices sorted-order sample counts with clique-order costs
+    (blue_models.py:849-856).  Here the emitted group itself is in
+    |rho|-descending order, so counts, costs and alphas stay aligned."""
+    # model 2 more correlated with 0 than model 1 is
+    C = np.array([[1.00, 0.60, 0.95],
+                  [0.60, 1.00, 0.55],
+                  [0.95, 0.55, 1.00]])
+    costs = np.array([16.0, 4.0, 1.0])
+    p = _mk_problem(C, costs)
+    data = p.setup_mfmc(eps=0.05)
+    if len(data["models"]) == 3:
+        assert list(data["models"]) == [0, 2, 1]
+    m = np.asarray(data["samples"], dtype=float)
+    assert np.all(m[:-1] <= m[1:])          # nesting in the emitted order
+    w = costs[list(data["models"])]
+    assert abs(float(m @ w) - data["total_cost"]) <= 1e-9 * data["total_cost"]
+    # the full pipeline runs on the reordered group
+    mu, errs, cost = p.solve_mfmc(mfmc_data=data)
+    assert np.all(np.isfinite(mu)) and np.all(np.isfinite(errs))
+
+
+def test_solve_mc_budget_below_one_sample():
+    """A budget below one high-fidelity sample must clamp to one sample
+    instead of dividing the estimator by zero."""
+    C = np.eye(2) + 0.5
+    p = _mk_problem(C, np.array([4.0, 1.0]))
+    mu, errs, cost = p.solve_mc(budget=0.5)
+    assert np.isfinite(mu[0]) and np.isfinite(errs[0])
+    assert cost == 4.0                       # exactly one sample
+
+
+def test_problem_pickle_roundtrip_resolves():
+    """_mosap_key survives pickling but the MOSAP does not; the structure
+    cache must rebuild instead of handing back MOSAP=None."""
+    import pickle
+    C = np.eye(3) + 0.5
+    p = _mk_problem(C, np.array([4.0, 2.0, 1.0]),
+                    covariance_estimation_samples=256)
+    p.setup_solver(K=2, budget=500.0)
+    q = pickle.loads(pickle.dumps(p))
+    blue = q.setup_solver(K=2, budget=500.0)   # used to AttributeError
+    assert blue["samples"] is not None
+
+
+def test_reorder_refreshes_clique_universe():
+    """reorder_all_graph_nodes must remap SG (the clique-enumeration
+    universe) along with the graph labels."""
+    C = np.eye(3) + 0.5
+    C[0, 2] = C[2, 0] = np.inf            # model 2 uncouplable: pruned
+    C[1, 2] = C[2, 1] = np.inf
+    p = _mk_problem(C, np.array([4.0, 2.0, 1.0]))
+    assert sorted(p.SG[0]) == [0, 1]
+    p.reorder_all_graph_nodes([2, 1, 0])  # model 0 -> label 2
+    assert sorted(p.SG[0]) == [1, 2]
+    assert sorted(p.G[0].component) == sorted(p.SG[0])
