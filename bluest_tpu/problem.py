@@ -71,6 +71,19 @@ default_params = {
 }
 
 
+def _dv_fold(D: np.ndarray) -> np.ndarray:
+    """Fold finite MLMC-variance entries onto both triangles.
+
+    ``dV`` is consumed at ``(min(i,j), max(i,j))`` -- the upper triangle
+    (reference blue_models.py:625-629).  A user-supplied matrix filled
+    below the diagonal, or a finite entry moved there by a node
+    reordering, would silently never be read; folding makes the value
+    visible from either triangle (the original entry wins when both are
+    finite)."""
+    D = np.array(D, dtype=float)
+    return np.where(np.isfinite(D), D, D.T)
+
+
 class BLUEProblem:
     def __init__(self, M: int, C=None, costs=None, mlmc_variances=None,
                  datafile: Optional[str] = None, n_outputs: int = 1,
@@ -138,7 +151,7 @@ class BLUEProblem:
             self.G = [CovarianceGraph(np.array(C[n], dtype=float))
                       for n in range(n_outputs)]
             self.SG = [list(range(M)) for _ in range(n_outputs)]
-            self.dV = [np.array(dVn, dtype=float) for dVn in dV]
+            self.dV = [_dv_fold(dVn) for dVn in dV]
             self.costs = (None if costs is None
                           else np.asarray(costs, dtype=float))
 
@@ -313,7 +326,7 @@ class BLUEProblem:
         # the clique-enumeration universe must follow the relabeling, or
         # setup_solver keeps enumerating over pre-permutation labels
         self.SG[n] = list(self.G[n].component)
-        self.dV[n] = self.dV[n][np.ix_(p, p)]
+        self.dV[n] = _dv_fold(self.dV[n][np.ix_(p, p)])
         if n == 0:
             self.costs = self.costs[p]
 
@@ -340,7 +353,7 @@ class BLUEProblem:
             self.dV = [np.nan * np.ones((self.M, self.M))
                        for _ in range(self.n_outputs)]
         else:
-            self.dV = [np.array(dV[n]) for n in range(self.n_outputs)]
+            self.dV = [_dv_fold(dV[n]) for n in range(self.n_outputs)]
 
     def check_graphs(self, remove_uncorrelated: bool = False):
         for n in range(self.n_outputs):

@@ -201,3 +201,19 @@ def test_reorder_refreshes_clique_universe():
     p.reorder_all_graph_nodes([2, 1, 0])  # model 0 -> label 2
     assert sorted(p.SG[0]) == [1, 2]
     assert sorted(p.G[0].component) == sorted(p.SG[0])
+
+
+def test_dv_fold_lower_triangle_and_reorder():
+    """dV is consumed at (min, max); a lower-triangle user matrix or a
+    permutation that moves finite entries below the diagonal must still
+    be visible to MLMC level data."""
+    C = np.eye(3) + 0.5
+    dv = np.full((3, 3), np.nan)
+    dv[2, 0] = 0.123                       # lower triangle only
+    p = _mk_problem(C, np.array([4.0, 2.0, 1.0]), mlmc_variances=[dv])
+    assert p.dV[0][0, 2] == 0.123          # folded up at construction
+    v, w = p._mlmc_level_data([0, 2], 0)
+    assert v[0] == 0.123                   # override actually consumed
+    # a reorder moving the entry across the diagonal must re-fold
+    p.reorder_all_graph_nodes([2, 1, 0])   # old 0 -> label 2, old 2 -> 0
+    assert p.dV[0][0, 2] == 0.123
