@@ -1322,6 +1322,7 @@ class BLUEProblem:
     def compute_mlmc_data(self, group, samples):
         """User-prescribed MLMC schedule (blue_models.py:578-639)."""
         samples = np.asarray(samples)
+        w = self.get_costs()
         adj = self._intersection_adjacency()
         if not cliques.has_path_edges(adj, group):
             raise ValueError("Group given is not compatible with MLMC.")
@@ -1332,8 +1333,18 @@ class BLUEProblem:
         for n in range(self.n_outputs):
             v, subw = self._mlmc_level_data(group, n)
             pos = samples > 0
-            errs[n] = np.sum(v[pos] / samples[pos])
-            mlmc_costs[n] = samples @ subw
+            # RMSE, matching setup_mlmc's "errors" units.  The reference
+            # returns the VARIANCE here (blue_models.py:633) but the RMSE
+            # from setup_mlmc (blue_models.py:732) -- the same key in two
+            # different units depending on the path (documented
+            # divergence).
+            errs[n] = np.sqrt(np.sum(v[pos] / samples[pos]))
+            # raw per-model costs, matching setup_mlmc's "total_cost"
+            # (the paper-golden convention, blue_models.py:726); the
+            # reference prices THIS path with pair costs subw
+            # (blue_models.py:635) -- same key, different units again.
+            del subw
+            mlmc_costs[n] = samples @ w[list(group)]
         return {"models": group, "samples": samples, "errors": errs,
                 "total_cost": max(mlmc_costs)}
 

@@ -217,3 +217,33 @@ def test_dv_fold_lower_triangle_and_reorder():
     # a reorder moving the entry across the diagonal must re-fold
     p.reorder_all_graph_nodes([2, 1, 0])   # old 0 -> label 2, old 2 -> 0
     assert p.dV[0][0, 2] == 0.123
+
+
+def test_compute_mlmc_mfmc_data_consistent_with_setup():
+    """compute_ml(f)mc_data on setup_*'s own group/schedule must
+    reproduce the setup's RMSE errors (same units: the reference returns
+    the VARIANCE from compute_mlmc_data but the RMSE from setup_mlmc,
+    blue_models.py:633 vs :732 -- documented divergence)."""
+    C = np.array([[1.00, 0.60, 0.95],
+                  [0.60, 1.00, 0.55],
+                  [0.95, 0.55, 1.00]])
+    costs = np.array([16.0, 4.0, 1.0])
+    p = _mk_problem(C, costs)
+
+    mlmc = p.setup_mlmc(eps=0.05)
+    d = p.compute_mlmc_data(mlmc["models"], mlmc["samples"])
+    np.testing.assert_allclose(d["errors"], mlmc["errors"], rtol=1e-12)
+    assert d["total_cost"] == pytest.approx(mlmc["total_cost"])
+
+    mfmc = p.setup_mfmc(eps=0.05)
+    # compute_mfmc_data takes the clique in model-index order and returns
+    # it re-sorted; feed the sorted group's index-ordered counterpart
+    models = list(mfmc["models"])
+    samples_by_model = dict(zip(models, np.asarray(mfmc["samples"])))
+    clique = sorted(models)
+    d2 = p.compute_mfmc_data(clique, [samples_by_model[m] for m in clique])
+    assert list(d2["models"]) == models
+    np.testing.assert_allclose(d2["errors"],
+                               np.max(np.atleast_2d(mfmc["errors"]), axis=0)
+                               if np.ndim(mfmc["errors"]) else mfmc["errors"],
+                               rtol=1e-9)
