@@ -13,6 +13,32 @@ Importing this module enables jax x64 once, before any arrays are created.
 from __future__ import annotations
 
 import os
+import platform
+
+# Optional portable-ISA cap for XLA:CPU (BLUEST_TPU_MAX_ISA=AVX2),
+# set BEFORE any backend initialization.  XLA:CPU AOT-compiles against
+# the FULL feature set of the compiling machine -- including tuning
+# pseudo-features like prefer-no-scatter -- and the persistent-cache
+# loader refuses (or worse, SIGSEGVs on) executables whose features the
+# running machine lacks; on mixed-CPU fleets / remote pools one rotation
+# makes every cold start recompile (measured 1s -> 8s bench alloc).
+# Capping the ISA at AVX2 strips amx/avx512/prefer-no-* from the target
+# (verified against this build's cache entries) so executables load
+# anywhere, and an ABBA A/B on the Hodgkin-Huxley K=5 golden (L ~ 400)
+# measured the cap as a wash on the fused IPM (B/A 0.988).  It is OFF
+# by default because the SAME cap is pathological on the XL fused
+# program: the L = 3301 stress instance runs in ~34 s uncapped and did
+# not finish in 25 minutes capped (killed; LLVM compile or kernel blowup
+# under AVX2 on the giant module).  Opt in only for moderate-L
+# workloads on heterogeneous fleets.  Respected only if the user has
+# not already set an xla_cpu_max_isa in XLA_FLAGS; changing it changes
+# every cache key once (one-time cold suite).
+if (platform.machine() == "x86_64"
+        and "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", "")):
+    _isa = os.environ.get("BLUEST_TPU_MAX_ISA", "")
+    if _isa:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_cpu_max_isa=" + _isa).strip()
 
 import jax
 
