@@ -256,3 +256,38 @@ def test_matern_dataset_budget_mode_with_caps():
     out2 = p2.setup_solver(K=3, eps=err, continuous_relaxation=True,
                            max_model_samples=MAT_CAPS)
     assert spent >= float(out2["total_cost"]) * 0.995
+
+
+# --------------------- Hodgkin-Huxley no-Na-current dataset --------------- #
+
+HH_NONA = ("/root/reference/examples/paper_examples/hodgkin-huxley/"
+           "model_graph_data_no_Na_curr.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(HH_NONA),
+                    reason="reference checkout not available")
+def test_hodgkin_huxley_no_na_dataset():
+    """Fourth golden dataset: the HH study's no-Na-current variant
+    (blue_hodgkin-huxley.py:337,395-396; 12 models, 4 outputs, a
+    different committed graph/cost structure than the main dataset).
+    The study's protocol (blue_hodgkin-huxley.py:418-419): eps =
+    sqrt(C[0,0])/1000 per output.  Regression-pinned from a measured
+    2026-08 run; MLBLUE must beat MFMC must beat MLMC here, every output
+    tolerance met."""
+    p = BLUEProblem(12, n_outputs=4, datafile=HH_NONA, verbose=False)
+    assert p.M == 12 and p.n_outputs == 4
+    assert p.get_costs()[0] == 520.0
+    C = p.get_covariances()
+    eps = np.sqrt(np.array([c[0, 0] for c in C])) / 1000
+
+    blue = p.setup_solver(K=7, eps=eps)
+    assert np.max(np.sqrt(np.asarray(p.MOSAP_output["variances"]))
+                  / eps) <= 1.0002
+    assert p.MOSAP.n_nlp_fallbacks == 0
+    mlmc = p.setup_mlmc(eps=eps)
+    mfmc = p.setup_mfmc(eps=eps)
+
+    assert blue["total_cost"] < mfmc["total_cost"] < mlmc["total_cost"]
+    assert blue["total_cost"] == pytest.approx(40_524_661, rel=0.02)
+    assert mfmc["total_cost"] == pytest.approx(46_987_749, rel=0.02)
+    assert mlmc["total_cost"] == pytest.approx(70_065_442, rel=0.02)
