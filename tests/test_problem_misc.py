@@ -208,3 +208,27 @@ def test_snapshot_filename_path_handling():
     assert snapshot_filename("out.v2/snap.npz", [1]) == "out.v2/snap1.npz"
     assert snapshot_filename("samples", [0, 1]) == "samples01"
     assert snapshot_filename("run.d/samples", [3]) == "run.d/samples3"
+
+
+def test_plot_snapshots_tool_reads_engine_output(tmp_path):
+    """tools/plot_snapshots.py (the reference plot_histograms analog)
+    must load and summarize engine-written snapshot files."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        from plot_snapshots import load_snapshot, summarize
+    finally:
+        sys.path.pop(0)
+    import io
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+    snap = str(tmp_path / "snap.npz")
+    p = ExpSeriesProblem(3, C=np.eye(3) + 0.5,
+                         costs=np.array([4.0, 2.0, 1.0]),
+                         verbose=False, samplefile=snap)
+    p.blue_fn([0, 2], 64)
+    s = load_snapshot(str(tmp_path / "snap02.npz"))
+    assert s["models"] == [0, 2] and s["n_samples"] == 64
+    assert s["values"][(0, 0)].shape[0] == 64
+    buf = io.StringIO()
+    summarize(s, stream=buf)
+    assert "model 2" in buf.getvalue()
