@@ -247,3 +247,54 @@ def test_compute_mlmc_mfmc_data_consistent_with_setup():
                                np.max(np.atleast_2d(mfmc["errors"]), axis=0)
                                if np.ndim(mfmc["errors"]) else mfmc["errors"],
                                rtol=1e-9)
+
+
+def test_mfmc_randomized_order_consistency_and_optimality():
+    """Seeded random 4-model instances: setup_mfmc must (a) emit the
+    group in |rho|-descending order, (b) price it consistently, (c) keep
+    the nested schedule, and (d) pick the cheapest feasible consistent
+    clique (verified against exhaustive clique enumeration through the
+    same closed form)."""
+    from itertools import combinations
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(25):
+        M = 4
+        A = rng.normal(size=(M, M + 2))
+        C = A @ A.T
+        d = np.sqrt(np.diag(C))
+        C = C / np.outer(d, d)                  # correlation matrix
+        scale = 1.0 + rng.random(M)
+        C = C * np.outer(scale, scale)
+        costs = np.sort(rng.uniform(1.0, 100.0, size=M))[::-1].copy()
+        p = _mk_problem(C.copy(), costs)
+        try:
+            data = p.setup_mfmc(eps=0.05)
+        except Exception:
+            continue                            # infeasible instance
+        models = list(data["models"])
+        m = np.asarray(data["samples"], dtype=float)
+        rho0 = np.abs(p.get_correlation(0)[0, :])
+        # (a) |rho| descending along the emitted group
+        r = rho0[models]
+        assert np.all(r[:-1] >= r[1:] - 1e-12)
+        # (b) cost consistency in the emitted order
+        assert data["total_cost"] == pytest.approx(
+            float(m @ costs[models]), rel=1e-9)
+        # (c) nesting
+        assert np.all(m[:-1] <= m[1:] + 1e-9)
+        # (d) optimality among consistent cliques containing model 0
+        from bluest_tpu.estimators.closed_forms import mfmc_allocation
+        sig = np.sqrt(np.diag(p.get_covariance(0)))
+        rho = p.get_correlation(0)[0, :]
+        best = np.inf
+        for k in (2, 3, 4):
+            for cl in combinations(range(1, M), k - 1):
+                clique = [0] + list(cl)
+                okc, d2 = mfmc_allocation(sig[clique], rho[clique],
+                                          costs[clique], eps=0.05)
+                if okc:
+                    best = min(best, d2["total_cost"])
+        assert data["total_cost"] <= best * 1.0001
+        checked += 1
+    assert checked >= 10                        # tier must really exercise
