@@ -298,3 +298,51 @@ def test_mfmc_randomized_order_consistency_and_optimality():
         assert data["total_cost"] <= best * 1.0001
         checked += 1
     assert checked >= 10                        # tier must really exercise
+
+
+def test_mlmc_randomized_chain_pruning_exact():
+    """Seeded random instances: the batched bound-ordered chain pruning
+    in setup_mlmc (and its raw-cost eps-mode bounds) must return exactly
+    the best chain found by brute-force enumeration through the same
+    closed form."""
+    from itertools import combinations
+    from bluest_tpu.estimators.closed_forms import mlmc_allocation
+    rng = np.random.default_rng(11)
+    checked = 0
+    for _ in range(20):
+        M = 5
+        A = rng.normal(size=(M, M + 2))
+        C = A @ A.T
+        d = np.sqrt(np.diag(C))
+        C = C / np.outer(d, d) * np.outer(np.linspace(2, 1, M),
+                                          np.linspace(2, 1, M))
+        costs = np.sort(rng.uniform(1.0, 200.0, size=M))[::-1].copy()
+        p = _mk_problem(C.copy(), costs)
+        for mode in ({"eps": 0.05}, {"budget": 5000.0}):
+            try:
+                data = p.setup_mlmc(**mode)
+            except Exception:
+                continue
+            # brute force: every cost-descending chain starting at 0
+            w = p.get_costs()
+            best = np.inf
+            for k in range(1, M + 1):
+                for cl in combinations(range(1, M), k - 1):
+                    chain = [0] + sorted(cl)      # costs sorted descending
+                    v, subw = p._mlmc_level_data(chain, 0)
+                    ok, dd = mlmc_allocation(v, subw, **mode)
+                    if not ok:
+                        continue
+                    if "eps" in mode:
+                        obj = np.asarray(dd["samples"]) @ w[chain]
+                    else:
+                        obj = dd["error"]
+                    best = min(best, obj)
+            if not np.isfinite(best):
+                continue
+            if "eps" in mode:
+                assert data["total_cost"] <= best * 1.001
+            else:
+                assert max(np.atleast_1d(data["errors"])) <= best * 1.01
+            checked += 1
+    assert checked >= 15
