@@ -166,10 +166,17 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
                         d1_acc[n][i][j] = d1_acc[n][i][j] + d1[n][i][j]
         window.clear()
 
+    # bounded resampling (reference blue_fn.py:118-129 loops forever --
+    # a model that always fails would hang the run; see README
+    # divergences).  The host contract still delivers N finite samples,
+    # so exhausting the retry budget on ONE draw is a loud error, not a
+    # silent drop.
+    max_retry = max(int(getattr(problem, "params", {})
+                        .get("max_resample", 64) or 64), 1)
     accepted = 0
     while accepted < N:
         n2 = min(B, N - accepted) if batched else 1
-        while True:
+        for attempt in range(max_retry + 1):
             inp = sampler(ls, n2) if batched else sampler(ls)
             t0 = time()
             Ps = problem.evaluate(ls, inp)
@@ -181,6 +188,13 @@ def blue_fn(ls, N, problem, sampler=None, inners=None, comm=None,
                 print("Warning! evaluation returned non-finite value for "
                       "model %s output %s; resampling."
                       % (bad_model, bad_output), flush=True)
+        else:
+            raise RuntimeError(
+                "evaluation of models %s returned non-finite output for "
+                "%d consecutive attempts (last failure: model index %s, "
+                "output %s); raise params['max_resample'] if the model "
+                "legitimately fails this often" %
+                (list(ls), max_retry + 1, bad_model, bad_output))
 
         if batched and B > 1:
             # batch convention: Ps[n][i] is a length-n2 sequence

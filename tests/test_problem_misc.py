@@ -232,3 +232,36 @@ def test_plot_snapshots_tool_reads_engine_output(tmp_path):
     buf = io.StringIO()
     summarize(s, stream=buf)
     assert "model 2" in buf.getvalue()
+
+
+def test_host_engine_bounded_resample():
+    """A black-box model that intermittently fails still completes; one
+    that ALWAYS returns non-finite raises instead of hanging forever
+    (the reference loops forever, blue_fn.py:118-129)."""
+    import itertools
+    from bluest_tpu.sampling import host_engine
+
+    class Flaky:
+        params = {"max_resample": 8}
+        counter = itertools.count()
+
+        def evaluate(self, ls, samples, N=1):
+            # every third evaluation fails
+            bad = next(self.counter) % 3 == 0
+            return [[np.nan if bad else float(samples[i])
+                     for i in range(len(ls))]]
+
+    def sampler(ls):
+        return [1.0 for _ in ls]
+
+    sumse, sumsc, cost = host_engine.blue_fn(
+        [0, 1], 10, Flaky(), sampler=sampler, verbose=False)
+    assert sumse[0][0] == pytest.approx(10.0)
+
+    class AlwaysBad(Flaky):
+        def evaluate(self, ls, samples, N=1):
+            return [[np.nan for _ in ls]]
+
+    with pytest.raises(RuntimeError, match="consecutive attempts"):
+        host_engine.blue_fn([0, 1], 4, AlwaysBad(), sampler=sampler,
+                            verbose=False)
