@@ -41,6 +41,12 @@ def build_problem(verbose=False):
     from bluest_tpu.models.diffusion import DiffusionProblem
     # model solves in f32 (QoI error ~1e-8 relative, far below MC noise;
     # estimator sums accumulate in f64) -- 2x on TPU over emulated f64
+    # batch 16384: same-window ABBA A/Bs on the real chip found 4096
+    # faster on a single hot group (0.433 vs 0.547 s / 500k samples) but
+    # 16384 faster over the full solve portfolio -- mid-N groups paid
+    # the combiner's padded-tier waste, which the active-prefix slicing
+    # in kernel_engine._combine has since removed (portfolio: ~18%
+    # faster at this batch; 4096 is now a tie, so keep the larger batch)
     kw = dict(grids=GRIDS, n_kl=N_KL, sigma=SIGMA, nu=NU,
               multi_output=True, verbose=verbose,
               device_batch_size=16384, dtype=jnp.float32)

@@ -163,16 +163,48 @@ class KernelEngineV2:
         self._sweeps[keyt] = fn
         return fn
 
-    def _combine(self, outs, base, N):
-        """outs: (k, N_pad, No[, d]) device arrays -> SampleSums."""
-        if not hasattr(self, "_combine_jit"):
+    def _act_rows(self, n_pad: int, base: int, N: int) -> int:
+        """Per-shard row count the combiner must contract for this
+        bucket, rounded UP to a power-of-4 multiple of the batch so the
+        combiner compiles O(log) programs per tier instead of one per N.
+        The sweep's fori_loop already skips chunks past N, so rows beyond
+        the active prefix are zeros the contraction can safely drop --
+        contracting the FULL padded tier instead was measured 11% slower
+        over the bench solve portfolio (mid-N groups land in tiers up to
+        32x their need)."""
+        B = self.batch
+        need = max(int(N) - int(base), 0)
+        # the bucket's index range fills sequentially, so shard 0 owns
+        # the densest prefix: its active rows bound every shard's
+        per_shard = min(need, n_pad)
+        chunks = max(-(-per_shard // B), 1)
+        p4 = 1
+        while p4 < chunks:
+            p4 *= 4
+        return min(p4 * B, n_pad)
+
+    def _combine(self, outs, base, N, n_pad: int, act: int):
+        """outs: (k, S*n_pad, No[, d]) device arrays -> SampleSums.
+        Contracts only each shard's first ``act`` rows (see _act_rows);
+        row r of shard s maps to global index base + s*n_pad + r."""
+        key = (n_pad, act)
+        if key not in self._combiners:
+            S = self.n_sample_shards
+
             @jax.jit
             def combine(outs, base, N):
                 if outs.ndim == 3:
                     outs = outs[..., None]
+                k = outs.shape[0]
+                if act < n_pad:
+                    # (k, S, n_pad, ...) -> per-shard prefix -> flatten
+                    outs = outs.reshape((k, S, n_pad) + outs.shape[2:])
+                    outs = outs[:, :, :act]
+                    outs = outs.reshape((k, S * act) + outs.shape[3:])
                 P = jnp.transpose(outs, (1, 2, 0, 3)).astype(jnp.float64)
-                npad = P.shape[0]
-                idx = base + jnp.arange(npad)
+                rows = P.shape[0]
+                r = jnp.arange(rows)
+                idx = base + (r // act) * n_pad + (r % act)
                 ok = jnp.all(jnp.isfinite(P), axis=(1, 2, 3))
                 w = ((idx < N) & ok).astype(jnp.float64)
                 nf = jnp.sum((idx < N) & ~ok)
@@ -183,8 +215,8 @@ class KernelEngineV2:
                 d1 = jnp.einsum('bnijd,b->nijd', D, w)
                 d2 = jnp.einsum('bnijd,bnijd,b->nij', D, D, w)
                 return se, sc, d1, d2, nf
-            self._combine_jit = combine
-        return self._combine_jit(outs, base, N)
+            self._combiners[key] = combine
+        return self._combiners[key](outs, base, N)
 
     # ------------------------------------------------------------------ #
 
@@ -209,24 +241,33 @@ class KernelEngineV2:
             jax.block_until_ready(out)
 
         def warm_combiner(arg):
-            k, n_pad = arg
+            k, n_pad, act = arg
             total = n_pad * self.n_sample_shards
             # jnp.stack of the k sweep outputs is its own compiled op --
             # warm it with the exact solve-path shapes
             dummy = jnp.stack([jnp.zeros((total,) + out_shape, out_dtype)
                                for _ in range(k)])
-            part = self._combine(dummy, 0, 1)
+            part = self._combine(dummy, 0, 1, n_pad, act)
             # multi-bucket accumulation adds (sample_sums) and the
             # problem-level non-finite top-up adds are tiny per-shape
             # programs too; on remote-dispatch setups each costs a
             # compile round-trip if it first appears mid-solve
             jax.block_until_ready(tuple(a + b for a, b in zip(part, part)))
 
+        def _act_ladder(n_pad):
+            # every (n_pad, act) pair _act_rows can produce for this tier
+            acts, a = [], self.batch
+            while a < n_pad:
+                acts.append(a)
+                a *= 4
+            return acts + [n_pad]
+
         jobs = [(l, t, False) for l in models for t in tiers]
         if collect:
             # only ls[0]'s sweep carries theta (sample_sums: pos == 0)
             jobs += [(l, t, True) for l in models for t in tiers]
-        cjobs = [(k, t) for k in sizes for t in tiers]
+        cjobs = [(k, t, a) for k in sizes for t in tiers
+                 for a in _act_ladder(t)]
         if parallel and len(jobs) > 1:
             with cf.ThreadPoolExecutor(max_workers=8) as ex:
                 futs = [ex.submit(warm_sweep, j) for j in jobs]
@@ -266,7 +307,8 @@ class KernelEngineV2:
                     out = res
                 outs_list.append(out)
             outs = jnp.stack(outs_list)
-            part = self._combine(outs, base, N)
+            act = self._act_rows(n_pad, base, N)
+            part = self._combine(outs, base, N, n_pad, act)
             acc = part if acc is None else tuple(
                 a + b2 for a, b2 in zip(acc, part))
             if collect:

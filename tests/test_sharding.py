@@ -219,3 +219,36 @@ def test_dropped_nan_samples_do_not_poison_sums():
     assert np.isfinite(np.asarray(s.sumse)).all()
     assert np.isfinite(np.asarray(s.sumsc)).all()
     assert 0 < int(s.n_failed) < 500
+
+
+def test_kernel_engine_act_slicing_exact_sums():
+    """The combiner contracts only each shard's active prefix (pow4
+    bucketed); sums must stay EXACT for awkward N around tier/act
+    boundaries, sharded and single-device."""
+    import jax.numpy as jnp
+    from bluest_tpu.sampling.kernel_engine import KernelEngineV2
+
+    def sample_input(key):
+        return jax.random.normal(key)
+
+    def eval_model(l, th):
+        return jnp.stack([th * (l + 1.0)])
+
+    key = jax.random.key(5)
+    for mesh in (None, sample_mesh(4)):
+        eng = KernelEngineV2(sample_input, eval_model, 2, 1, batch_size=8,
+                             mesh=mesh, max_bucket=256)
+        for N in (1, 7, 9, 33, 65, 100, 300):
+            s = eng.sample_sums([0, 1], key, N)
+            th = np.array([float(sample_input(jax.random.fold_in(key, i)))
+                           for i in range(N)])
+            se = np.asarray(s.sumse).reshape(1, 2)
+            np.testing.assert_allclose(se[0, 0], th.sum(), rtol=1e-12)
+            np.testing.assert_allclose(se[0, 1], 2 * th.sum(), rtol=1e-12)
+            sc = np.asarray(s.sumsc)
+            np.testing.assert_allclose(sc[0, 0, 1], 2 * (th ** 2).sum(),
+                                       rtol=1e-12)
+            d2 = np.asarray(s.sumsd2)
+            np.testing.assert_allclose(d2[0, 0, 1], (th ** 2).sum(),
+                                       rtol=1e-12)
+            assert int(s.n_failed) == 0
