@@ -87,8 +87,15 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
     def shard_sums(key, N, shard_idx, n_pad_per_shard):
         """Sums over this shard's index range [shard_idx*pad, ...)."""
         n_chunks = n_pad_per_shard // batch_size
+        # dynamic loop bound: chunks entirely past the requested N are
+        # skipped, so the pow2 bucket padding costs buffer shape only --
+        # not model evaluations (N just above a bucket boundary used to
+        # EVALUATE the model on up to 2x the requested samples, masked
+        # out of the sums afterwards; mirrors KernelEngineV2's sweep)
+        remaining = N - shard_idx * n_pad_per_shard
+        n_active = jnp.clip(-(-remaining // batch_size), 0, n_chunks)
 
-        def chunk(carry, c):
+        def chunk(c, carry):
             se, sc, d1, d2, nf = carry
             base = shard_idx * n_pad_per_shard + c * batch_size
             idx = base + jnp.arange(batch_size)
@@ -109,13 +116,12 @@ def build_group_engine(model_fn: Callable, No: int, L: int,
             D = Ps[:, :, :, None, :] - Ps[:, :, None, :, :]
             d1 = d1 + jnp.einsum('bnijd,b->nijd', D, w)
             d2 = d2 + jnp.einsum('bnijd,bnijd,b->nij', D, D, w)
-            return (se, sc, d1, d2, nf), None
+            return (se, sc, d1, d2, nf)
 
         init = (jnp.zeros((No, L, d)), jnp.zeros((No, L, L)),
                 jnp.zeros((No, L, L, d)), jnp.zeros((No, L, L)),
                 jnp.asarray(0, jnp.int64))
-        (se, sc, d1, d2, nf), _ = jax.lax.scan(
-            chunk, init, jnp.arange(n_chunks))
+        se, sc, d1, d2, nf = jax.lax.fori_loop(0, n_active, chunk, init)
         return SampleSums(se, sc, d1, d2, nf)
 
     def engine(key, N, n_pad: int):

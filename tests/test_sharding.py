@@ -252,3 +252,31 @@ def test_kernel_engine_act_slicing_exact_sums():
             np.testing.assert_allclose(d2[0, 0, 1], (th ** 2).sum(),
                                        rtol=1e-12)
             assert int(s.n_failed) == 0
+
+
+def test_group_engine_dynamic_bound_exact_sums():
+    """The group engine's chunk loop is dynamically bounded (padding
+    chunks are skipped, not evaluated); sums stay exact for N around
+    pow2 bucket boundaries, sharded and single-device."""
+    import jax.numpy as jnp
+    from bluest_tpu.sampling import jax_engine
+
+    def model_fn(key):
+        z = jax.random.normal(key)
+        return jnp.stack([z, 2.0 * z])[None, :]     # (No=1, L=2)
+
+    key = jax.random.key(9)
+    for mesh in (None, sample_mesh(4)):
+        eng = jax_engine.build_group_engine(model_fn, 1, 2, batch_size=8,
+                                            mesh=mesh)
+        for N in (1, 8, 9, 17, 33, 100):
+            s = eng(key, N)
+            th = np.array([float(jax.random.normal(
+                jax.random.fold_in(key, i))) for i in range(N)])
+            np.testing.assert_allclose(np.asarray(s.sumse)[0, 0, 0],
+                                       th.sum(), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(s.sumsc)[0, 0, 1],
+                                       2 * (th ** 2).sum(), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(s.sumsd2)[0, 0, 1],
+                                       (th ** 2).sum(), rtol=1e-12)
+            assert int(s.n_failed) == 0
