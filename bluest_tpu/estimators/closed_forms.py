@@ -127,23 +127,39 @@ def mlmc_bounds_batch(V, W, mask, budget: Optional[float] = None,
     return feasible, np.where(ok, bound, np.inf)
 
 
-def _mfmc_prepare(sigmas, rhos, costs):
+def _mfmc_prepare(sigmas, rhos, costs, order=None):
     """Sort models by |rho| descending and compute the feasibility ratios
-    (reference misc.py:52-67, 88-104)."""
+    (reference misc.py:52-67, 88-104).
+
+    ``order``: force this estimator order instead of sorting.  Used by
+    the multi-output clique search when outputs disagree on the sorted
+    order only through near-ties: the MFMC variance formula is exact for
+    ANY order (it is just the telescoped control-variate variance), so a
+    forced common order with the exact corner-search validation stays a
+    valid estimator; the strict ratio feasibility gate is deferred to
+    the search in that mode (it encodes optimality of the analytic seed,
+    not validity)."""
     sigmas = np.asarray(sigmas, dtype=float)
     rhos = np.asarray(rhos, dtype=float)
     costs = np.asarray(costs, dtype=float)
-    # stable descending sort: reversing an ascending argsort reverses
-    # tie order, so a low-fidelity model PERFECTLY correlated with model
-    # 0 (|rho| = 1) could land first and trip the assert
-    idx = np.argsort(-np.abs(rhos), kind="stable")
+    if order is None:
+        # stable descending sort: reversing an ascending argsort reverses
+        # tie order, so a low-fidelity model PERFECTLY correlated with
+        # model 0 (|rho| = 1) could land first and trip the assert
+        idx = np.argsort(-np.abs(rhos), kind="stable")
+    else:
+        idx = np.asarray(order, dtype=int)
     assert idx[0] == 0
     s = sigmas[idx]
     rho = np.concatenate([rhos[idx], [0.0]])
     w = costs[idx]
-    cost_ratio = w[:-1] / w[1:]
-    rho_ratio = (rho[:-2] ** 2 - rho[1:-1] ** 2) / (rho[1:-1] ** 2 - rho[2:] ** 2)
-    feasible = bool(np.all(cost_ratio > rho_ratio))
+    if order is None:
+        cost_ratio = w[:-1] / w[1:]
+        rho_ratio = (rho[:-2] ** 2 - rho[1:-1] ** 2) \
+            / (rho[1:-1] ** 2 - rho[2:] ** 2)
+        feasible = bool(np.all(cost_ratio > rho_ratio))
+    else:
+        feasible = True
     alphas = rho[1:-1] * s[0] / s[1:]
     return idx, s, rho, w, feasible, alphas
 
@@ -176,9 +192,10 @@ def mfmc_check(sigmas, rhos, costs, samples):
 def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
                     eps: Optional[float] = None,
                     continuous_relaxation: bool = False,
-                    small_budget: bool = False):
+                    small_budget: bool = False, order=None):
     """Optimal MFMC allocation (reference attempt_mfmc_setup,
-    misc.py:78-130), including the Gruber et al. 2022 low-budget scheme."""
+    misc.py:78-130), including the Gruber et al. 2022 low-budget scheme.
+    ``order`` forces the estimator order (see _mfmc_prepare)."""
     if budget is None and eps is None:
         raise ValueError("Need to specify either budget or RMSE tolerance")
     if budget is not None:
@@ -188,16 +205,37 @@ def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
     if not np.all(np.isfinite(sigmas)):
         return False, None
 
-    idx, s, rho, w, feasible, alphas = _mfmc_prepare(sigmas, rhos, costs)
+    idx, s, rho, w, feasible, alphas = _mfmc_prepare(sigmas, rhos, costs,
+                                                     order=order)
     if not feasible:
         return feasible, None
 
-    r = np.sqrt(w[0] / w * (rho[:-1] ** 2 - rho[1:] ** 2) / (1 - rho[1] ** 2))
+    # forced orders may invert a near-tie; clamping the level gain at 0
+    # is the exact continuous limit of a tie (that level simply adds no
+    # samples) and keeps the seed real -- the search below validates
+    # against the EXACT variance either way
+    gains = rho[:-1] ** 2 - rho[1:] ** 2
+    if order is not None:
+        gains = np.maximum(gains, 0.0)
+    r = np.sqrt(w[0] / w * gains / (1 - rho[1] ** 2))
     if budget is not None:
         m1 = budget / (w @ r)
     else:
         m1 = eps ** -2 * (w @ r) * (s[0] ** 2 / w[0]) * (1 - rho[1] ** 2)
     m = np.maximum(np.concatenate([[m1], m1 * r[1:]]), 1.0)
+    if order is not None:
+        # a clamped (tied/inverted) level got r = 0 -> m = 1, which
+        # breaks the m_1 <= m_2 <= ... nesting; the correct tie limit is
+        # m_i = m_{i-1} (the tied model adds no NEW samples), i.e. a
+        # running max.  With clamped gains the closed-form eps identity
+        # is also only approximate -- one homogeneity rescale restores
+        # variance ~= eps^2 before the corner search brackets it.
+        m = np.maximum.accumulate(m)
+        if eps is not None:
+            v0 = _mfmc_variance(s, rho, alphas)(m)
+            if np.isfinite(v0) and v0 > 0:
+                m = np.maximum(np.maximum.accumulate(m * (v0 / eps ** 2)),
+                               1.0)
 
     variance = _mfmc_variance(s, rho, alphas)
     if budget is not None:

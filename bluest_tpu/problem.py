@@ -1446,15 +1446,61 @@ class BLUEProblem:
             # and prices them in clique order regardless -- silently
             # assigning counts to the wrong models whenever the orders
             # differ (reference blue_models.py:849-856).  Here the group
-            # itself is emitted in the common sorted order, and a clique
-            # whose outputs disagree is skipped as infeasible.
+            # is emitted in a common order: when outputs disagree
+            # (near-ties in |rho|, typically), each output's preferred
+            # order is tried as the FORCED common order -- the MFMC
+            # variance formula is exact for any order, so a forced order
+            # whose schedule passes the exact variance/budget validation
+            # is still a true MFMC estimator.  Only a clique with no
+            # feasible common ordering is skipped.
             order = data_list[0]["order"]
             if any(not np.array_equal(d["order"], order)
                    for d in data_list[1:]):
-                if self.verbose:
-                    print("MFMC: skipping clique %s (outputs disagree on "
-                          "the correlation ordering)" % (clique,))
-                continue
+                best_alt = None
+                seen = set()
+                for d in data_list:
+                    cand = tuple(int(j) for j in d["order"])
+                    if cand in seen:
+                        continue
+                    seen.add(cand)
+                    alt = []
+                    for n in range(self.n_outputs):
+                        okc, dd = mfmc_allocation(
+                            sigmas[n][clique], rhos[n][clique], w[clique],
+                            budget=budget, eps=eps[n],
+                            continuous_relaxation=continuous_relaxation,
+                            small_budget=small_budget,
+                            order=np.asarray(cand))
+                        if not okc:
+                            alt = None
+                            break
+                        alt.append(dd)
+                    if alt is None:
+                        continue
+                    # validate at the MERGED schedule: under a forced
+                    # order the variance is increasing in any inverted
+                    # coordinate, so the element-wise max can RAISE an
+                    # output's variance above its own schedule's -- a
+                    # candidate is only acceptable if every output's
+                    # tolerance still holds at the merge
+                    m_mg = np.max(np.vstack([dd["samples"]
+                                             for dd in alt]), axis=0)
+                    vs = [dd["variance"](m_mg) for dd in alt]
+                    if budget is not None:
+                        objv = max(np.sqrt(max(v, 0.0)) for v in vs)
+                    else:
+                        if any(v > 1.0001 * eps[n] ** 2
+                               for n, v in enumerate(vs)):
+                            continue
+                        objv = m_mg @ w[[clique[j] for j in cand]]
+                    if best_alt is None or objv < best_alt[0]:
+                        best_alt = (objv, alt, np.asarray(cand))
+                if best_alt is None:
+                    if self.verbose:
+                        print("MFMC: skipping clique %s (no feasible "
+                              "common ordering)" % (clique,))
+                    continue
+                _, data_list, order = best_alt
             sorted_clique = [clique[j] for j in order]
             if budget is not None:
                 err = max(d["error"] for d in data_list)

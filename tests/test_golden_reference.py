@@ -104,16 +104,16 @@ def test_navier_stokes_dataset_estimator_ordering():
     MLBLUE allocation must satisfy the tolerances and beat both MLMC and
     MFMC (both are restrictions of the K>=3 MLBLUE feasible set here).
 
-    Measured 2026-08: BLUE K=3 187,174 < MLMC 232,643 < MFMC 278,759.
+    Measured 2026-08: BLUE K=3 187,174 < MFMC 228,789 < MLMC 232,643.
 
-    MFMC note: the earlier pinned 228,789 came from a clique whose six
-    outputs DISAGREE on the |rho| ordering -- the reference merges and
-    prices their per-output schedules in incompatible orders
-    (blue_models.py:849-856), an ill-defined cost.  setup_mfmc now skips
-    order-inconsistent cliques (a forced common order cannot rescue
-    them: the closed form needs each output's correlations decreasing
-    along the estimator order), and the best CONSISTENT clique on this
-    dataset costs 278,759.
+    MFMC note: the winning clique's six outputs DISAGREE on the |rho|
+    ordering (near-ties) -- the reference merges and prices their
+    per-output schedules in incompatible orders (blue_models.py:849-856),
+    an ill-defined construction that happens to land on 228,789.
+    setup_mfmc instead forces a COMMON order (the variance formula is
+    exact for any order), validates every output's tolerance at the
+    merged schedule, and reproduces the same 228,789 cost as a
+    well-defined estimator.
     """
     p = BLUEProblem(12, n_outputs=6, datafile=NS_REF, verbose=False)
     assert p.M == 12 and p.n_outputs == 6
@@ -131,7 +131,10 @@ def test_navier_stokes_dataset_estimator_ordering():
     # regression band around the measured allocation costs
     assert blue["total_cost"] == pytest.approx(187_174, rel=0.05)
     assert mlmc["total_cost"] == pytest.approx(232_643, rel=0.02)
-    assert mfmc["total_cost"] == pytest.approx(278_759, rel=0.02)
+    assert mfmc["total_cost"] == pytest.approx(228_789, rel=0.02)
+    # every output's tolerance must hold at the MERGED schedule (the
+    # forced-common-order validation the reference lacks)
+    assert np.all(np.asarray(mfmc["errors"]) <= eps * 1.0001)
 
 
 @pytest.mark.skipif(not os.path.exists(NS_REF),
@@ -291,3 +294,64 @@ def test_hodgkin_huxley_no_na_dataset():
     assert blue["total_cost"] == pytest.approx(40_524_661, rel=0.02)
     assert mfmc["total_cost"] == pytest.approx(46_987_749, rel=0.02)
     assert mlmc["total_cost"] == pytest.approx(70_065_442, rel=0.02)
+
+
+@pytest.mark.skipif(not os.path.exists(NS_REF),
+                    reason="reference checkout not available")
+def test_navier_stokes_paper_costs_reproduce_published_numbers():
+    """The paper's published NS figures (plot_histograms.py:58-66) use
+    the O(dofs^2) direct-solver pseudo-costs hard-coded in the plotting
+    script, overriding the npz costs, at eps = 1e-3 sqrt(C00)
+    (bluest_NS.py:115).  Loading the committed npz with that override
+    must reproduce them: MLMC exactly (same models [0,4,8,9], cost
+    6,576,345.5), MFMC exactly (models [0,4,8,11], cost 4,344,161.6 --
+    via the forced-common-order rescue; the winning clique's outputs
+    disagree on |rho| order through near-ties), and MLBLUE K=7 to
+    ~0.01% (2,553,327.3; measured 2,553,259.7)."""
+    costs = np.array([514.2223183391003, 251.11670479549565,
+                      316.3014055537184, 119.7527351628473,
+                      37.42560553633218, 18.103253298467695,
+                      22.869635334918478, 8.697236420727346,
+                      2.9814995092105474, 1.6884537576736363,
+                      1.9949462010013241, 1.0])
+    p = BLUEProblem(12, n_outputs=6, datafile=NS_REF, costs=costs,
+                    verbose=False)
+    eps = 1e-3 * np.sqrt([c[0, 0] for c in p.get_covariances()])
+
+    mlmc = p.setup_mlmc(eps=eps)
+    assert [int(m) for m in mlmc["models"]] == [0, 4, 8, 9]
+    assert mlmc["total_cost"] == pytest.approx(6_576_345.5, rel=1e-6)
+
+    mfmc = p.setup_mfmc(eps=eps)
+    assert sorted(int(m) for m in mfmc["models"]) == [0, 4, 8, 11]
+    assert mfmc["total_cost"] == pytest.approx(4_344_161.6, rel=1e-6)
+    assert np.all(np.asarray(mfmc["errors"]) <= eps * 1.0001)
+
+
+
+@pytest.mark.skipif(not os.environ.get("BLUEST_TPU_RUN_XXL"),
+                    reason="XXL one-time compile (K=7 x 6 outputs, "
+                           "L=3301): ~30 min cold through a churned "
+                           "remote pool; set BLUEST_TPU_RUN_XXL=1")
+def test_navier_stokes_paper_costs_mlblue_k7():
+    """MLBLUE half of the published NS figures: the CONTINUOUS K=7
+    optimum at the paper's cost override matches 2,553,327.3 to ~0.01%
+    (measured 2,553,259.7; it is deterministic, while the
+    integer-projected cost on this massively degenerate face varies by
+    up to ~9% between device configurations -- different near-optimal
+    vertices).  Separated from the MLMC/MFMC pins because the fused IPM
+    program for this shape is an XXL compile."""
+    costs = np.array([514.2223183391003, 251.11670479549565,
+                      316.3014055537184, 119.7527351628473,
+                      37.42560553633218, 18.103253298467695,
+                      22.869635334918478, 8.697236420727346,
+                      2.9814995092105474, 1.6884537576736363,
+                      1.9949462010013241, 1.0])
+    p = BLUEProblem(12, n_outputs=6, datafile=NS_REF, costs=costs,
+                    verbose=False)
+    eps = 1e-3 * np.sqrt([c[0, 0] for c in p.get_covariances()])
+    blue = p.setup_solver(K=7, eps=eps, continuous_relaxation=True)
+    assert blue["total_cost"] == pytest.approx(2_553_327.3, rel=2e-3)
+    assert np.max(np.sqrt(np.asarray(p.MOSAP_output["variances"]))
+                  / eps) <= 1.0002
+    assert p.MOSAP.n_nlp_fallbacks == 0
