@@ -27,8 +27,13 @@ module supplies the missing *independent SDP* family next to the IPM
 (solvers/sdp.py), the scipy NLP, and the SPG family.  First-order cone
 solvers converge linearly at best, so this backend targets validation
 accuracy (~1e-6 residuals), not the IPM's 1e-9: use it through
-``SAP.solve(solver="admm")`` / ``MOSAP.solve(solver="admm")`` on
-moderate instances, not as the production default.
+``SAP.solve(solver="admm")`` / ``MOSAP.solve(solver="admm")``, not as
+the production default.  The diagonal+capacitance factorization below
+makes the linear algebra scale to L in the thousands; what does NOT
+scale is first-order convergence on near-degenerate correlation
+ladders (rho -> 1-1e-5), where the splitting stalls and the IPM
+remains the only solver -- see tests/test_admm.py for the regimes the
+cross-check actually covers.
 
 In SCS notation the problem is  min c'x  s.t.  Ax + s = b, s in K  with
 A = [Gl; svec rows of the PSD blocks], b = [hl; svec(Hs)].  The HSD
@@ -49,6 +54,25 @@ of I + A'A plus O(m + nx) vector work (paper, section 4).  The whole
 iteration -- linear solve, cone projection, residual tracking, best-
 iterate bookkeeping -- runs inside one jitted ``lax.while_loop`` (same
 O(1)-dispatch design as the IPM).
+
+Large-L structure exploitation (round 3, mirrors the IPM's Woodbury):
+MLBLUE cone programs lead with the ``m >= 0`` block, a full -I whose
+rows have a single nonzero each.  Those rows are split out of A into a
+scatter operator (matvec O(pd) instead of O(pd*nx)) and contribute only
+a DIAGONAL to A'A, so  I + A'A = D + Ar' Ar  with Ar just the dense
+remainder (budget/e/caps rows + the svec'd LMI slabs) of rank
+mr ~ nb*(M+1)^2/2 << nx = L+1.  When ``nx >= max(256, 1.5*mr)`` the
+solver factors the mr x mr capacitance  I + Ar D^-1 Ar'  instead of the
+dense nx x nx matrix -- unlike the IPM's Woodbury there is no 1/mu^2
+span to guard against (D >= 1 and the capacitance is I + PSD), so no
+refinement is needed.  This removes both the O(nx^3) factorization and
+the O(nx^2) per-iteration triangular solves (previously L ~ 3300 meant
+an 87 MB dense factor and nx^2 solves per iteration).  The remaining
+large-L limit is the first-order iteration count itself, which grows
+with conditioning: L ~ 640 generic instances converge to 1e-6 in ~10k
+iterations (~3s), while L ~ 2500 with costs spanning 3 decades reaches
+only ~1e-3 agreement within 60k iterations -- use the IPM's own
+certificates there.
 
 Scaling: Ruiz equilibration of A with per-row scalars on the LP block
 and ONE scalar per PSD block (per-coordinate scaling of svec rows would
@@ -102,12 +126,20 @@ def _mat_factory(n: int, iu0, iu1, wts):
 
 # ------------------------------ core solver ------------------------------- #
 
-@partial(jax.jit, static_argnames=("p", "nb", "n", "max_iter"))
-def _admm_run(Ah, bh, ch, p, nb, n, max_iter, tol, alpha):
-    """Scaled-space SCS loop.  Ah: (m, nx) equilibrated constraint
-    matrix, bh/ch the equilibrated rhs/objective.  Returns the best
-    iterate (by worst-of residuals) and its diagnostics."""
-    m, nx = Ah.shape
+@partial(jax.jit, static_argnames=("p", "nb", "n", "max_iter", "wood"))
+def _admm_run(cols, coefs, Ar, D, bh, ch, p, nb, n, max_iter, tol, alpha,
+              wood):
+    """Scaled-space SCS loop over the ROW-SPLIT constraint matrix
+    A = [S; Ar]: S the single-nonzero LP rows as a scatter
+    (``S x = coefs * x[cols]``), Ar the dense remainder, with
+    D = diag(I + S'S) precomputed on the host.  ``wood`` (static)
+    selects the capacitance factorization of I + A'A = diag(D) + Ar'Ar.
+    bh/ch are the equilibrated rhs/objective (rows permuted so the S
+    block leads).  Returns the best iterate (by worst-of residuals) and
+    its diagnostics."""
+    pd = cols.shape[0]
+    mr, nx = Ar.shape
+    m = pd + mr
     ns = (n * (n + 1)) // 2
     iu0, iu1, wts = _svec_indices(n)
     mat = _mat_factory(n, iu0, iu1, wts)
@@ -115,14 +147,40 @@ def _admm_run(Ah, bh, ch, p, nb, n, max_iter, tol, alpha):
     iu0_j = jnp.asarray(iu0)
     iu1_j = jnp.asarray(iu1)
 
-    # cached factorization of I + A'A (the only linear algebra the
-    # method ever factors; A is fixed so this happens once per solve)
-    F = jnp.linalg.cholesky(jnp.eye(nx) + Ah.T @ Ah)
+    def Amul(x):
+        return jnp.concatenate([coefs * x[cols], Ar @ x])
+
+    def ATmul(z):
+        out = jnp.zeros(nx, Ar.dtype).at[cols].add(coefs * z[:pd])
+        return out + Ar.T @ z[pd:]
+
+    # cached factorization of I + A'A = diag(D) + Ar'Ar (the only
+    # linear algebra the method ever factors; A is fixed so this
+    # happens once per solve)
+    if wood and mr:
+        # capacitance form: (D + Ar'Ar)^-1 r
+        #   = D^-1 r - D^-1 Ar' (I + Ar D^-1 Ar')^-1 Ar D^-1 r
+        Di = 1.0 / D
+        ArDi = Ar * Di[None, :]
+        capF = jnp.linalg.cholesky(jnp.eye(mr) + ArDi @ Ar.T)
+
+        def hsolve(r):
+            y = Di * r
+            t = jax.scipy.linalg.cho_solve((capF, True), Ar @ y)
+            return y - ArDi.T @ t
+    elif mr:
+        F = jnp.linalg.cholesky(jnp.diag(D) + Ar.T @ Ar)
+
+        def hsolve(r):
+            return jax.scipy.linalg.cho_solve((F, True), r)
+    else:
+        def hsolve(r):
+            return r / D
 
     def msolve(rx, rz):
         """[[I, A'], [-A, I]] (x, y) = (rx, rz)."""
-        x = jax.scipy.linalg.cho_solve((F, True), rx - Ah.T @ rz)
-        return x, rz + Ah @ x
+        x = hsolve(rx - ATmul(rz))
+        return x, rz + Amul(x)
 
     qx, qz = msolve(ch, bh)
     denom0 = 1.0 + ch @ qx + bh @ qz
@@ -151,8 +209,8 @@ def _admm_run(Ah, bh, ch, p, nb, n, max_iter, tol, alpha):
         """Scaled-space SCS termination metrics at the tau-normalized
         candidate (x, z, s) = (ux, uz, vz) / ut."""
         tau = jnp.maximum(ut, 1e-300)
-        Ax = Ah @ ux
-        ATz = Ah.T @ uz
+        Ax = Amul(ux)
+        ATz = ATmul(uz)
         ctx = ch @ ux / tau
         btz = bh @ uz / tau
         pres = jnp.linalg.norm(Ax + vz - bh * ut) / tau / (1.0 + bnorm)
@@ -246,11 +304,14 @@ def solve_cone_lp_admm(c: np.ndarray,
                        tol: float = 1e-6,
                        alpha: float = 1.8,
                        ruiz_iters: int = 10,
+                       woodbury: Optional[bool] = None,
                        verbose: bool = False) -> ConeLPResult:
     """Solve the cone program with the operator-splitting method.
 
     Same contract as :func:`solvers.sdp.solve_cone_lp` (argument layout,
-    ConeLPResult, status vocabulary) so callers can swap backends."""
+    ConeLPResult, status vocabulary) so callers can swap backends.
+    ``woodbury`` forces the capacitance factorization on/off; the
+    default auto-enables it when nx >= max(256, 1.5 * (dense rows))."""
     c_np = np.asarray(c, dtype=np.float64)
     nx = c_np.shape[0]
     Gl_np = (np.zeros((0, nx)) if Gl is None
@@ -310,10 +371,30 @@ def solve_cone_lp_admm(c: np.ndarray,
     sc_b = np.clip((cn_ + 1.0) / (bn + 1.0), 1e-6, 1e6)
     bh = bh * sc_b
 
+    # --- row split: single-nonzero LP rows (the m >= 0 block and any
+    # box rows) become a scatter S and a diagonal contribution to A'A;
+    # everything else stays a dense (mr, nx) slab.  LP rows may be
+    # permuted among themselves freely (R_+^p is coordinate-symmetric)
+    # as long as bh moves with them; equilibration preserves the
+    # sparsity pattern, so detection on Ah is detection on A.
+    nnz_rows = np.count_nonzero(Ah, axis=1)
+    diag_lp = np.flatnonzero((np.arange(m) < p) & (nnz_rows == 1))
+    rest = np.setdiff1d(np.arange(m), diag_lp)   # sorted: keeps order
+    cols = Ah[diag_lp].nonzero()[1]
+    coefs = Ah[diag_lp, cols]
+    Ar = Ah[rest]
+    bh = np.concatenate([bh[diag_lp], bh[rest]])
+    D = np.ones(nx)
+    np.add.at(D, cols, coefs ** 2)
+    mr = Ar.shape[0]
+    wood = (nx >= max(256, int(1.5 * mr)) if woodbury is None
+            else bool(woodbury))
+
     xh, tau, it, done, pres, dres, gap, ctx, best_err = [
         np.asarray(v) for v in _admm_run(
-            jnp.asarray(Ah), jnp.asarray(bh), jnp.asarray(ch),
-            p, nb, n, int(max_iter), float(tol), float(alpha))]
+            jnp.asarray(cols), jnp.asarray(coefs), jnp.asarray(Ar),
+            jnp.asarray(D), jnp.asarray(bh), jnp.asarray(ch),
+            p, nb, n, int(max_iter), float(tol), float(alpha), wood)]
 
     tau_f = float(tau)
     if int(done) == 2 or tau_f <= 0 or not np.isfinite(tau_f):

@@ -50,6 +50,51 @@ def test_admm_min_eig_sdp():
     np.testing.assert_allclose(res.x, [1.0], atol=1e-6)
 
 
+def test_admm_woodbury_matches_dense(rng):
+    """The diagonal+capacitance factorization (round 3: large-L path)
+    must reproduce the dense-Cholesky iterates: both solve the SAME
+    splitting with the same iteration count, so the final x should
+    agree to solver accuracy, not just the objective."""
+    _, gs, psi, _ = _random_blue(rng, 5, 3)
+    w = np.geomspace(4.0, 1.0, gs.L)
+    c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
+        [psi], [np.arange(gs.L)], gs.L, w, [gs.e], 1000.0)
+    rd = solve_cone_lp_admm(c, Gl, hl, As, Hs, woodbury=False)
+    rw = solve_cone_lp_admm(c, Gl, hl, As, Hs, woodbury=True)
+    assert rd.status == "optimal" and rw.status == "optimal"
+    np.testing.assert_allclose(rw.x, rd.x, rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(rw.pobj, rd.pobj, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_admm_large_L_woodbury():
+    """Large-L cross-check (round 3): at L=637 (M=10, K=5) the auto
+    heuristic engages the capacitance path (nx = 637 >= max(256,
+    1.5*mr) with mr = 1 e-row + 66 svec rows), the dense nx x nx
+    factorization is never formed, and the first-order solve still
+    lands on the IPM objective.  Generic well-conditioned covariance:
+    near-degenerate correlation ladders (the HH regime) are documented
+    out of scope for first-order splitting (module docstring)."""
+    rng = np.random.default_rng(7)
+    M, K = 10, 5
+    B = rng.standard_normal((M, M))
+    C = B @ B.T + 0.5 * M * np.eye(M)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    psi = np.asarray(psimod.GroupData.build(gs).psi)
+    flat = [g for gk in groups for g in gk]
+    costs = np.sort(np.exp(rng.uniform(0.0, np.log(100.0), M)))[::-1]
+    w = np.array([sum(costs[i] for i in g) for g in flat])
+    eps = np.sqrt(C[0, 0]) * 0.05
+    c, Gl, hl, As, Hs, _ = cones.build_eps_sdp(
+        [psi], [np.arange(gs.L)], gs.L, w, [gs.e], np.array([eps]), 1.0)
+    ri = solve_cone_lp(c, Gl, hl, As, Hs)
+    ra = solve_cone_lp_admm(c, Gl, hl, As, Hs)
+    assert ra.status in ("optimal", "inaccurate")
+    np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-4)
+
+
 def test_admm_infeasible_lp():
     # x <= -1 and x >= 0: infeasible
     c = np.array([1.0])
