@@ -54,16 +54,120 @@ def test_admm_woodbury_matches_dense(rng):
     """The diagonal+capacitance factorization (round 3: large-L path)
     must reproduce the dense-Cholesky iterates: both solve the SAME
     splitting with the same iteration count, so the final x should
-    agree to solver accuracy, not just the objective."""
+    agree to solver accuracy, not just the objective.  AA and the
+    dynamic scale are pinned off: both amplify last-bit arithmetic
+    differences between the two factorizations into different (equally
+    valid) iterate paths, and the POINT here is path identity."""
     _, gs, psi, _ = _random_blue(rng, 5, 3)
     w = np.geomspace(4.0, 1.0, gs.L)
     c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
         [psi], [np.arange(gs.L)], gs.L, w, [gs.e], 1000.0)
-    rd = solve_cone_lp_admm(c, Gl, hl, As, Hs, woodbury=False)
-    rw = solve_cone_lp_admm(c, Gl, hl, As, Hs, woodbury=True)
+    kw = dict(aa_memory=0, adaptive_scale=False)
+    rd = solve_cone_lp_admm(c, Gl, hl, As, Hs, woodbury=False, **kw)
+    rw = solve_cone_lp_admm(c, Gl, hl, As, Hs, woodbury=True, **kw)
     assert rd.status == "optimal" and rw.status == "optimal"
     np.testing.assert_allclose(rw.x, rd.x, rtol=1e-4, atol=1e-9)
     np.testing.assert_allclose(rw.pobj, rd.pobj, rtol=1e-8)
+
+
+def _ladder_blue(M, K, rho, seed=0, cost_span=50.0):
+    """Near-degenerate correlation-ladder eps-form cone program (the
+    Hodgkin-Huxley-like regime) plus its group structure."""
+    rng = np.random.default_rng(seed)
+    s = np.linspace(1.0, 0.3, M)
+    R = np.array([[rho ** abs(i - j) for j in range(M)]
+                  for i in range(M)])
+    np.fill_diagonal(R, 1.0)
+    C = R * np.outer(s, s)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    psi = np.asarray(psimod.GroupData.build(gs).psi)
+    flat = [g for gk in groups for g in gk]
+    costs = np.sort(np.exp(rng.uniform(0.0, np.log(cost_span), M)))[::-1]
+    w = np.array([sum(costs[i] for i in g) for g in flat])
+    eps = np.sqrt(C[0, 0]) * 0.05
+    return cones.build_eps_sdp([psi], [np.arange(gs.L)], gs.L, w,
+                               [gs.e], np.array([eps]), 1.0)[:5]
+
+
+def _wide_span_blue(M, K, seed, span=1000.0):
+    """Generic covariance, model costs spanning several decades (the
+    regime where static normalization parks pres and dres orders of
+    magnitude apart and the splitting stalls)."""
+    rng = np.random.default_rng(seed)
+    B = rng.standard_normal((M, M))
+    C = B @ B.T + 0.5 * M * np.eye(M)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    gs = GroupStructure(M, groups, C=C)
+    psi = np.asarray(psimod.GroupData.build(gs).psi)
+    flat = [g for gk in groups for g in gk]
+    costs = np.sort(np.exp(rng.uniform(0.0, np.log(span), M)))[::-1]
+    w = np.array([sum(costs[i] for i in g) for g in flat])
+    eps = np.sqrt(C[0, 0]) * 0.05
+    return cones.build_eps_sdp([psi], [np.arange(gs.L)], gs.L, w,
+                               [gs.e], np.array([eps]), 1.0)[:5]
+
+
+def test_admm_dynamic_scale_rescues_wide_costs():
+    """The SCS-3.x-style dynamic b-rescale (admm.py module docstring):
+    on a 3-decade cost span the static normalization parks pres/dres
+    far apart and the splitting stalls, while the adaptive solver
+    converges in a few hundred iterations.  Both are run on the SAME
+    budget so this is a direct A/B of the one feature."""
+    c, Gl, hl, As, Hs = _wide_span_blue(5, 2, seed=0)
+    ri = solve_cone_lp(c, Gl, hl, As, Hs)
+    ra = solve_cone_lp_admm(c, Gl, hl, As, Hs, max_iter=5000)
+    rs = solve_cone_lp_admm(c, Gl, hl, As, Hs, max_iter=5000,
+                            adaptive_scale=False)
+    assert ra.status == "optimal", ra.status
+    assert ra.iterations < 5000
+    assert rs.status != "optimal"          # static stalls on this budget
+    np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-4)
+
+
+def test_admm_degenerate_ladder_converges():
+    """rho = 0.999 correlation ladders were documented out of scope for
+    the first-order family in early round 3; AA + the dynamic scale
+    brought them in (49k iterations -> ~10k).  rho -> 1-1e-5 remains
+    IPM-only (module docstring)."""
+    c, Gl, hl, As, Hs = _ladder_blue(5, 2, rho=0.999)
+    ri = solve_cone_lp(c, Gl, hl, As, Hs)
+    ra = solve_cone_lp_admm(c, Gl, hl, As, Hs)
+    assert ra.status == "optimal", ra.status
+    np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-3)
+
+
+def test_admm_optimal_means_original_space_feasible():
+    """Termination metrics are computed in ORIGINAL space: 'optimal'
+    must imply true cone feasibility of the returned x, not just
+    scaled-space residuals (a dynamically-rescaled wide-span instance
+    can pass 1e-6 in scaled space at ~1e-1 true PSD violation -- the
+    bug this guards against)."""
+    c, Gl, hl, As, Hs = _wide_span_blue(5, 2, seed=0)
+    r = solve_cone_lp_admm(c, Gl, hl, As, Hs)
+    assert r.status == "optimal"
+    assert float(np.max(Gl @ r.x - hl)) <= 1e-4
+    for b in range(As.shape[0]):
+        S = Hs[b] - np.einsum('i,ijk->jk', r.x, As[b])
+        lam_min = float(np.linalg.eigvalsh((S + S.T) / 2.0).min())
+        scale = float(np.linalg.norm(Hs[b])) + 1.0
+        assert lam_min >= -1e-4 * scale, lam_min
+
+
+def test_admm_aa_matches_plain(rng):
+    """Anderson acceleration changes WHERE the fixed-point map is
+    evaluated, never the map: accelerated and plain runs must land on
+    the same optimum."""
+    _, gs, psi, _ = _random_blue(rng, 5, 3)
+    w = np.geomspace(4.0, 1.0, gs.L)
+    c, Gl, hl, As, Hs, _ = cones.build_budget_sdp(
+        [psi], [np.arange(gs.L)], gs.L, w, [gs.e], 1000.0)
+    r0 = solve_cone_lp_admm(c, Gl, hl, As, Hs, aa_memory=0)
+    r1 = solve_cone_lp_admm(c, Gl, hl, As, Hs)   # aa_memory=20 default
+    assert r0.status == "optimal" and r1.status == "optimal"
+    np.testing.assert_allclose(r1.pobj, r0.pobj, rtol=1e-5)
 
 
 @pytest.mark.slow
