@@ -304,7 +304,7 @@ def _admm_run(cols, coefs, Ar, D, bh, ch, drow, ecol, scb, bnorm_o, cnorm_o,
         tiny_tau = tau < 1e-12 * jnp.maximum(1.0, kappa)
         uz_n = jnp.linalg.norm(u[nx:nx + m])
         ux_n = jnp.linalg.norm(u[:nx])
-        raw_btz = sig * (bh @ u[nx:nx + m])
+        raw_btz = bh @ u[nx:nx + m]
         raw_ctx = ch @ u[:nx]
         z_inf = ((uz_n > 1e-12)
                  & (jnp.linalg.norm(ATz) <= 1e-9 * uz_n)
@@ -424,6 +424,7 @@ def _admm_run(cols, coefs, Ar, D, bh, ch, drow, ecol, scb, bnorm_o, cnorm_o,
         fac = jnp.clip(jnp.sqrt(ratio), 1.0 / 30.0, 30.0)
         sig_new = jnp.clip(sig * fac, 1e-6, 1e6)
         fac = sig_new / sig
+        want = want & (sig_new != sig)   # pinned at a clip bound: no-op
 
         def rescale(_):
             zr = jnp.concatenate([fac * u2[:nx],
@@ -481,8 +482,10 @@ def solve_cone_lp_admm(c: np.ndarray,
     ``woodbury`` forces the capacitance factorization on/off; the
     default auto-enables it when nx >= max(256, 1.5 * (dense rows)).
     ``aa_memory`` sets the Anderson-acceleration history length
-    (0 disables -- plain Douglas-Rachford splitting); ``adaptive_scale``
-    toggles the dynamic b-rescale (module docstring)."""
+    (< 2 disables -- a single slot has no secant, so memory 1 is
+    clamped to the plain-splitting path instead of paying dead AA
+    overhead); ``adaptive_scale`` toggles the dynamic b-rescale
+    (module docstring)."""
     c_np = np.asarray(c, dtype=np.float64)
     nx = c_np.shape[0]
     Gl_np = (np.zeros((0, nx)) if Gl is None
@@ -569,12 +572,9 @@ def solve_cone_lp_admm(c: np.ndarray,
             jnp.asarray(drow), jnp.asarray(e), float(sc_b),
             float(np.linalg.norm(b)), float(np.linalg.norm(c_np)),
             p, nb, n, int(max_iter), float(tol), float(alpha), wood,
-            max(int(aa_memory), 0), bool(adaptive_scale))]
+            0 if int(aa_memory) < 2 else int(aa_memory),
+            bool(adaptive_scale))]
 
-    import os
-    if os.environ.get("BLUEST_TPU_ADMM_DEBUG"):
-        print("admm-debug: it=%d acc=%d sig=%.3e"
-              % (int(it), int(acc), float(bsig)))
     tau_f = float(tau)
     if int(done) == 2 or tau_f <= 0 or not np.isfinite(tau_f):
         status = {3: "infeasible", 4: "unbounded"}.get(int(done), "failed")
@@ -595,7 +595,9 @@ def solve_cone_lp_admm(c: np.ndarray,
     else:
         status = "max_iter"
     if verbose:
-        print("admm: it=%d status=%s pres=%.2e dres=%.2e gap=%.2e"
-              % (int(it), status, float(pres), float(dres), float(gap)))
+        print("admm: it=%d status=%s pres=%.2e dres=%.2e gap=%.2e "
+              "aa_acc=%d sig=%.2e"
+              % (int(it), status, float(pres), float(dres), float(gap),
+                 int(acc), float(bsig)))
     return ConeLPResult(x, status, int(it), float(gap),
                         float(pres), float(dres), pobj)

@@ -123,7 +123,10 @@ def test_admm_dynamic_scale_rescues_wide_costs():
                             adaptive_scale=False)
     assert ra.status == "optimal", ra.status
     assert ra.iterations < 5000
-    assert rs.status != "optimal"          # static stalls on this budget
+    # A/B margin, not a pinned static failure: the adaptive run must
+    # beat static scaling by >= 4x even if the static path improves
+    assert ra.iterations * 4 <= rs.iterations, (ra.iterations,
+                                                rs.iterations)
     np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-4)
 
 
