@@ -249,7 +249,8 @@ def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
 
     if not continuous_relaxation:
         if small_budget and budget is not None:
-            m = mfmc_low_budget(np.asarray(rhos, dtype=float)[idx], w, budget)
+            m = mfmc_low_budget(np.asarray(rhos, dtype=float)[idx], w, budget,
+                                clamp=order is not None)
         else:
             vals = _corner_values(m, len(sigmas))
             safe = np.maximum(vals, 1)
@@ -273,22 +274,38 @@ def mfmc_allocation(sigmas, rhos, costs, budget: Optional[float] = None,
                       "variance": variance, "order": idx}
 
 
-def mfmc_low_budget(rhos, costs, budget):
+def mfmc_low_budget(rhos, costs, budget, clamp: bool = False):
     """Low-budget MFMC integer schedule, Gruber et al. 2022
-    (reference mfmc_low_budget_integer_solution, misc.py:416-449)."""
+    (reference mfmc_low_budget_integer_solution, misc.py:416-449).
+
+    ``clamp=True`` is the forced-common-order path (setup_mfmc's
+    order-disagreement rescue): an inverted near-tie makes a level gain
+    rho_i^2 - rho_{i+1}^2 negative, which the unclamped formula feeds
+    into a sqrt (NaN schedule).  As in mfmc_allocation, clamping the
+    gain at 0 is the exact continuous limit of a tie -- that level adds
+    no NEW samples -- which the running max then encodes as
+    m_i = m_{i-1}.  On a naturally |rho|-sorted input every gain is
+    already >= 0 and clamp is a no-op."""
     rhos = np.asarray(rhos, dtype=float)
     costs = np.asarray(costs, dtype=float)
     if rhos.shape[0] == 1:
         return np.array([np.floor(budget / costs[0])], dtype=np.int64)
 
     rho = np.concatenate([rhos, [0.0]])
-    denom = rho[0] ** 2 - rho[1] ** 2
-    r = np.sqrt(costs[0] / costs * (rho[:-1] ** 2 - rho[1:] ** 2) / denom)
+    gains = rho[:-1] ** 2 - rho[1:] ** 2
+    if clamp:
+        gains = np.maximum(gains, 0.0)
+    denom = gains[0]
+    r = np.sqrt(costs[0] / costs * gains / max(denom, 1e-300))
+    r[0] = 1.0                       # exact; robust to denom ~ 0 ties
     m1 = budget / (costs @ r)
     m = np.concatenate([[m1], m1 * r[1:]])
+    if clamp:
+        m = np.maximum.accumulate(m)   # tied level: no new samples
     if m[0] >= 1:
         return np.floor(m).astype(np.int64)
     m[0] = 1
-    m_sub = mfmc_low_budget(rhos[1:], costs[1:], budget - costs[0])
+    m_sub = mfmc_low_budget(rhos[1:], costs[1:], budget - costs[0],
+                            clamp=clamp)
     m[1:] = m_sub
     return m.astype(np.int64)

@@ -686,8 +686,11 @@ class BLUEProblem:
                          compute_mlmc_differences=False):
         # ``t0 = None``: pipelined callers (dispatch-all first) pass no
         # start time -- a dispatch-time stamp would charge every earlier
-        # group's execution to this group's sampling_stats; the recorded
-        # wall then covers only this group's fetch + top-up.
+        # group's execution to this group's sampling_stats.  The wall
+        # recorded here then covers only this group's top-up; the shared
+        # dispatch+batched-fetch wall is attributed pro-rata by N in the
+        # callers (_attribute_batch_wall), so sampling_stats stays a
+        # meaningful per-group cost profile.
         if t0 is None:
             t0 = time()
         # Non-finite samples are masked out of the sums, but the estimator
@@ -771,6 +774,21 @@ class BLUEProblem:
         return self._device_finalize(key_ls, int(N), sums, t0,
                                      compute_mlmc_differences)
 
+    def _attribute_batch_wall(self, dispatched, n_list, wall):
+        """Distribute the shared dispatch+batched-fetch wall across the
+        dispatched groups pro-rata by sample count (the sums arrive in
+        ONE fetch, so no per-group wall exists to measure)."""
+        total = sum(int(n) for d, n in zip(dispatched, n_list)
+                    if d is not None)
+        if total <= 0:
+            return
+        for d, n in zip(dispatched, n_list):
+            if d is None:
+                continue
+            st = self.sampling_stats.setdefault(
+                d[0], {"samples": 0, "wall_s": 0.0})
+            st["wall_s"] += wall * int(n) / total
+
     def _batch_fetch_sums(self, dispatched):
         """One host fetch for every dispatched group's sums.
 
@@ -794,9 +812,11 @@ class BLUEProblem:
             # models are exactly where progress output matters)
             return [self.blue_fn(g, int(n))[0] if n > 0
                     else None for g, n in zip(group_list, n_list)]
+        t0 = time()
         disp = [self._device_dispatch(g, int(n)) if n > 0 else None
                 for g, n in zip(group_list, n_list)]
         host_sums = self._batch_fetch_sums(disp)
+        self._attribute_batch_wall(disp, n_list, time() - t0)
         out = []
         for d, hs, n in zip(disp, host_sums, n_list):
             if d is None:
@@ -1096,6 +1116,8 @@ class BLUEProblem:
                 # _batch_fetch_sums -- sequential per-group fetches
                 # made the estimation wall latency-bound)
                 host_sums = self._batch_fetch_sums(dispatched)
+                self._attribute_batch_wall(dispatched, sample_list,
+                                           time() - t0)
             for gi, (ls, N) in enumerate(zip(flattened_groups,
                                              sample_list)):
                 if N == 0:
@@ -1113,11 +1135,25 @@ class BLUEProblem:
                 done_groups += 1
                 done_N += int(N)
                 if self.verbose and verbose:
-                    rate, eta = progress_rate_eta(done_N, total_N, t0)
-                    print("  group %s: %d samples | %d/%d groups, "
-                          "%d/%d samples (%.0f samples/s, ETA %.0fs)"
-                          % (list(ls), int(N), done_groups, n_active,
-                             done_N, total_N, rate, eta), flush=True)
+                    if pipelined:
+                        # the batched fetch already blocked on ALL
+                        # groups' sampling -- a per-group rate/ETA here
+                        # would be fiction; these lines are completion
+                        # logs and the overall rate prints once below
+                        print("  group %s: %d samples | %d/%d groups, "
+                              "%d/%d samples"
+                              % (list(ls), int(N), done_groups, n_active,
+                                 done_N, total_N), flush=True)
+                    else:
+                        rate, eta = progress_rate_eta(done_N, total_N, t0)
+                        print("  group %s: %d samples | %d/%d groups, "
+                              "%d/%d samples (%.0f samples/s, ETA %.0fs)"
+                              % (list(ls), int(N), done_groups, n_active,
+                                 done_N, total_N, rate, eta), flush=True)
+            if pipelined and self.verbose and verbose and total_N:
+                wall = max(time() - t0, 1e-9)
+                print("  estimation: %d samples in %.2fs (%.0f samples/s)"
+                      % (total_N, wall, total_N / wall), flush=True)
 
         mus, Vs = self.MOSAP.compute_BLUE_estimators(sums, sample_list)
         errs = np.sqrt(Vs)
@@ -1502,14 +1538,24 @@ class BLUEProblem:
                     continue
                 _, data_list, order = best_alt
             sorted_clique = [clique[j] for j in order]
+            # rank cliques AT THE MERGED SCHEDULE (what solve_mfmc will
+            # actually run).  Per-output own-schedule errors are only an
+            # upper bound for consistent-order cliques (the merge adds
+            # samples, lowering every variance) but UNDERESTIMATE a
+            # rescued clique, where the forced order makes the variance
+            # increasing in inverted coordinates -- ranking by them let
+            # an optimistic rescued clique beat a genuinely better
+            # consistent one.
+            m_mg = np.max(np.vstack([d["samples"] for d in data_list]),
+                          axis=0)
             if budget is not None:
-                err = max(d["error"] for d in data_list)
+                err = max(np.sqrt(max(d["variance"](m_mg), 0.0))
+                          for d in data_list)
                 if err < min_err:
                     min_err = err
                     best_group, best_data = sorted_clique, data_list
             else:
-                cost = np.max(np.vstack([d["samples"] for d in data_list]),
-                              axis=0) @ w[sorted_clique]
+                cost = m_mg @ w[sorted_clique]
                 if cost < min_cost:
                     min_cost = cost
                     best_group, best_data = sorted_clique, data_list

@@ -255,12 +255,13 @@ class KernelEngineV2:
             jax.block_until_ready(tuple(a + b for a, b in zip(part, part)))
 
         def _act_ladder(n_pad):
-            # every (n_pad, act) pair _act_rows can produce for this tier
-            acts, a = [], self.batch
-            while a < n_pad:
-                acts.append(a)
-                a *= 4
-            return acts + [n_pad]
+            # every (n_pad, act) pair _act_rows can produce for this
+            # tier, DERIVED from _act_rows itself so the two can never
+            # desynchronize (a missed key = an 8-30s cold combiner
+            # compile mid-solve on this remote-dispatch host)
+            return sorted({self._act_rows(n_pad, 0, n)
+                           for n in range(1, n_pad + 1, self.batch)}
+                          | {self._act_rows(n_pad, 0, n_pad)})
 
         jobs = [(l, t, False) for l in models for t in tiers]
         if collect:

@@ -79,6 +79,34 @@ def test_mfmc_low_budget_recursion():
     assert m @ costs <= 150.0 + costs[0]
 
 
+def test_mfmc_low_budget_forced_order_inversion():
+    """small_budget + the forced-common-order rescue: an inverted
+    near-tie makes a level gain negative; the unclamped Gruber formula
+    fed it into a sqrt and returned a NaN-derived degenerate schedule
+    (with feasible=True -- the small_budget branch skips the corner
+    search's validation).  The clamped path must return a finite,
+    nested, >= 1 schedule, and an untouched naturally-sorted input must
+    be bit-identical with clamp on or off."""
+    from bluest_tpu.estimators.closed_forms import mfmc_allocation
+    sigmas = np.array([2.0, 1.5, 1.2, 1.0])
+    rhos = np.array([1.0, 0.95, 0.90, 0.96])     # |rho| NOT descending
+    costs = np.array([100.0, 10.0, 5.0, 1.0])
+    ok, data = mfmc_allocation(sigmas, rhos, costs, budget=1e4,
+                               small_budget=True,
+                               order=np.array([0, 1, 2, 3]))
+    assert ok
+    m = np.asarray(data["samples"], dtype=float)
+    assert np.all(np.isfinite(m)) and m[0] >= 1
+    assert np.all(m[:-1] <= m[1:])               # nesting
+    assert np.isfinite(data["error"])
+    # natural order: clamp must be a no-op
+    r1 = mfmc_low_budget(np.array([1.0, 0.95, 0.8]),
+                         np.array([100.0, 10.0, 1.0]), 150.0)
+    r2 = mfmc_low_budget(np.array([1.0, 0.95, 0.8]),
+                         np.array([100.0, 10.0, 1.0]), 150.0, clamp=True)
+    np.testing.assert_array_equal(r1, r2)
+
+
 def test_feasible_integer_bounds_ordering():
     sol = np.array([0.3, 7.6, 2.1, 0.0, 5.2])
     lb, ub, idx = feasible_integer_bounds(sol, N=3)
