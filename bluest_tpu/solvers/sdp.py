@@ -248,6 +248,27 @@ def _max_step_scalar(t, dt):
     return jnp.where(dt < 0, -t / jnp.where(dt < 0, dt, -1.0), jnp.inf)
 
 
+def _dual_polish(GT, Gall_mul, gsolve, p, nb, n, cj, z_lp, Z, tau, gate):
+    """Minimum-norm dual correction restoring G^T z + c tau = 0,
+    cone-limited so z stays strictly interior.  Shared by the gated
+    in-loop polish and the unconditional final one -- one implementation
+    so the two sites cannot silently diverge.  ``gate`` maps the dual
+    residual to the initial step fraction (0.0 or 1.0)."""
+    rd = cj * tau + GT(z_lp, Z)
+    delta = -Gall_mul(gsolve(rd))
+    beta = gate(rd)
+    if p:
+        beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp, delta[:p]))
+    if nb:
+        dZc = _sym(delta[p:].reshape(nb, n, n))
+        beta = jnp.minimum(beta, 0.99 * _max_step_psd(Z, dZc))
+    beta = jnp.maximum(beta, 0.0)
+    z_lp = z_lp + beta * delta[:p]
+    if nb:
+        Z = _sym(Z + beta * dZc)
+    return z_lp, Z
+
+
 # ---------------------- one HSD predictor-corrector step ------------------ #
 
 def _iteration_core(cj, Glj, hlj, Aj, Hj, g_ops, gsolve, cnorm, step_frac,
@@ -508,24 +529,16 @@ def _iteration_core(cj, Glj, hlj, Aj, Hj, g_ops, gsolve, cnorm, step_frac,
     # applied only when it keeps z strictly inside the cone.  Late
     # iterations otherwise lose dual feasibility to cancellation when
     # recovering dz through (W^T W)^{-1}, stalling dres at ~1e-4.
-    rd_n = cj * tau_n + GT(z_lp_n, Z_n)
-    delta = -Gall_mul(gsolve(rd_n))
     # gate: polish once the dual residual is small relative to the data --
     # a large projection mid-run throws the iterate off the central path.
-    # The bound is loose (1e-2) because the cone max-step below already
-    # rejects corrections that would leave the interior, and the late-
-    # stage dz recovery through (W^T W)^{-1} can inject O(1e-4) error in
-    # a single step right at convergence.
-    beta = jnp.where(jnp.linalg.norm(rd_n) < 1e-2 * cnorm * tau_n, 1.0, 0.0)
-    if p:
-        beta = jnp.minimum(beta, 0.99 * _max_step_lp(z_lp_n, delta[:p]))
-    if nb:
-        dZc = _sym(delta[p:].reshape(nb, n, n))
-        beta = jnp.minimum(beta, 0.99 * _max_step_psd(Z_n, dZc))
-    beta = jnp.maximum(beta, 0.0)
-    z_lp_n = z_lp_n + beta * delta[:p]
-    if nb:
-        Z_n = _sym(Z_n + beta * dZc)
+    # The bound is loose (1e-2) because the cone max-step already rejects
+    # corrections that would leave the interior, and the late-stage dz
+    # recovery through (W^T W)^{-1} can inject O(1e-4) error in a single
+    # step right at convergence.
+    z_lp_n, Z_n = _dual_polish(
+        GT, Gall_mul, gsolve, p, nb, n, cj, z_lp_n, Z_n, tau_n,
+        lambda rd: jnp.where(jnp.linalg.norm(rd) < 1e-2 * cnorm * tau_n,
+                             1.0, 0.0))
 
     return (x_n, s_lp_n, S_n, z_lp_n, Z_n, tau_n, kappa_n,
             gap_cones, jnp.linalg.norm(
@@ -725,25 +738,17 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     # recovery noise
     tau = st["tau"]
     x = st["x"]
-    z_lp_f, Z_f = st["z_lp"], st["Z"]
-    rd0 = cj * tau + (GlT_mul(z_lp_f) if p else 0.0)
-    if nb:
-        rd0 = rd0 + jnp.einsum('binm,bnm->i', Aj, st["Z"])
-    delta_f = -Gall_mul(gsolve(rd0))
-    beta_f = jnp.asarray(1.0)
-    if p:
-        beta_f = jnp.minimum(beta_f, 0.99 * _max_step_lp(z_lp_f,
-                                                         delta_f[:p]))
-    if nb:
-        dZf = _sym(delta_f[p:].reshape(nb, Aj.shape[2], Aj.shape[2]))
-        beta_f = jnp.minimum(beta_f, 0.99 * _max_step_psd(Z_f, dZf))
-    beta_f = jnp.maximum(beta_f, 0.0)
-    z_lp_f = z_lp_f + beta_f * delta_f[:p]
-    if nb:
-        Z_f = _sym(Z_f + beta_f * dZf)
-    rd = cj * tau + (GlT_mul(z_lp_f) if p else 0.0)
-    if nb:
-        rd = rd + jnp.einsum('binm,bnm->i', Aj, Z_f)
+
+    def GT_f(zl, Zm):
+        out = GlT_mul(zl) if p else 0.0
+        if nb:
+            out = out + jnp.einsum('binm,bnm->i', Aj, Zm)
+        return out
+
+    z_lp_f, Z_f = _dual_polish(
+        GT_f, Gall_mul, gsolve, p, nb, n, cj, st["z_lp"], st["Z"], tau,
+        lambda rd: jnp.asarray(1.0))   # unconditional gate
+    rd = cj * tau + GT_f(z_lp_f, Z_f)
     rp_lp = hlj * tau - Gl_mul(x) - st["s_lp"] if p else st["s_lp"][:0]
     parts = [rp_lp]
     if nb:
@@ -755,7 +760,12 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     dres_f = jnp.linalg.norm(rd) / tau / cnorm
     pobj_f = (cj @ x) / tau
     relgap_f = gap_f / jnp.maximum(1.0, jnp.abs(pobj_f))
-    merit_f = jnp.maximum(relgap_f, jnp.maximum(pres_f, dres_f))
+    # same (feastol / tol) relgap weighting as the in-loop merit -- the
+    # two are compared against each other, so an unweighted fold-in
+    # could displace a strictly better converged iterate whenever
+    # feastol != tol
+    merit_f = jnp.maximum(relgap_f * (feastol / tol),
+                          jnp.maximum(pres_f, dres_f))
     fin = (jnp.isfinite(merit_f) & (tau > 1e-12)
            & (merit_f < st["best_merit"]))
     best_merit = jnp.where(fin, merit_f, st["best_merit"])
@@ -765,8 +775,28 @@ def _ipm_solve(cj, Glj, hlj, Aj, Hj, _Gall_j, _GtG_j, gl_diag, Rj,
     best_dres = jnp.where(fin, dres_f, st["best_dres"])
     best_pobj = jnp.where(fin, pobj_f, st["best_pobj"])
 
+    # (in)feasibility certificate data at the final (un-normalized)
+    # iterate, for the host-side discrimination of a tau collapse
+    # (done == 4): primal infeasible <=> a dual ray (G'z ~ 0, h'z < 0);
+    # unbounded <=> a primal ray (Gx + s ~ 0, c'x < 0); neither -- with
+    # kappa collapsed too -- is a numerically dead embedding, not a
+    # certificate.
+    uz = (jnp.concatenate([st["z_lp"], st["Z"].reshape(-1)]) if nb
+          else st["z_lp"])
+    s_all = (jnp.concatenate([st["s_lp"], st["S"].reshape(-1)]) if nb
+             else st["s_lp"])
+    z_nrm = jnp.maximum(jnp.linalg.norm(uz), 1e-300)
+    x_nrm = jnp.maximum(jnp.linalg.norm(x), 1e-300)
+    htz_rel = ((hlj @ st["z_lp"]
+                + (jnp.sum(Hj * st["Z"]) if nb else 0.0)) / z_nrm)
+    zres_rel = jnp.linalg.norm(GallT_mul(uz)) / z_nrm
+    xres_rel = jnp.linalg.norm(Gall_mul(x) + s_all) / x_nrm
+    ctx_rel = (cj @ x) / x_nrm
+    kap_rel = st["kappa"] / jnp.maximum(1.0, jnp.maximum(z_nrm, x_nrm))
+
     return (best_merit, best_x, best_gap, best_pres,
-            best_dres, best_pobj, st["it"], st["done"])
+            best_dres, best_pobj, st["it"], st["done"],
+            kap_rel, htz_rel, zres_rel, ctx_rel, xres_rel)
 
 
 # ------------------------------- solver ---------------------------------- #
@@ -968,7 +998,8 @@ def solve_cone_lp(c: np.ndarray,
     def _attempt(frac):
         """One dispatch + status derivation.  Returns (result, infra)."""
         try:
-            (best_merit, best_x, gap, pres, dres, pobj, it, done) = _run_ipm(
+            (best_merit, best_x, gap, pres, dres, pobj, it, done,
+             kap_rel, htz_rel, zres_rel, ctx_rel, xres_rel) = _run_ipm(
                 arrays_np, cnorm, hnorm, frac, tol, feastol, max_iter,
                 verbose, bool(woodbury))
         except IPMWorkerInfraError as exc:
@@ -1015,7 +1046,25 @@ def solve_cone_lp(c: np.ndarray,
             # treats it as not-OK; e.g. caps contradicting the coverage
             # constraint).  Checked before max_iter: a collapse detected
             # on the last permitted iteration is still a certificate.
-            status = "infeasible"
+            # Discriminate by the final iterate's ray: a dual ray
+            # (G'z ~ 0, h'z < 0) certifies primal INFEASIBLE; a primal
+            # ray (Gx + s ~ 0, c'x < 0) certifies UNBOUNDED; with kappa
+            # collapsed as well and neither ray present the embedding
+            # died numerically -- labeling that "infeasible" would feed
+            # budget_level_bisection a false certified bound.
+            z_cert = (float(htz_rel) < -1e-9
+                      and float(zres_rel) < 1e-6)
+            x_cert = (float(ctx_rel) < -1e-9
+                      and float(xres_rel) < 1e-6)
+            if float(kap_rel) < 1e-12 and not (z_cert or x_cert):
+                status = "failed"
+            elif x_cert and not z_cert:
+                status = "unbounded"
+            else:
+                # the dual-ray certificate, or an ambiguous collapse
+                # with live kappa (HSD theory: kappa > 0 at the limit
+                # excludes a finite optimum) -- the pre-existing label
+                status = "infeasible"
         elif it >= max_iter:
             status = "max_iter"
         else:
@@ -1038,9 +1087,17 @@ def solve_cone_lp(c: np.ndarray,
         res2, _ = _attempt(0.85)
         rank = {"optimal": 0, "inaccurate": 1, "infeasible": 2,
                 "unbounded": 2, "max_iter": 3, "failed": 4}
+
+        def _worst(r):
+            # gap RELATIVE to the objective, like the status derivation
+            # above -- the absolute gap otherwise swamps pres/dres on
+            # large-objective instances and the tie-break picks the
+            # point with worse feasibility
+            rg = r.gap / max(1.0, abs(r.pobj)) if np.isfinite(r.pobj) \
+                else r.gap
+            return max(r.pres, r.dres, rg)
+
         if rank.get(res2.status, 4) < rank.get(res.status, 4) or (
-                res2.status == res.status
-                and max(res2.pres, res2.dres, res2.gap)
-                < max(res.pres, res.dres, res.gap)):
+                res2.status == res.status and _worst(res2) < _worst(res)):
             res = res2
     return res

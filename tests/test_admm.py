@@ -322,11 +322,12 @@ def test_admm_ipm_cross_family_tier():
     instances must solve natively (no scipy fallback).  This is the
     numerical second-opinion role the reference fills by running
     cvxopt AND cvxpy on the same program (bluest_NS.py:124-140);
-    degenerate (rho -> 0.999) instances are out of scope for a
-    first-order method and stay with the IPM corpus
-    (test_stress_sdp.py)."""
+    rho -> 1-1e-5 ladders are out of scope for a first-order method and
+    stay with the IPM corpus (test_stress_sdp.py).  Seeds >= 10 draw
+    model costs spanning 3 decades (the HH/NS regime) -- solvable by
+    the splitting since the dynamic scale update."""
     n_native = 0
-    seeds = range(10)
+    seeds = range(13)
     for seed in seeds:
         rng = np.random.default_rng(seed)
         M = int(rng.choice([4, 6, 8]))
@@ -339,7 +340,8 @@ def test_admm_ipm_cross_family_tier():
         groups = [[list(c) for c in combinations(range(M), k)]
                   for k in range(1, K + 1)]
         flat = [g for gk in groups for g in gk]
-        costs = np.sort(np.exp(rng.uniform(0.0, np.log(50.0), M)))[::-1]
+        span = 1000.0 if seed >= 10 else 50.0
+        costs = np.sort(np.exp(rng.uniform(0.0, np.log(span), M)))[::-1]
         gcosts = np.array([sum(costs[i] for i in g) for g in flat])
         mk = lambda: MOSAP(Cs, K, [K] * No, groups, [groups] * No,
                            gcosts, [gcosts] * No, verbose=False)
@@ -363,7 +365,8 @@ def test_admm_ipm_cross_family_tier():
             assert v <= eps[n] ** 2 * 1.01, f"seed {seed} output {n}"
         if m_a.n_nlp_fallbacks == 0:
             n_native += 1
-    assert n_native >= len(seeds) // 2 + 1, f"only {n_native}/10 native"
+    assert n_native >= len(seeds) // 2 + 1, \
+        f"only {n_native}/{len(seeds)} native"
 
 
 def test_admm_respects_caps(rng):

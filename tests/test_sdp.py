@@ -304,3 +304,26 @@ def test_generic_covering_sdp_conservative_retry():
                           (-S)[None], (-np.eye(n))[None])
         assert r.status in ("optimal", "inaccurate"), (seed, r.status)
         assert r.gap < 1e-6
+
+
+def test_tau_collapse_discriminates_unbounded_from_infeasible():
+    """A tau collapse (done == 4) is discriminated by the final
+    iterate's ray: a primal ray (Gx + s ~ 0, c'x < 0) certifies
+    UNBOUNDED, a dual ray (G'z ~ 0, h'z < 0) certifies INFEASIBLE.
+    Every collapse used to be labeled 'infeasible' -- wrong on
+    unbounded programs, and a false 'certified' bound for
+    budget_level_bisection's underspend acceptance."""
+    from bluest_tpu.solvers.sdp import solve_cone_lp
+    # unbounded LP: min -x  s.t.  x >= 0
+    r = solve_cone_lp(np.array([-1.0]), np.array([[-1.0]]),
+                      np.array([0.0]))
+    assert r.status == "unbounded", r.status
+    # unbounded SDP: min -x  s.t.  diag(x, 1) >= 0
+    r2 = solve_cone_lp(np.array([-1.0]), None, None,
+                       np.array([[[[-1.0, 0.0], [0.0, 0.0]]]]),
+                       np.array([[[1.0, 0.0], [0.0, 1.0]]]))
+    assert r2.status == "unbounded", r2.status
+    # infeasible LP: x <= -1 and x >= 0 (dual-ray certificate)
+    r3 = solve_cone_lp(np.array([1.0]), np.array([[1.0], [-1.0]]),
+                       np.array([-1.0, 0.0]))
+    assert r3.status == "infeasible", r3.status
