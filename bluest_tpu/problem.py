@@ -565,7 +565,9 @@ class BLUEProblem:
         t0 = time()
         if self._has_factored_jax_model():
             samplefile = self.params["samplefile"]
-            if samplefile is not None:
+            if samplefile is not None and int(N) > 0:
+                # same N > 0 guard as the group branch below: a
+                # zero-sample collect run has nothing to snapshot
                 sums = self._kernel_collect_run(key_ls, key, int(N),
                                                 samplefile)
             else:

@@ -290,6 +290,26 @@ class KernelEngineV2:
         CollectSink) bounds host memory on XL runs."""
         ls = [int(l) for l in ls]
         N = int(N)
+        if N <= 0:
+            # zero-sample request: the bucket loop below never runs and
+            # acc would stay None (TypeError on unpack); return exact
+            # zero sums in the combiner's shapes
+            out_shape, _dt, _ = self._out_struct()
+            No = out_shape[0]
+            d = out_shape[1] if len(out_shape) > 1 else 1
+            k = len(ls)
+            z = jnp.zeros
+            sums = SampleSums(z((No, k, d)), z((No, k, k)),
+                              z((No, k, k, d)), z((No, k, k)),
+                              jnp.zeros((), jnp.int32))
+            if collect and on_chunk is None:
+                th_shape = jax.eval_shape(self.sample_input_fn,
+                                          jax.random.key(0))
+                return (sums,
+                        np.zeros((0, No, k, d) if len(out_shape) > 1
+                                 else (0, No, k)),
+                        np.zeros((0,) + tuple(th_shape.shape)))
+            return sums
         n_pad, n_buckets = self._bucket(N)
         total = n_pad * self.n_sample_shards
 

@@ -54,12 +54,16 @@ def append_snapshots(filename: str, ls: Sequence[int], No: int,
     for n in range(No):
         if n in outputs_to_save:
             for i in range(L):
-                out["values_%d_%d" % (n, i)] = list(values[:, n, i])
+                # array slice, NOT a per-row list: boxing every row as a
+                # Python object multiplies peak memory several-fold on
+                # runs just under the spill threshold (_cat and
+                # _savez_streaming handle ndarrays natively)
+                out["values_%d_%d" % (n, i)] = values[:, n, i]
     if per_model_inputs is not None:
         for i in range(L):
-            out["inputs_%d" % i] = list(per_model_inputs[i])
+            out["inputs_%d" % i] = per_model_inputs[i]
     else:
-        flat_inputs = list(np.asarray(inputs).reshape(N, -1))
+        flat_inputs = np.asarray(inputs).reshape(N, -1)
         for i in range(L):
             out["inputs_%d" % i] = flat_inputs
     _merge_and_write(fname, ls, No, out, N)
@@ -98,7 +102,15 @@ def _savez_streaming(fname: str, mapping: dict) -> None:
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED,
                          allowZip64=True) as zf:
         for key, val in mapping.items():
-            arr = np.asanyarray(val() if callable(val) else val)
+            v = val() if callable(val) else val
+            try:
+                arr = np.asanyarray(v)
+            except ValueError:
+                # ragged list semantics (historical _cat fallback):
+                # numpy >= 1.24 refuses the implicit object promotion,
+                # so build the object array explicitly
+                arr = np.empty(len(v), dtype=object)
+                arr[:] = v
             with zf.open(key + ".npy", "w", force_zip64=True) as fid:
                 npformat.write_array(fid, arr, allow_pickle=True)
     os.replace(tmp, fname)
@@ -119,7 +131,14 @@ def _merge_and_write(fname: str, ls: Sequence[int], No: int, out: dict,
         return
     old = np.load(fname, allow_pickle=True)
     try:
-        assert list(np.asarray(old["models"][0])) == list(ls)
+        if list(np.asarray(old["models"][0])) != list(ls):
+            # e.g. a samplefile reused across studies where two groups'
+            # digit strings collide ((1,12) vs (11,2) -> 'samples112');
+            # must survive python -O, so no assert
+            raise ValueError(
+                "snapshot file %s holds models %s, not %s; use a fresh "
+                "samplefile" % (fname, list(np.asarray(old["models"][0])),
+                                list(ls)))
         old_keys = {k for k in old.files if "values" in k or "inputs" in k}
         if old_keys != set(out):
             # appending with a different outputs_to_save filter would grow
@@ -160,8 +179,13 @@ class SnapshotSpool:
                  outputs_to_save: Optional[Sequence[int]] = None,
                  tmpdir: Optional[str] = None, max_pending: int = 4):
         self.No, self.L = int(No), int(L)
+        # dedup while keeping order: a duplicate entry would write the
+        # column twice per chunk while rows counts it once -- finish()'s
+        # memmap would then read misaligned rows (append_snapshots'
+        # membership test is naturally dedup'd; match it)
         self.outputs = (list(range(No)) if outputs_to_save is None
-                        else [n for n in outputs_to_save if 0 <= n < No])
+                        else list(dict.fromkeys(
+                            n for n in outputs_to_save if 0 <= n < No)))
         self.dir = tempfile.mkdtemp(prefix="bluest_snapspool_", dir=tmpdir)
         self.rows = 0
         self._meta = {}            # key -> (dtype, trailing_shape)
@@ -291,11 +315,14 @@ class CollectSink:
         self.rows_attempted += max(n_att, vals.shape[0])
         if self.spool is None:
             chunk_bytes = vals.nbytes + inputs.nbytes
+            # projection never shrinks below the bytes actually held:
+            # a sink reused past its N_expected (the shared top-up sink
+            # spans up to 4 resample rounds) must keep its memory bound
             projected = ((self.acc_bytes + chunk_bytes)
-                         * (self.N / max(self.rows_attempted, 1)))
+                         * max(self.N / max(self.rows_attempted, 1), 1.0))
             thr = (self.spill_bytes() if callable(self.spill_bytes)
                    else float(self.spill_bytes))
-            if projected > thr and self.rows_attempted < self.N:
+            if projected > thr:
                 self.spool = SnapshotSpool(
                     self.No, self.L, outputs_to_save=self.outputs_to_save,
                     tmpdir=self.tmpdir)
@@ -354,49 +381,64 @@ def merge_snapshot_files(filename: str, ls: Sequence[int],
     ``ls`` and delete them -- the parallel host engine's analog of the
     reference's per-rank npz merge on rank 0 (blue_fn.py:189-222)."""
     fname = snapshot_filename(filename, ls)
-    # load everything first, merge tolerantly, and only delete the
-    # per-worker files after the merged file is written -- a mid-merge
-    # failure must never lose already-deleted worker data
-    acc = None
+    # open every source lazily (npz decompresses per key access), check
+    # consistency up front, then merge COLUMN AT A TIME through the
+    # streaming writer -- materializing every worker file as per-row
+    # Python lists was O(total run) host memory with object overhead,
+    # the one unbounded path left in this module.  Worker files are
+    # deleted only after the merged file is written: a mid-merge failure
+    # must never lose data.
+    sources = []
     if os.path.isfile(fname):
-        acc = {k: [x for x in v]
-               for k, v in dict(np.load(fname, allow_pickle=True)).items()}
-    loaded = []
+        sources.append((None, np.load(fname, allow_pickle=True)))
     for wf in worker_files:
         wname = snapshot_filename(wf, ls)
         if os.path.isfile(wname):
-            loaded.append((wname, dict(np.load(wname, allow_pickle=True))))
-    def data_keys(dd):
-        return {k for k in dd if "values" in k or "inputs" in k}
-
-    for _, d in loaded:
-        if acc is None:
-            acc = {k: [x for x in v] for k, v in d.items()}
-            continue
-        assert list(np.asarray(d["models"][0])) == \
-            list(np.asarray(acc["models"][0]))
-        if data_keys(d) != data_keys(acc):
-            # appending with a different outputs_to_save filter would
-            # leave per-key lists of different lengths with no alignment
-            # metadata -- silent misassociation of outputs and inputs.
-            # The per-worker files are preserved (nothing deleted yet).
-            raise ValueError(
-                "snapshot file %s was written with a different "
-                "outputs_to_save filter than this run (%s vs %s); "
-                "use a fresh samplefile" %
-                (fname, sorted(data_keys(acc)), sorted(data_keys(d))))
-        for key in data_keys(d):
-            acc[key] = acc[key] + [x for x in d[key]]
-        acc["n_samples"] = np.array(
-            [int(np.asarray(acc["n_samples"]).ravel()[0])
-             + int(np.asarray(d["n_samples"]).ravel()[0])])
-    if acc is None:
+            sources.append((wname, np.load(wname, allow_pickle=True)))
+    if not sources:
         return None
-    # atomic replace: a crash mid-write must not destroy prior runs'
-    # merged data
-    tmp = fname + ".tmp.npz"   # np.savez appends .npz to bare names
-    np.savez_compressed(tmp, **acc)
-    os.replace(tmp, fname)
-    for wname, _ in loaded:
-        os.remove(wname)
+
+    def data_keys(dd):
+        return {k for k in dd.files if "values" in k or "inputs" in k}
+
+    try:
+        keys = data_keys(sources[0][1])
+        total_n = 0
+        for wname, d in sources:
+            if list(np.asarray(d["models"][0])) != list(ls):
+                # must survive python -O: no assert (digit-string name
+                # collisions like (1,12) vs (11,2) land here)
+                raise ValueError(
+                    "snapshot file %s holds models %s, not %s"
+                    % (wname or fname,
+                       list(np.asarray(d["models"][0])), list(ls)))
+            if data_keys(d) != keys:
+                # a different outputs_to_save filter would leave per-key
+                # columns of different lengths with no alignment
+                # metadata -- silent misassociation of outputs/inputs.
+                # The per-worker files are preserved (nothing deleted).
+                raise ValueError(
+                    "snapshot file %s was written with a different "
+                    "outputs_to_save filter than this run (%s vs %s); "
+                    "use a fresh samplefile" %
+                    (fname, sorted(keys), sorted(data_keys(d))))
+            total_n += int(np.asarray(d["n_samples"]).ravel()[0])
+
+        def col(k):
+            acc = sources[0][1][k]
+            for _, d in sources[1:]:
+                acc = _cat(acc, d[k])
+            return acc
+
+        cols = {k: (lambda k=k: col(k)) for k in sorted(keys)}
+        meta = {"models": np.array([list(ls)]),
+                "n_samples": np.array([total_n]),
+                "n_outputs": np.asarray(sources[0][1]["n_outputs"])}
+        _savez_streaming(fname, {**cols, **meta})
+    finally:
+        for _, d in sources:
+            d.close()
+    for wname, _ in sources:
+        if wname is not None:
+            os.remove(wname)
     return fname

@@ -797,3 +797,62 @@ def test_mfmc_small_budget_e2e():
         assert md[0] >= 1
         assert md @ w[d["models"]] <= budget * (1 + 1e-12)
         assert np.all(np.isfinite(d["errors"]))
+
+
+def test_snapshot_review_regressions(tmp_path):
+    """Session-4 review fixes: duplicate outputs_to_save entries must
+    not corrupt spooled columns; a top-up sink reused past N_expected
+    keeps its spill bound; a models mismatch raises ValueError (not a
+    -O-stripped assert); zero-sample kernel requests return zero sums."""
+    from bluest_tpu.sampling.snapshots import (SnapshotSpool, CollectSink,
+                                               append_spooled_snapshots,
+                                               append_snapshots)
+    rng = np.random.default_rng(3)
+    # duplicate outputs_to_save: dedup'd, columns stay row-aligned
+    sp = SnapshotSpool(2, 1, outputs_to_save=[0, 0], tmpdir=str(tmp_path))
+    v1, x1 = rng.random((4, 2, 1)), rng.random((4, 2))
+    v2, x2 = rng.random((3, 2, 1)), rng.random((3, 2))
+    sp.append(v1, x1)
+    sp.append(v2, x2)
+    f = append_spooled_snapshots(str(tmp_path / "dup.npz"), [0], 2, sp)
+    d = dict(np.load(f, allow_pickle=True))
+    np.testing.assert_allclose(np.asarray(d["values_0_0"]),
+                               np.concatenate([v1, v2])[:, 0, 0])
+    sp.cleanup()
+
+    # spill bound survives reuse past N_expected (the shared top-up sink)
+    sink = CollectSink(1, 1, N_expected=4, spill_bytes=2000.0,
+                       tmpdir=str(tmp_path))
+    sink.add(rng.random((4, 1, 1)), rng.random((4, 8)))  # fills N_expected
+    assert sink.spool is None
+    for _ in range(10):                                  # top-up rounds
+        sink.add(rng.random((4, 1, 1)), rng.random((4, 8)))
+    assert sink.spool is not None, "reused sink never spilled"
+    sink.close()
+
+    # models mismatch raises ValueError (works under python -O too)
+    f2 = str(tmp_path / "mm.npz")
+    append_snapshots(f2, [1, 12], 2, rng.random((2, 2, 2)),
+                     rng.random((2, 3)))
+    with pytest.raises(ValueError, match="holds models"):
+        append_snapshots(f2, [11, 2], 2, rng.random((2, 2, 2)),
+                         rng.random((2, 3)))
+
+    # zero-sample kernel request: zero sums, no unpack crash (the
+    # sibling group branch already guarded N > 0; the kernel path
+    # unpacked a None accumulator)
+    class Fact(BLUEProblem):
+        def sample_input_jax(self, key):
+            return jax.random.normal(key)
+
+        def evaluate_model_jax(self, l, z):
+            return (jnp.sin(z) / (1.0 + l))[None]
+
+    p = Fact(3, costs=np.array([4.0, 2.0, 1.0]),
+             covariance_estimation_samples=64, verbose=False,
+             samplefile=str(tmp_path / "zero.npz"))
+    sums = p._kernel_engine().sample_sums((0, 1), jax.random.key(0), 0)
+    assert int(np.asarray(sums.n_failed)) == 0
+    assert float(np.abs(np.asarray(sums.sumse)).sum()) == 0.0
+    sumse, _, _ = p.blue_fn([0, 1], 0)
+    assert float(np.abs(np.asarray(sumse, dtype=float)).sum()) == 0.0
