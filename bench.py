@@ -337,6 +337,32 @@ def run_baseline_allocation(problem, quality_rtol=0.05):
     return elapsed, xb, quality
 
 
+def _device_preflight():
+    """The remote-TPU tunnel on this host can hang backend init outright
+    (observed mid-round: jax.devices() blocked > 20 min while the link
+    was wedged).  Probe it in a SUBPROCESS with a timeout and fall back
+    to the CPU backend on failure, so the bench records a (flagged)
+    result instead of hanging its caller forever.  Returns a note for
+    the JSON detail, or None when the default device is healthy."""
+    import subprocess
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc == 0:
+        return None
+    import jax
+    # the site hook pins jax_platforms; env vars do not override it, so
+    # flip the config before backend init (see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+    return ("default device unavailable (tunnel probe rc=%d); "
+            "ran on the CPU backend -- value/vs_baseline NOT comparable "
+            "to device rounds" % rc)
+
+
 def main():
     quick = "--quick" in sys.argv
     global GRIDS, TARGET_SAMPLES, PILOT, BASELINE_SAMPLE_CAP
@@ -345,6 +371,7 @@ def main():
         TARGET_SAMPLES = 50_000
         PILOT = 512
         BASELINE_SAMPLE_CAP = 200
+    device_note = _device_preflight()
 
     problem = build_problem()
     alloc_s, alloc_runs, sample_s, sample_runs, n_evals, mus, errs = \
@@ -390,6 +417,8 @@ def main():
             "max_rel_err": float(np.max(errs) / abs(mus[0])),
         },
     }
+    if device_note is not None:
+        result["detail"]["device_note"] = device_note
     print(json.dumps(result))
 
 
