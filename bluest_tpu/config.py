@@ -44,6 +44,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Optional platform override (BLUEST_TPU_PLATFORM=cpu|tpu|...): site
+# hooks on managed hosts pin jax_platforms to a remote-accelerator
+# plugin and plain JAX_PLATFORMS env vars do NOT override the pin, but
+# a jax.config.update before backend initialization does -- importing
+# bluest_tpu (which imports this module first) is early enough.  The
+# one-line escape hatch when the remote tunnel is down.
+_plat = os.environ.get("BLUEST_TPU_PLATFORM", "")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 # Persistent compilation cache: TPU compiles dominate cold-start time for
 # the per-model kernels; cache them across processes.  Override the
 # location with BLUEST_TPU_CACHE, disable with BLUEST_TPU_CACHE=0.
@@ -104,6 +114,56 @@ import numpy as np
 
 REAL = np.float64
 INDEX = np.int32
+
+def ensure_responsive_device(timeout: float = 240.0, retries: int = 0,
+                             fallback: str = "cpu"):
+    """Probe default-backend initialization in a subprocess; on failure
+    flip THIS process to the ``fallback`` platform.
+
+    Remote-accelerator tunnels can hang backend init outright (observed:
+    ``jax.devices()`` blocked > 20 minutes while the link was wedged), so
+    any user-facing script that touches the default device first should
+    call this before its first JAX op -- a wedged tunnel then costs one
+    bounded probe instead of an indefinite hang.  The tunnel also flaps
+    and recovers within minutes; pass ``retries`` > 0 (~90 s apart,
+    shorter per-attempt timeout) when a device result is worth waiting
+    for (bench does).  Returns ``None`` when the default device is
+    healthy, else a human-readable note describing the fallback.
+
+    Must run before this process initializes its backends; afterwards it
+    still works (``jax.extend.backend.clear_backends`` drops the pinned
+    backend) but any live device arrays are invalidated.
+    """
+    import subprocess
+    import sys as _sys
+    import time as _time
+    rc = 0
+    attempts = 1 + max(int(retries), 0)
+    for attempt in range(attempts):
+        if attempt:
+            _time.sleep(90)
+        try:
+            rc = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout if attempt == 0 else min(timeout, 120.0),
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return None
+    import jax
+    # site hooks pin jax_platforms; env vars do not override the pin, so
+    # flip the config (and drop any already-initialized backend)
+    jax.config.update("jax_platforms", fallback)
+    try:
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+    except Exception:  # pragma: no cover - backend not initialized yet
+        pass
+    return ("default device unavailable (probe rc=%d after %d attempts); "
+            "falling back to the %s backend" % (rc, attempts, fallback))
+
 
 def allocation_device():
     """Device the allocation optimization runs on.

@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from bluest_tpu.config import ensure_responsive_device
+
+# a wedged remote-accelerator tunnel would otherwise hang the first
+# device op indefinitely; probe once and fall back to CPU with a note
+_note = ensure_responsive_device()
+if _note:
+    print("WARNING! " + _note)
+
 from bluest_tpu.models.hodgkin_huxley import (DEFAULT_MODELS,
                                               HodgkinHuxleyProblem)
 

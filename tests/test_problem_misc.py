@@ -265,3 +265,20 @@ def test_host_engine_bounded_resample():
     with pytest.raises(RuntimeError, match="consecutive attempts"):
         host_engine.blue_fn([0, 1], 4, AlwaysBad(), sampler=sampler,
                             verbose=False)
+
+
+def test_platform_override_env_knob():
+    """BLUEST_TPU_PLATFORM must force the JAX platform before backend
+    init (site hooks pin jax_platforms; plain JAX_PLATFORMS env vars do
+    not override the pin -- config.py's update does)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, BLUEST_TPU_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import bluest_tpu.config; import jax; "
+         "print(jax.devices()[0].platform)"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"

@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from bluest_tpu import BLUEProblem
+from bluest_tpu.config import ensure_responsive_device
+
+# a wedged remote-accelerator tunnel would otherwise hang the first
+# device op indefinitely; probe it once and fall back to CPU with a note
+_note = ensure_responsive_device()
+if _note:
+    print("WARNING! " + _note)
 
 n_models = 5
 
