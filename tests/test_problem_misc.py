@@ -282,3 +282,41 @@ def test_platform_override_env_knob():
         env=env, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
+def test_ensure_responsive_device_retry_and_fallback(monkeypatch):
+    """ensure_responsive_device must retry the probe the requested number
+    of times and report the fallback note on persistent failure -- and
+    return None (no note, no platform flip) on a healthy first probe."""
+    import subprocess
+    import time as _time
+    import jax.extend.backend as jeb
+    from bluest_tpu import config
+
+    calls = []
+
+    class _Fail:
+        returncode = 7
+
+    monkeypatch.setattr(_time, "sleep", lambda s: calls.append(("sleep", s)))
+    # the flip itself is environment-global (drops every live backend);
+    # stub it -- the knob test above covers the platform override path
+    monkeypatch.setattr(jeb, "clear_backends", lambda: None)
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: calls.append(("probe",
+                                                      k["timeout"])) or _Fail())
+    note = config.ensure_responsive_device(timeout=200, retries=2)
+    probes = [c for c in calls if c[0] == "probe"]
+    sleeps = [c for c in calls if c[0] == "sleep"]
+    assert len(probes) == 3 and len(sleeps) == 2
+    assert probes[0][1] == 200 and probes[1][1] == 120  # retries: short leash
+    assert note is not None and "after 3 attempts" in note
+
+    class _OK:
+        returncode = 0
+
+    calls.clear()
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: calls.append(("probe",)) or _OK())
+    assert config.ensure_responsive_device(timeout=5, retries=2) is None
+    assert len(calls) == 1                       # healthy: no retries
