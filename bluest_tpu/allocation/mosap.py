@@ -200,12 +200,23 @@ class MOSAP:
         return certmod.kkt_certificate(m, self.costs, grads,
                                        self.variances(m), eps=eps)
 
+    @on_allocation_device
     def get_cleanup_matrices(self, m, delta: float = 0.0) -> np.ndarray:
+        # dispatch every output's kernel first, then ONE gather: the
+        # cleanup walk calls this per iteration, and per-output blocking
+        # fetches serialize link round trips on remote-dispatch backends
+        # (same pattern as the corner search / _pipelined_sumse)
+        import jax
+        import jax.numpy as jnp
+        from ..core import psi as psimod
+        pending = [psimod.cleanup_matrix(
+            self.SAPS[n].data,
+            jnp.asarray(np.asarray(m[self.mappings[n]], dtype=float)), delta)
+            for n in range(self.n_outputs)]
         Xs = []
-        for n in range(self.n_outputs):
+        for n, Xn in enumerate(jax.device_get(pending)):
             X = np.zeros((self.N, self.L))
-            X[:, self.mappings[n]] = self.SAPS[n].get_cleanup_matrix(
-                m[self.mappings[n]], delta=delta)
+            X[:, self.mappings[n]] = Xn
             Xs.append(X)
         return np.vstack(Xs)
 

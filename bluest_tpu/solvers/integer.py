@@ -17,6 +17,7 @@ intended constraint (every output needs e_n @ m >= 1).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -25,6 +26,13 @@ import numpy as np
 
 _PINV_RCOND = 1.0e-10
 _CHUNK = 8192
+# Dispatch all corner-variance chunks asynchronously and fetch them in ONE
+# jax.device_get (the solve-loop _pipelined_sumse pattern): on a
+# remote-dispatch backend a blocking per-chunk fetch pays a full link
+# round trip each (~20 ms x chunks x outputs on the bench instance).
+# BLUEST_TPU_CORNER_PIPELINE=0 restores the synchronous per-chunk fetch
+# (the A/B knob used to validate the win; see CLAUDE.md).
+_PIPELINE = os.environ.get("BLUEST_TPU_CORNER_PIPELINE", "1") != "0"
 
 
 def feasible_integer_bounds(sol: np.ndarray, N: int, e: np.ndarray | None = None):
@@ -99,17 +107,23 @@ def _chunk_corner_var(basephi, psi_idx, ms_chunk):
     return _chunk_var00(phis)
 
 
-def _corner_variances(basephi: np.ndarray, psi_idx: np.ndarray,
-                      ms: np.ndarray) -> np.ndarray:
-    """Variances of all corner candidates, assembled and inverted on
-    device in fixed-size chunks (basephi + psi_idx @ ms never materializes
-    on the host)."""
+def _corner_var_dispatch(basephi: np.ndarray, psi_idx: np.ndarray,
+                         ms: np.ndarray):
+    """Dispatch the corner-variance chunks without blocking.
+
+    Returns ``(pending, widths)`` where ``pending`` is a list of device
+    arrays (one per chunk, still computing) and ``widths`` the valid
+    column count of each.  Callers gather every pending chunk -- across
+    outputs too -- in ONE ``jax.device_get`` so the link latency is paid
+    once, not once per chunk (with ``_PIPELINE`` off each chunk is
+    fetched synchronously, the pre-pipelining behavior).
+
+    Shape stabilization: EVERY chunk is padded to _CHUNK columns and LL
+    to a multiple of 4 zero rows (zero columns of psi_idx contribute
+    nothing to the PHI assembly), so the program key is
+    (M^2, ceil4(LL), _CHUNK) -- a handful of programs instead of one
+    compile round-trip per post-filter corner count."""
     LL, B = ms.shape
-    # shape-stabilize the jitted kernel: EVERY chunk is padded to _CHUNK
-    # columns and LL to a multiple of 4 zero rows (zero columns of
-    # psi_idx contribute nothing to the PHI assembly), so the program
-    # key is (M^2, ceil4(LL), _CHUNK) -- a handful of programs instead
-    # of one compile round-trip per post-filter corner count
     LLp = max(4, 4 * -(-LL // 4))
     pidx_np = psi_idx
     if LLp != LL:
@@ -117,7 +131,7 @@ def _corner_variances(basephi: np.ndarray, psi_idx: np.ndarray,
             [psi_idx, np.zeros((psi_idx.shape[0], LLp - LL))], axis=1)
     bphi = jnp.asarray(basephi)
     pidx = jnp.asarray(pidx_np)
-    out = np.empty(B)
+    pending, widths = [], []
     for s in range(0, B, _CHUNK):
         chunk = ms[:, s:s + _CHUNK].astype(np.float64)
         nb = chunk.shape[1]
@@ -125,9 +139,26 @@ def _corner_variances(basephi: np.ndarray, psi_idx: np.ndarray,
             buf = np.zeros((LLp, _CHUNK))
             buf[:LL, :nb] = chunk
             chunk = buf
-        out[s:s + _CHUNK] = np.asarray(
-            _chunk_corner_var(bphi, pidx, jnp.asarray(chunk)))[:nb]
-    return out
+        dev = _chunk_corner_var(bphi, pidx, jnp.asarray(chunk))
+        pending.append(dev if _PIPELINE else np.asarray(dev))
+        widths.append(nb)
+    return pending, widths
+
+
+def _corner_var_assemble(host_chunks, widths) -> np.ndarray:
+    if not widths:
+        return np.zeros(0)
+    return np.concatenate([np.asarray(h)[:nb]
+                           for h, nb in zip(host_chunks, widths)])
+
+
+def _corner_variances(basephi: np.ndarray, psi_idx: np.ndarray,
+                      ms: np.ndarray) -> np.ndarray:
+    """Variances of all corner candidates, assembled and inverted on
+    device in fixed-size chunks (basephi + psi_idx @ ms never materializes
+    on the host)."""
+    pending, widths = _corner_var_dispatch(basephi, psi_idx, ms)
+    return _corner_var_assemble(jax.device_get(pending), widths)
 
 
 def best_integer_generic(sol, obj: Callable, constr: Callable, N: int,
@@ -240,7 +271,7 @@ def _batch_variances_multi(vals, psis, mappings):
     matrix size instead of once per (shrinking) greedy-wave width."""
     B = vals.shape[1]
     pad = 32 * ((B + 31) // 32)
-    out = []
+    pending = []
     for n in range(len(mappings)):
         Phi = psis[n] @ vals[mappings[n], :].astype(np.float64)  # (M^2, B)
         M = int(round(np.sqrt(psis[n].shape[0])))
@@ -248,8 +279,10 @@ def _batch_variances_multi(vals, psis, mappings):
         if B < pad:
             phis = np.concatenate(
                 [phis, np.broadcast_to(np.eye(M), (pad - B, M, M))], axis=0)
-        out.append(np.asarray(_chunk_var00(jnp.asarray(phis)))[:B])
-    return out
+        dev = _chunk_var00(jnp.asarray(phis))
+        pending.append(dev if _PIPELINE else np.asarray(dev))
+    # one gather for all outputs (see _corner_var_dispatch)
+    return [np.asarray(h)[:B] for h in jax.device_get(pending)]
 
 
 def _feasible_multi(vals, psis, w, e, mappings, budget, eps,
@@ -497,10 +530,12 @@ def _multi_helper(sol, psis, w, e, mappings, budget, eps, lb, ub, idx,
     if ms.size == 0:
         return None, np.inf
 
-    Vs = []
-    for n in range(No):
-        Vs.append(_corner_variances(basephis[n], psis[n][:, idxs[n]],
-                                    ms[redmaps[n], :]))
+    # dispatch every output's chunks first, then ONE gather for all of
+    # them (per-output blocking fetches serialize link round trips)
+    pend = [_corner_var_dispatch(basephis[n], psis[n][:, idxs[n]],
+                                 ms[redmaps[n], :]) for n in range(No)]
+    host = jax.device_get([p[0] for p in pend])
+    Vs = [_corner_var_assemble(h, p[1]) for h, p in zip(host, pend)]
     V_max = np.max(np.stack(Vs), axis=0)
 
     if budget is not None:

@@ -642,3 +642,58 @@ def test_capped_projection_zero_cap_rhs():
     p = np.asarray(proj(jnp.asarray([1.0, 2.0, 3.0, 0.5])))
     assert p[3] == 0.0
     np.testing.assert_allclose(p[:3], [1.0, 2.0, 3.0], atol=1e-9)
+
+
+def test_corner_pipeline_matches_sync():
+    """The pipelined corner-variance fetch (one batched device_get) must
+    be bit-identical to the synchronous per-chunk path it replaced --
+    BLUEST_TPU_CORNER_PIPELINE=0 is the A/B knob."""
+    from bluest_tpu.solvers import integer as integ
+
+    rng = np.random.default_rng(3)
+    M = 5
+    A = rng.standard_normal((M, M))
+    C = A @ A.T + M * np.eye(M)
+    sap, _, costs = make_sap(M=M, K=2, seed=3)
+    psi = np.asarray(sap.psi)
+    LL = 9
+    idx = np.arange(LL)
+    ms = (rng.integers(0, 4, size=(LL, 2 * integ._CHUNK + 7))
+          ).astype(np.float64)
+    basephi = psi @ np.maximum(rng.integers(0, 3, size=sap.L), 0).astype(float)
+
+    v_pipe = integ._corner_variances(basephi, psi[:, idx], ms)
+    old = integ._PIPELINE
+    integ._PIPELINE = False
+    try:
+        v_sync = integ._corner_variances(basephi, psi[:, idx], ms)
+    finally:
+        integ._PIPELINE = old
+    np.testing.assert_array_equal(v_pipe, v_sync)
+
+
+def test_cleanup_matrices_pipelined_matches_per_output():
+    """MOSAP.get_cleanup_matrices (one batched gather across outputs)
+    must equal the per-output SAP.get_cleanup_matrix scatter it
+    replaced."""
+    rng = np.random.default_rng(7)
+    M, No = 4, 3
+    Cs = []
+    for n in range(No):
+        A = rng.standard_normal((M, M))
+        Cs.append(A @ A.T + M * np.eye(M))
+    groups = [[[i] for i in range(M)],
+              [list(c) for c in combinations(range(M), 2)]]
+    costs = 1.0 + np.arange(M + len(groups[1]))[::-1].astype(float)
+    mos = MOSAP(Cs, K=2, Ks=[2] * No, groups=groups,
+                multi_groups=[groups] * No, costs=costs,
+                multi_costs=[costs] * No)
+    m = rng.uniform(0.5, 3.0, size=mos.L)
+    X = mos.get_cleanup_matrices(m)
+    ref = []
+    for n in range(No):
+        Xn = np.zeros((mos.N, mos.L))
+        Xn[:, mos.mappings[n]] = mos.SAPS[n].get_cleanup_matrix(
+            m[mos.mappings[n]])
+        ref.append(Xn)
+    np.testing.assert_allclose(X, np.vstack(ref), rtol=1e-12, atol=1e-14)
