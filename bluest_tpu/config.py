@@ -133,10 +133,22 @@ def ensure_responsive_device(timeout: float = 240.0, retries: int = 0,
     Must run before this process initializes its backends; afterwards it
     still works (``jax.extend.backend.clear_backends`` drops the pinned
     backend) but any live device arrays are invalidated.
+
+    The probe subprocess applies the same ``BLUEST_TPU_PLATFORM``
+    override this module does: a bare ``import jax`` in the child would
+    hit the site hook's pinned tunnel platform, so a user who already
+    forced ``BLUEST_TPU_PLATFORM=cpu`` to dodge a wedged tunnel would
+    still pay the full probe-timeout ladder against the very device they
+    opted out of (observed: forced-cpu bench timing out on the probe).
     """
     import subprocess
     import sys as _sys
     import time as _time
+    probe_src = ("import os, jax\n"
+                 "p = os.environ.get('BLUEST_TPU_PLATFORM', '')\n"
+                 "if p:\n"
+                 "    jax.config.update('jax_platforms', p)\n"
+                 "jax.devices()\n")
     rc = 0
     attempts = 1 + max(int(retries), 0)
     for attempt in range(attempts):
@@ -144,7 +156,7 @@ def ensure_responsive_device(timeout: float = 240.0, retries: int = 0,
             _time.sleep(90)
         try:
             rc = subprocess.run(
-                [_sys.executable, "-c", "import jax; jax.devices()"],
+                [_sys.executable, "-c", probe_src],
                 timeout=timeout if attempt == 0 else min(timeout, 120.0),
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL).returncode

@@ -320,3 +320,31 @@ def test_ensure_responsive_device_retry_and_fallback(monkeypatch):
                         lambda *a, **k: calls.append(("probe",)) or _OK())
     assert config.ensure_responsive_device(timeout=5, retries=2) is None
     assert len(calls) == 1                       # healthy: no retries
+
+
+def test_responsive_device_probe_honors_platform_override(monkeypatch):
+    """The probe subprocess must apply BLUEST_TPU_PLATFORM like the
+    parent does: a bare `import jax` child hits the site hook's pinned
+    tunnel platform, so a forced-cpu caller would still pay the full
+    probe-timeout ladder against the device it opted out of."""
+    import os
+    import subprocess
+    import sys
+    from bluest_tpu import config
+
+    cmds = []
+
+    class _OK:
+        returncode = 0
+
+    monkeypatch.setattr(subprocess, "run",
+                        lambda cmd, **k: cmds.append(cmd) or _OK())
+    assert config.ensure_responsive_device(timeout=5) is None
+    probe_src = cmds[0][-1]
+    assert "BLUEST_TPU_PLATFORM" in probe_src
+    # and the probe source actually works under the override (real child)
+    env = dict(os.environ)
+    env["BLUEST_TPU_PLATFORM"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", probe_src], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
