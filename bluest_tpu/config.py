@@ -189,7 +189,11 @@ def allocation_device():
     import jax
     if os.environ.get("BLUEST_TPU_ALLOC_DEVICE", "cpu") == "cpu":
         try:
-            cpus = jax.devices("cpu")
+            # local, not global: under jax.distributed the global device
+            # list leads with process 0's CPU, which is NOT addressable
+            # from the other processes -- pinning to it would crash every
+            # non-zero process's allocation solve
+            cpus = jax.local_devices(backend="cpu")
             if cpus:
                 return cpus[0]
         except RuntimeError:

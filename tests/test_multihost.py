@@ -34,6 +34,7 @@ port = sys.argv[3]; out = sys.argv[4]
 from bluest_tpu.parallel import initialize_distributed
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
                        num_processes=nproc, process_id=pid)
+print("BLUEST_MH_INIT_OK", flush=True)
 
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -60,6 +61,60 @@ def _free_port():
         return s.getsockname()[1]
 
 
+INIT_MARKER = "BLUEST_MH_INIT_OK"
+
+
+def _run_workers(wfile, nproc, port, out, timeout=240):
+    """Launch the worker script on nproc processes and collect outputs.
+
+    Failure discrimination matters here: one worker CRASHING mid-pipeline
+    leaves the others blocked in a collective (they then die with
+    UNAVAILABLE/DEADLINE noise that looks exactly like a flaky
+    environment), so string-matching those errors would mask real SPMD
+    bugs as skips.  Instead each worker prints INIT_MARKER right after
+    ``initialize_distributed`` returns: once EVERY worker has passed
+    init, the distributed runtime provably works here and any subsequent
+    failure or timeout is a genuine bug.  Only failures before full init
+    are eligible for an environment skip."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, str(wfile), str(pid), str(nproc), port, str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(nproc)]
+    outs = []
+    timed_out = False
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=timeout)
+            outs.append(o.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        for p in procs:
+            p.kill()
+        for p in procs[len(outs):]:
+            o, _ = p.communicate()
+            outs.append(o.decode(errors="replace"))
+    init_ok = all(INIT_MARKER in o for o in outs)
+    full = "\n".join(outs)
+    msg = "\n".join(o[-2000:] for o in outs)
+    if timed_out:
+        if init_ok or "Traceback" in full:
+            raise AssertionError(
+                "workers passed distributed init but the run timed out "
+                "(a worker likely crashed and deadlocked the others):\n"
+                + msg)
+        pytest.skip("jax.distributed %d-process init timed out in this "
+                    "environment" % nproc)
+    if any(p.returncode != 0 for p in procs):
+        if not init_ok and ("UNAVAILABLE" in full or "DEADLINE" in full):
+            pytest.skip("jax.distributed unavailable here:\n" + msg)
+        raise AssertionError("worker failed:\n" + msg)
+
+
 @pytest.mark.slow
 def test_two_process_global_mesh_matches_single(tmp_path):
     import jax
@@ -79,31 +134,7 @@ def test_two_process_global_mesh_matches_single(tmp_path):
     wfile = tmp_path / "worker.py"
     wfile.write_text(WORKER)
     out = tmp_path / "result.npz"
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep))
-    procs = [subprocess.Popen(
-        [sys.executable, str(wfile), str(pid), "2", port, str(out)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
-    outs = []
-    try:
-        for p in procs:
-            o, _ = p.communicate(timeout=240)
-            outs.append(o.decode(errors="replace"))
-    except subprocess.TimeoutExpired:
-        for p in procs:
-            p.kill()
-        pytest.skip("jax.distributed 2-process run timed out in this "
-                    "environment")
-    if any(p.returncode != 0 for p in procs):
-        msg = "\n".join(o[-2000:] for o in outs)
-        if "UNAVAILABLE" in msg or "DEADLINE" in msg:
-            pytest.skip("jax.distributed unavailable here:\n" + msg)
-        raise AssertionError("worker failed:\n" + msg)
+    _run_workers(wfile, 2, str(_free_port()), out)
 
     got = np.load(out)
     np.testing.assert_allclose(got["sumse"], np.asarray(ref.sumse),
@@ -129,6 +160,7 @@ from bluest_tpu.parallel import (initialize_distributed,
                                  SAMPLE_AXIS, MODEL_AXIS)
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
                        num_processes=nproc, process_id=pid)
+print("BLUEST_MH_INIT_OK", flush=True)
 
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -168,30 +200,75 @@ def test_dcn_mesh_two_process(tmp_path):
     wfile = tmp_path / "dcn_worker.py"
     wfile.write_text(DCN_WORKER)
     out = tmp_path / "dcn_result.npz"
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep))
-    procs = [subprocess.Popen(
-        [sys.executable, str(wfile), str(pid), "2", port, str(out)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
-    outs = []
-    try:
-        for p in procs:
-            o, _ = p.communicate(timeout=240)
-            outs.append(o.decode(errors="replace"))
-    except subprocess.TimeoutExpired:
-        for p in procs:
-            p.kill()
-        pytest.skip("jax.distributed 2-process run timed out in this "
-                    "environment")
-    if any(p.returncode != 0 for p in procs):
-        msg = "\n".join(o[-2000:] for o in outs)
-        if "UNAVAILABLE" in msg or "DEADLINE" in msg:
-            pytest.skip("jax.distributed unavailable here:\n" + msg)
-        raise AssertionError("worker failed:\n" + msg)
+    _run_workers(wfile, 2, str(_free_port()), out)
     got = np.load(out)
     assert abs(float(got["val"]) - float(got["expect"])) < 1e-9
+
+
+E2E_WORKER = r"""
+import os, sys
+import numpy as np
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]
+
+from bluest_tpu.parallel import initialize_distributed, sample_mesh
+initialize_distributed(coordinator_address="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=pid)
+print("BLUEST_MH_INIT_OK", flush=True)
+
+from bluest_tpu.models.analytic import ExpSeriesProblem
+
+# full pipeline on the 8-device global mesh: pilot covariance estimation,
+# allocation (MOSAP + IPM on the LOCAL cpu device -- a global-device pin
+# would crash pid 1), integer projection, estimation run
+problem = ExpSeriesProblem(5, mesh=sample_mesh(), verbose=False,
+                           covariance_estimation_samples=64)
+problem.setup_solver(K=3, budget=100.0)
+mus, errs, cost = problem.solve(K=3, budget=100.0)
+np.savez(out + ".p%d.npz" % pid,
+         mu=np.asarray(mus, dtype=float), err=np.asarray(errs, dtype=float),
+         samples=np.asarray(problem.MOSAP_output["samples"]),
+         cost=float(cost))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_blueproblem_end_to_end(tmp_path):
+    """Full BLUEProblem pipeline under jax.distributed (2 processes x 4
+    virtual devices): pilot estimation, allocation on each process's
+    LOCAL cpu device (config.allocation_device must not pin process 0's
+    global device), integer projection, and the estimation run.  Both
+    processes must agree with each other AND with a single-process run
+    on the same 8-device mesh (the engine keys samples globally, so the
+    process partitioning must be invisible)."""
+    import jax
+    from bluest_tpu.models.analytic import ExpSeriesProblem
+    from bluest_tpu.parallel import sample_mesh
+
+    ref_p = ExpSeriesProblem(5, mesh=sample_mesh(), verbose=False,
+                             covariance_estimation_samples=64)
+    ref_p.setup_solver(K=3, budget=100.0)
+    ref_mu, ref_err, _ = ref_p.solve(K=3, budget=100.0)
+
+    wfile = tmp_path / "e2e_worker.py"
+    wfile.write_text(E2E_WORKER)
+    out = tmp_path / "e2e_result"
+    _run_workers(wfile, 2, str(_free_port()), out, timeout=420)
+
+    got = [np.load(str(out) + ".p%d.npz" % pid) for pid in range(2)]
+    # the two processes ran ONE SPMD program: identical results required
+    np.testing.assert_array_equal(got[0]["mu"], got[1]["mu"])
+    np.testing.assert_array_equal(got[0]["samples"], got[1]["samples"])
+    # and the process split must be invisible vs single-process
+    np.testing.assert_array_equal(got[0]["samples"],
+                                  np.asarray(ref_p.MOSAP_output["samples"]))
+    np.testing.assert_allclose(got[0]["mu"], np.asarray(ref_mu, float),
+                               rtol=1e-12)
+    np.testing.assert_allclose(got[0]["err"], np.asarray(ref_err, float),
+                               rtol=1e-9)
