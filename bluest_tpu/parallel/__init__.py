@@ -1,2 +1,3 @@
 from .mesh import (sample_mesh, sample_model_mesh, dcn_sample_model_mesh,
-                   initialize_distributed, SAMPLE_AXIS, MODEL_AXIS)
+                   initialize_distributed, fetch_global,
+                   SAMPLE_AXIS, MODEL_AXIS)

@@ -43,6 +43,25 @@ def initialize_distributed(**kwargs) -> None:
     jax.distributed.initialize(**kwargs)
 
 
+def fetch_global(x) -> np.ndarray:
+    """``np.asarray`` for arrays that may span non-addressable devices.
+
+    Under ``jax.distributed`` a sample-sharded engine output lives partly
+    on other processes' devices and a direct fetch raises.  Gather it
+    through a replicating collective instead, so every process receives
+    the full logical array -- the TPU-native analog of the reference's
+    rank-0 snapshot gather (blue_fn.py:189-199).  COLLECTIVE: in a
+    multi-process run every process must call this on the same array.
+    Single-process (or already fully-addressable) arrays take the plain
+    fetch path untouched."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        # tiled=True: required for global (non-fully-addressable) input;
+        # the result is the full logical array, replicated on every host
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def dcn_sample_model_mesh(n_model: Optional[int] = None) -> jax.sharding.Mesh:
     """Multi-slice 2D mesh laid out for the interconnect hierarchy.
 

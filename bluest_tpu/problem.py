@@ -614,6 +614,13 @@ class BLUEProblem:
         samplefile (the system temp dir is often RAM-backed tmpfs, which
         would defeat the memory bound)."""
         from .sampling import snapshots
+        if jax.process_index() != 0:
+            # multi-process run: every process participates in the
+            # engine's replicating gather (a collective), but only
+            # process 0 accumulates and writes the samplefile --
+            # concurrent appends to one npz on a shared filesystem race
+            # (reference rank-0 merge, blue_fn.py:189-222)
+            return snapshots.NullSink()
         sdir = os.path.dirname(os.path.abspath(samplefile)) or None
         return snapshots.CollectSink(
             self.n_outputs, len(key_ls), N, self._collect_spill_bytes,

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import MODEL_AXIS, SAMPLE_AXIS
+from ..parallel.mesh import MODEL_AXIS, SAMPLE_AXIS, fetch_global
 from .jax_engine import SampleSums
 
 
@@ -334,7 +334,11 @@ class KernelEngineV2:
                 a + b2 for a, b2 in zip(acc, part))
             if collect:
                 idx = base + np.arange(total)
-                o = np.asarray(outs)
+                # sample-sharded under a multi-process mesh: fetch via a
+                # replicating gather (plain np.asarray raises on arrays
+                # spanning non-addressable devices); every process runs
+                # this same collective, only process 0's sink persists
+                o = fetch_global(outs)
                 axes = (1, 2, 0) if o.ndim == 3 else (1, 2, 0, 3)
                 ovals = o.transpose(axes)          # (total, No, k[, d])
                 # drop non-finite rows: the combiner masks them out of
@@ -345,11 +349,11 @@ class KernelEngineV2:
                     axis=tuple(range(1, ovals.ndim)))
                 sel = (idx < N) & finite
                 if on_chunk is not None:
-                    on_chunk(ovals[sel], np.asarray(th)[sel],
+                    on_chunk(ovals[sel], fetch_global(th)[sel],
                              int(min(total, N - base)))
                 else:
                     vals.append(ovals[sel])
-                    thetas.append(np.asarray(th)[sel])
+                    thetas.append(fetch_global(th)[sel])
         se, sc, d1, d2, nf = acc
         sums = SampleSums(se, sc, d1, d2, nf)
         if collect and on_chunk is None:

@@ -359,6 +359,23 @@ class CollectSink:
         self.vals, self.inputs = [], []
 
 
+class NullSink:
+    """Sink for non-zero processes in a multi-process run: the engine's
+    replicating gather hands every process the full snapshot rows, but
+    only process 0 persists them (the reference's rank-0 write,
+    blue_fn.py:189-222) -- on a shared filesystem concurrent appends to
+    the same npz would race."""
+
+    def add(self, vals, inputs, attempted_rows=None) -> None:
+        pass
+
+    def write(self, filename, ls) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def append_spooled_snapshots(filename: str, ls: Sequence[int], No: int,
                              spool: SnapshotSpool) -> Optional[str]:
     """Append a finished :class:`SnapshotSpool` to the snapshot file for

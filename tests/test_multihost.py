@@ -226,9 +226,13 @@ from bluest_tpu.models.analytic import ExpSeriesProblem
 
 # full pipeline on the 8-device global mesh: pilot covariance estimation,
 # allocation (MOSAP + IPM on the LOCAL cpu device -- a global-device pin
-# would crash pid 1), integer projection, estimation run
+# would crash pid 1), integer projection, estimation run.  samplefile is
+# set: the collect path must gather sample-sharded chunks across
+# processes (a plain fetch raises on non-addressable shards) and only
+# process 0 may write the npz
 problem = ExpSeriesProblem(5, mesh=sample_mesh(), verbose=False,
-                           covariance_estimation_samples=64)
+                           covariance_estimation_samples=64,
+                           samplefile=out + "_snap.npz")
 problem.setup_solver(K=3, budget=100.0)
 mus, errs, cost = problem.solve(K=3, budget=100.0)
 np.savez(out + ".p%d.npz" % pid,
@@ -247,12 +251,15 @@ def test_two_process_blueproblem_end_to_end(tmp_path):
     processes must agree with each other AND with a single-process run
     on the same 8-device mesh (the engine keys samples globally, so the
     process partitioning must be invisible)."""
+    import glob
+
     import jax
     from bluest_tpu.models.analytic import ExpSeriesProblem
     from bluest_tpu.parallel import sample_mesh
 
     ref_p = ExpSeriesProblem(5, mesh=sample_mesh(), verbose=False,
-                             covariance_estimation_samples=64)
+                             covariance_estimation_samples=64,
+                             samplefile=str(tmp_path / "ref_snap.npz"))
     ref_p.setup_solver(K=3, budget=100.0)
     ref_mu, ref_err, _ = ref_p.solve(K=3, budget=100.0)
 
@@ -272,3 +279,19 @@ def test_two_process_blueproblem_end_to_end(tmp_path):
                                rtol=1e-12)
     np.testing.assert_allclose(got[0]["err"], np.asarray(ref_err, float),
                                rtol=1e-9)
+    # snapshot parity: process 0 wrote the same per-group files (same
+    # groups, same keys, identical rows) as the single-process run --
+    # the collect path's cross-process gather must be order-preserving
+    # and exactly-once (reference rank-0 merge, blue_fn.py:189-222)
+    ref_files = sorted(glob.glob(str(tmp_path / "ref_snap*.npz")))
+    got_files = sorted(glob.glob(str(out) + "_snap*.npz"))
+    assert ref_files, "reference run wrote no snapshot files"
+    ref_tags = [os.path.basename(f)[len("ref_snap"):] for f in ref_files]
+    got_tags = [os.path.basename(f)[len(os.path.basename(str(out))
+                                       + "_snap"):] for f in got_files]
+    assert got_tags == ref_tags, (got_tags, ref_tags)
+    for rf, gf in zip(ref_files, got_files):
+        rd, gd = np.load(rf), np.load(gf)
+        assert sorted(rd.files) == sorted(gd.files), (rf, gf)
+        for k in rd.files:
+            np.testing.assert_array_equal(rd[k], gd[k], err_msg=f"{gf}:{k}")
