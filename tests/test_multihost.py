@@ -295,3 +295,105 @@ def test_two_process_blueproblem_end_to_end(tmp_path):
         assert sorted(rd.files) == sorted(gd.files), (rf, gf)
         for k in rd.files:
             np.testing.assert_array_equal(rd[k], gd[k], err_msg=f"{gf}:{k}")
+
+
+# the model-parallel toy of tests/test_sharding.py, inlined so the worker
+# subprocess needs nothing importable beyond the package itself
+MODEL_PARALLEL_CLS = r"""
+import jax.numpy as jnp
+from bluest_tpu import BLUEProblem
+
+class ModelParallelProblem(BLUEProblem):
+    D = 8
+
+    def sample_input_jax(self, key):
+        return jax.random.normal(key, (self.D,))
+
+    def evaluate_model_jax(self, l, theta):
+        m = jax.lax.axis_index("model")
+        half = self.D // 2
+        sl = jax.lax.dynamic_slice(theta, (m * half,), (half,))
+        local = jnp.sum(jnp.exp(0.2 * sl)) / (l + 1.0)
+        return jax.lax.psum(local, "model")[None]
+"""
+
+E2E_DCN_WORKER = r"""
+import os, sys
+import numpy as np
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]
+
+from bluest_tpu.parallel import (initialize_distributed,
+                                 dcn_sample_model_mesh)
+initialize_distributed(coordinator_address="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=pid)
+print("BLUEST_MH_INIT_OK", flush=True)
+
+__CLS__
+
+# BASELINE config 5 end-to-end: each model instance spans 2 intra-process
+# devices (psum over the model axis stays on "ICI"), the sample axis
+# crosses the process boundary ("DCN")
+mesh = dcn_sample_model_mesh(n_model=2)
+for row in mesh.devices:
+    assert len({d.process_index for d in row}) == 1, mesh.devices
+p = ModelParallelProblem(3, costs=np.array([4.0, 2.0, 1.0]), mesh=mesh,
+                         covariance_estimation_samples=256,
+                         device_batch_size=128, verbose=False)
+C = np.asarray(p.get_covariance())
+eps = 0.1 * float(np.sqrt(C[0, 0]))
+p.setup_solver(K=2, eps=eps)
+mus, errs, cost = p.solve(K=2, eps=eps)
+np.savez(out + ".p%d.npz" % pid, mu=np.asarray(mus, float),
+         err=np.asarray(errs, float), C=C,
+         samples=np.asarray(p.MOSAP_output["samples"]), cost=float(cost))
+""".replace("__CLS__", MODEL_PARALLEL_CLS)
+
+
+@pytest.mark.slow
+def test_two_process_dcn_model_parallel_end_to_end(tmp_path):
+    """Full BLUEProblem pipeline on the 2-process DCN 2D mesh: the model
+    psums over an intra-process 'model' axis while samples shard across
+    the process boundary.  Must match a single-process run on the same
+    8-device (4, 2) mesh exactly (global sample keying makes the process
+    split invisible; the mesh device order is identical by construction)."""
+    import jax
+    from bluest_tpu.parallel import dcn_sample_model_mesh
+
+    ns = {"jax": jax, "np": np}
+    exec(MODEL_PARALLEL_CLS, ns)
+    ref_p = ns["ModelParallelProblem"](
+        3, costs=np.array([4.0, 2.0, 1.0]),
+        mesh=dcn_sample_model_mesh(n_model=2),
+        covariance_estimation_samples=256, device_batch_size=128,
+        verbose=False)
+    C = np.asarray(ref_p.get_covariance())
+    eps = 0.1 * float(np.sqrt(C[0, 0]))
+    ref_p.setup_solver(K=2, eps=eps)
+    ref_mu, ref_err, _ = ref_p.solve(K=2, eps=eps)
+
+    wfile = tmp_path / "e2e_dcn_worker.py"
+    wfile.write_text(E2E_DCN_WORKER)
+    out = tmp_path / "e2e_dcn_result"
+    _run_workers(wfile, 2, str(_free_port()), out, timeout=420)
+
+    got = [np.load(str(out) + ".p%d.npz" % pid) for pid in range(2)]
+    np.testing.assert_array_equal(got[0]["mu"], got[1]["mu"])
+    np.testing.assert_array_equal(got[0]["samples"], got[1]["samples"])
+    np.testing.assert_allclose(got[0]["C"], C, rtol=1e-12)
+    np.testing.assert_array_equal(got[0]["samples"],
+                                  np.asarray(ref_p.MOSAP_output["samples"]))
+    np.testing.assert_allclose(got[0]["mu"], np.asarray(ref_mu, float),
+                               rtol=1e-12)
+    np.testing.assert_allclose(got[0]["err"], np.asarray(ref_err, float),
+                               rtol=1e-9)
+    # statistical sanity: E[sum exp(0.2 Z_i)] = D exp(0.02)
+    truth = 8 * np.exp(0.02)
+    assert abs(float(got[0]["mu"][0]) - truth) < 6 * max(
+        float(got[0]["err"][0]), 0.1)
