@@ -496,6 +496,12 @@ class BLUEProblem:
     def blue_fn(self, ls, N, verbose=True, compute_mlmc_differences=False):
         if self._has_jax_model():
             return self._blue_fn_device(ls, N, compute_mlmc_differences)
+        # host models under jax.distributed run redundantly per process
+        # (same seed -> same samples); keep the rank-0 snapshot-write
+        # discipline so processes sharing a filesystem can't race on the
+        # npz (device engines get this via _collect_sink's NullSink)
+        samplefile = (self.params["samplefile"]
+                      if jax.process_index() == 0 else None)
         n_workers = int(self.params.get("host_workers", 1))
         model_workers = int(self.params.get("model_workers", 1))
         if n_workers > 1 or model_workers > 1:
@@ -503,7 +509,7 @@ class BLUEProblem:
                 ls, N, self, n_workers, No=self.n_outputs,
                 compute_mlmc_differences=compute_mlmc_differences,
                 model_workers=model_workers,
-                filename=self.params["samplefile"],
+                filename=samplefile,
                 outputs_to_save=self.params["outputs_to_save"])
         return host_engine.blue_fn(
             ls, N, self, sampler=self.sampler,
@@ -511,7 +517,7 @@ class BLUEProblem:
             N1=self.params["sample_batch_size"], No=self.n_outputs,
             verbose=self.verbose and verbose,
             compute_mlmc_differences=compute_mlmc_differences,
-            filename=self.params["samplefile"],
+            filename=samplefile,
             outputs_to_save=self.params["outputs_to_save"])
 
     def _kernel_engine(self):
