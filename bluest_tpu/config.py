@@ -115,6 +115,14 @@ import numpy as np
 REAL = np.float64
 INDEX = np.int32
 
+def _pinned_platform() -> str:
+    """First platform THIS process's jax config is currently pinned to
+    ('' when unpinned).  Split out so tests can stub the pin state."""
+    import jax as _jax
+    cur = str(_jax.config.jax_platforms or "")
+    return cur.split(",")[0].strip().lower()
+
+
 def ensure_responsive_device(timeout: float = 240.0, retries: int = 0,
                              fallback: str = "cpu"):
     """Probe default-backend initialization in a subprocess; on failure
@@ -144,6 +152,12 @@ def ensure_responsive_device(timeout: float = 240.0, retries: int = 0,
     import subprocess
     import sys as _sys
     import time as _time
+    # the probe tests a FRESH subprocess's default backend; if this
+    # process has already re-pinned jax_platforms to the fallback (e.g.
+    # a test harness's jax.config.update("jax_platforms", "cpu")), the
+    # tunnel is out of the picture and probing it only burns the timeout
+    if _pinned_platform() == fallback:
+        return None
     probe_src = ("import os, jax\n"
                  "p = os.environ.get('BLUEST_TPU_PLATFORM', '')\n"
                  "if p:\n"

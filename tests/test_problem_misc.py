@@ -302,6 +302,9 @@ def test_ensure_responsive_device_retry_and_fallback(monkeypatch):
     # the flip itself is environment-global (drops every live backend);
     # stub it -- the knob test above covers the platform override path
     monkeypatch.setattr(jeb, "clear_backends", lambda: None)
+    # conftest pins this process to cpu, which legitimately short-circuits
+    # the probe; pretend we're on the tunnel platform to reach the ladder
+    monkeypatch.setattr(config, "_pinned_platform", lambda: "axon")
     monkeypatch.setattr(subprocess, "run",
                         lambda *a, **k: calls.append(("probe",
                                                       k["timeout"])) or _Fail())
@@ -339,6 +342,11 @@ def test_responsive_device_probe_honors_platform_override(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run",
                         lambda cmd, **k: cmds.append(cmd) or _OK())
+    # already-pinned-to-fallback processes skip the probe entirely (the
+    # tunnel is out of the picture; probing it only burns the timeout)
+    assert config.ensure_responsive_device(timeout=5) is None
+    assert cmds == []
+    monkeypatch.setattr(config, "_pinned_platform", lambda: "axon")
     assert config.ensure_responsive_device(timeout=5) is None
     probe_src = cmds[0][-1]
     assert "BLUEST_TPU_PLATFORM" in probe_src
