@@ -33,7 +33,12 @@ port = sys.argv[3]; out = sys.argv[4]
 
 from bluest_tpu.parallel import initialize_distributed
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
-                       num_processes=nproc, process_id=pid)
+                       num_processes=nproc, process_id=pid,
+                       # pool churn makes every cached program cold and
+                       # per-process compile walls diverge by minutes; the
+                       # default 300s shutdown barrier then kills the
+                       # slower (healthy) worker when the faster one exits
+                       shutdown_timeout_seconds=1200)
 print("BLUEST_MH_INIT_OK", flush=True)
 
 import jax.numpy as jnp
@@ -64,7 +69,7 @@ def _free_port():
 INIT_MARKER = "BLUEST_MH_INIT_OK"
 
 
-def _run_workers(wfile, nproc, port, out, timeout=240):
+def _run_workers(wfile, nproc, port, out, timeout=420):
     """Launch the worker script on nproc processes and collect outputs.
 
     Failure discrimination matters here: one worker CRASHING mid-pipeline
@@ -159,7 +164,12 @@ from bluest_tpu.parallel import (initialize_distributed,
                                  dcn_sample_model_mesh,
                                  SAMPLE_AXIS, MODEL_AXIS)
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
-                       num_processes=nproc, process_id=pid)
+                       num_processes=nproc, process_id=pid,
+                       # pool churn makes every cached program cold and
+                       # per-process compile walls diverge by minutes; the
+                       # default 300s shutdown barrier then kills the
+                       # slower (healthy) worker when the faster one exits
+                       shutdown_timeout_seconds=1200)
 print("BLUEST_MH_INIT_OK", flush=True)
 
 import jax.numpy as jnp
@@ -219,7 +229,12 @@ port = sys.argv[3]; out = sys.argv[4]
 
 from bluest_tpu.parallel import initialize_distributed, sample_mesh
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
-                       num_processes=nproc, process_id=pid)
+                       num_processes=nproc, process_id=pid,
+                       # pool churn makes every cached program cold and
+                       # per-process compile walls diverge by minutes; the
+                       # default 300s shutdown barrier then kills the
+                       # slower (healthy) worker when the faster one exits
+                       shutdown_timeout_seconds=1200)
 print("BLUEST_MH_INIT_OK", flush=True)
 
 from bluest_tpu.models.analytic import ExpSeriesProblem
@@ -266,7 +281,7 @@ def test_two_process_blueproblem_end_to_end(tmp_path):
     wfile = tmp_path / "e2e_worker.py"
     wfile.write_text(E2E_WORKER)
     out = tmp_path / "e2e_result"
-    _run_workers(wfile, 2, str(_free_port()), out, timeout=420)
+    _run_workers(wfile, 2, str(_free_port()), out, timeout=900)
 
     got = [np.load(str(out) + ".p%d.npz" % pid) for pid in range(2)]
     # the two processes ran ONE SPMD program: identical results required
@@ -332,7 +347,12 @@ port = sys.argv[3]; out = sys.argv[4]
 from bluest_tpu.parallel import (initialize_distributed,
                                  dcn_sample_model_mesh)
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
-                       num_processes=nproc, process_id=pid)
+                       num_processes=nproc, process_id=pid,
+                       # pool churn makes every cached program cold and
+                       # per-process compile walls diverge by minutes; the
+                       # default 300s shutdown barrier then kills the
+                       # slower (healthy) worker when the faster one exits
+                       shutdown_timeout_seconds=1200)
 print("BLUEST_MH_INIT_OK", flush=True)
 
 __CLS__
@@ -381,7 +401,7 @@ def test_two_process_dcn_model_parallel_end_to_end(tmp_path):
     wfile = tmp_path / "e2e_dcn_worker.py"
     wfile.write_text(E2E_DCN_WORKER)
     out = tmp_path / "e2e_dcn_result"
-    _run_workers(wfile, 2, str(_free_port()), out, timeout=420)
+    _run_workers(wfile, 2, str(_free_port()), out, timeout=900)
 
     got = [np.load(str(out) + ".p%d.npz" % pid) for pid in range(2)]
     np.testing.assert_array_equal(got[0]["mu"], got[1]["mu"])
