@@ -33,7 +33,7 @@ import numpy as np
 def cone_certificate(form: str, res) -> Dict:
     """Flatten a solvers.sdp.ConeLPResult into a report dict."""
     relgap = float(res.gap) / max(1.0, abs(float(res.pobj)))
-    return {
+    cert = {
         "form": form,
         "status": res.status,
         "iterations": int(res.iterations),
@@ -42,6 +42,11 @@ def cone_certificate(form: str, res) -> Dict:
         "dres": float(res.dres),
         "pobj": float(res.pobj),
     }
+    # problem shape (nx/p/nb/n/rank/woodbury) for flops accounting --
+    # absent on results from non-cone solvers (NLP fallback points)
+    if getattr(res, "dims", None):
+        cert["dims"] = dict(res.dims)
+    return cert
 
 
 def record(certificates: List[Dict], form: str, res) -> Dict:

@@ -70,6 +70,40 @@ class ConeLPResult(NamedTuple):
     pres: float
     dres: float
     pobj: float
+    dims: Optional[dict] = None   # {nx, p, nb, n, rank, woodbury, wall_s}:
+                                  # problem shape + solve wall for flops
+                                  # accounting (bench MFU lines)
+
+
+def ipm_iteration_flops(dims: dict) -> float:
+    """Estimated f64 flops of ONE IPM iteration from the problem dims
+    recorded in ``ConeLPResult.dims`` (documented model, ~2x accuracy --
+    for achieved-FLOP/s reporting, not for exact op counts).
+
+    Per iteration the solver refactors the normal matrix once and runs
+    ~4 solves against it (predictor, corrector, tau border, centering
+    fallback), plus batched NT scaling algebra on the (nb, n, n) PSD
+    blocks (cholesky x2, SVD, eigh line searches ~ 20 n^3 each).
+
+    Woodbury path (``_wood_factor``/``_wood_apply``): capacitance build
+    ``W^T (W/d0)`` = 2 nx r^2, Cholesky r^3/3, and each solve pays
+    (1 + _WOOD_REFINE) refinement rounds of one implicit solve + one
+    matvec ~ 8 nx r each.
+
+    Dense path (``_chol_factor``): Hmat formation 2 nb nx^2 n^2
+    (the ``einsum`` over coefficient slabs) + nx^3/3 factorization +
+    solves ~ 4 x 2 nx^2.
+    """
+    nx = float(dims["nx"])
+    nb = float(dims["nb"])
+    n = float(dims["n"])
+    r = float(dims.get("rank", 0))
+    nt = nb * 20.0 * n ** 3
+    if dims.get("woodbury"):
+        n_ref = 1.0 + _WOOD_REFINE
+        return (2.0 * nx * r * r + r ** 3 / 3.0
+                + 4.0 * n_ref * 8.0 * nx * r + nt)
+    return 2.0 * nb * nx * nx * n * n + nx ** 3 / 3.0 + 8.0 * nx * nx + nt
 
 
 def _sym(A):
@@ -994,6 +1028,11 @@ def solve_cone_lp(c: np.ndarray,
 
     arrays_np = (c_np, Gl_dev, hl_np, As_np, Hs_np, Gall_dev, GtG,
                  gl_diag, R_np)
+    # problem shape for downstream flops accounting (bench MFU lines);
+    # rank is the low-rank part of the normal matrix either way (the
+    # dense path still factors the same diag + rank-r operator densely)
+    dims_rec = {"nx": int(nx), "p": int(p), "nb": int(nb), "n": int(n),
+                "rank": int(max(rank_lr, 0)), "woodbury": bool(woodbury)}
 
     def _attempt(frac):
         """One dispatch + status derivation.  Returns (result, infra)."""
@@ -1013,13 +1052,15 @@ def solve_cone_lp(c: np.ndarray,
                 print("cone solve infrastructure failure: %s" % exc)
             return ConeLPResult(x=np.full(nx, np.nan), status="failed",
                                 iterations=0, gap=np.inf, pres=np.inf,
-                                dres=np.inf, pobj=np.nan), True
+                                dres=np.inf, pobj=np.nan,
+                                dims=dims_rec), True
 
         it = int(it)
         if not np.isfinite(float(best_merit)):
             return ConeLPResult(x=np.full(nx, np.nan), status="failed",
                                 iterations=it, gap=np.inf, pres=np.inf,
-                                dres=np.inf, pobj=np.nan), False
+                                dres=np.inf, pobj=np.nan,
+                                dims=dims_rec), False
         gap_f = float(gap)
         pres_f = float(pres)
         dres_f = float(dres)
@@ -1071,8 +1112,10 @@ def solve_cone_lp(c: np.ndarray,
             status = "failed"
         return ConeLPResult(x=xb, status=status, iterations=it,
                             gap=gap_f, pres=pres_f, dres=dres_f,
-                            pobj=pobj_f), False
+                            pobj=pobj_f, dims=dims_rec), False
 
+    import time as _time
+    _t0 = _time.perf_counter()
     res, infra = _attempt(step_frac)
     if res.status == "failed" and not infra and step_frac > 0.92:
         # A 0.99 fraction-to-boundary can wedge the iterate off-center
@@ -1100,4 +1143,8 @@ def solve_cone_lp(c: np.ndarray,
         if rank.get(res2.status, 4) < rank.get(res.status, 4) or (
                 res2.status == res.status and _worst(res2) < _worst(res)):
             res = res2
+    # total solve wall (incl. trace/compile on a cold program + any
+    # conservative retry); every attempt's result shares dims_rec, so
+    # this reaches the certificate no matter which attempt won
+    dims_rec["wall_s"] = _time.perf_counter() - _t0
     return res
