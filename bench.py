@@ -14,8 +14,21 @@ allocation phase (the reference's non-SDP solver, sap.py:387-418).
 The baseline sampling loop is measured on a subset and extrapolated
 linearly.
 
+Headline semantics (round 4): ``value`` is the STEADY-STATE end-to-end
+wall -- a from-scratch allocation re-solve on warm compiled programs
+(alloc_rebuild_s) plus the estimation run (sample_s).  Round <= 3 used
+the first-allocation wall as the alloc term, which swung 8x across
+identical-code runs purely from remote-pool rotations making the
+persistent compile cache cold (VERDICT r3 weak #1); the cold wall is
+still reported (alloc_cold_s, and value_cold_semantics for continuity
+with BENCH_r01..r03) and flagged ``environment_read`` when the
+cold/rebuild ratio shows the cache-miss tell.
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...,
+   "alloc_rebuild_s": ..., "alloc_warm_s": ..., "sample_s": ...,
+   "evals_per_s": ..., "max_rel_err": ..., "device": ...,
+   "mfu": ..., "detail": {...}}
 """
 
 import json
@@ -36,7 +49,7 @@ PILOT = 4096
 BASELINE_SAMPLE_CAP = 2000
 
 
-def build_problem(verbose=False):
+def build_problem(verbose=False, f64=False):
     import os
     import jax.numpy as jnp
     from bluest_tpu.models.diffusion import DiffusionProblem
@@ -50,7 +63,8 @@ def build_problem(verbose=False):
     # faster at this batch; 4096 is now a tie, so keep the larger batch)
     kw = dict(grids=GRIDS, n_kl=N_KL, sigma=SIGMA, nu=NU,
               multi_output=True, verbose=verbose,
-              device_batch_size=16384, dtype=jnp.float32)
+              device_batch_size=16384,
+              dtype=None if f64 else jnp.float32)
     # the pilot covariance phase is deterministic (fixed seed) and takes
     # minutes; it is NOT part of the timed metric (alloc + estimation),
     # so cache the estimated model graph between runs (the library's own
@@ -90,6 +104,86 @@ def total_evaluations(problem):
 
 def total_samples(problem):
     return int(np.sum(problem.MOSAP_output["samples"]))
+
+
+# ---------------------- flops / roofline accounting ---------------------- #
+# Public per-chip peaks for the devices this bench can land on (the MFU
+# denominator).  TPU v5e ("TPU v5 lite"): 197 TFLOP/s bf16 MXU, 819 GB/s
+# HBM (public spec).  XLA:TPU lowers f32 GEMMs to bf16 MXU passes at
+# DEFAULT precision, so the bf16 peak is the correct matmul roofline for
+# this bench's f32 model path; non-GEMM (VPU) work is counted against the
+# same peak, which UNDERSTATES utilization -- conservative by design.
+_DEVICE_PEAKS = {
+    "TPU v5 lite": {"flops": 197e12, "hbm_gb_s": 819.0},
+    "TPU v4": {"flops": 275e12, "hbm_gb_s": 1228.0},
+    "TPU v5p": {"flops": 459e12, "hbm_gb_s": 2765.0},
+}
+
+
+def flops_per_sample(l):
+    """Documented flop count of ONE coupled-sample evaluation of model l
+    (models/diffusion.py): n = grid cells, k = N_KL modes.
+
+    * KL mode synthesis ``modes @ (ck*xi)``: a (n,k)@(k,) contraction per
+      sample = 2nk flops (under vmap this is the (n,k)@(k,B) MXU GEMM;
+      the sin() mode matrix itself is sample-independent and hoisted).
+    * cyclic reduction (log2 n levels, total reduced indices ~ n):
+      forward ~12 flops/index + back substitution ~5 = ~17n.
+    * tridiagonal assembly + exp + three QoIs: ~11n.
+    """
+    n = GRIDS[l]
+    return 2.0 * n * N_KL + 28.0 * n
+
+
+def bytes_per_sample(l, itemsize=4):
+    """Estimated HBM traffic of one sample of model l (+-2x accounting,
+    for the roofline readout only): cyclic reduction streams 4 arrays
+    through ~2n elements of levels (read) + ~n writes each, plus the
+    coefficient/QoI passes ~ 8n -> ~ 21n elements."""
+    return 21.0 * GRIDS[l] * itemsize
+
+
+def sampling_flops(problem):
+    """Total model-evaluation flops of the solved allocation."""
+    out = problem.MOSAP_output
+    fl = sum(int(n) * sum(flops_per_sample(l) for l in g)
+             for g, n in zip(out["flattened_groups"], out["samples"]))
+    by = sum(int(n) * sum(bytes_per_sample(l) for l in g)
+             for g, n in zip(out["flattened_groups"], out["samples"]))
+    return float(fl), float(by)
+
+
+def device_info():
+    import jax
+    d = jax.devices()[0]
+    return "%s:%s" % (d.platform, d.device_kind), d.device_kind
+
+
+def ipm_report(problem):
+    """Flops accounting for the final cone solve (the allocation hot
+    loop): dims recorded by solvers.sdp.solve_cone_lp, flop model
+    documented in solvers.sdp.ipm_iteration_flops."""
+    from bluest_tpu.solvers.sdp import ipm_iteration_flops
+    certs = [c for c in getattr(problem.MOSAP, "certificates", [])
+             if c.get("dims") and c.get("iterations", 0) > 0]
+    if not certs:
+        return None
+    c = certs[-1]
+    d = c["dims"]
+    fpi = ipm_iteration_flops(d)
+    wall = d.get("wall_s")
+    rep = {
+        "nx": d["nx"], "nb": d["nb"], "n": d["n"], "rank": d["rank"],
+        "woodbury": bool(d["woodbury"]),
+        "iterations": int(c["iterations"]),
+        "flops_per_iter_est": round(fpi),
+        "solve_wall_s": None if wall is None else round(wall, 4),
+        "device": "host-cpu (allocation backend, f64)",
+    }
+    if wall:
+        rep["achieved_gflops"] = round(
+            fpi * c["iterations"] / wall / 1e9, 2)
+    return rep
 
 
 def run_bluest_tpu(problem, budget0=2.0e4):
@@ -139,7 +233,7 @@ def run_bluest_tpu(problem, budget0=2.0e4):
         if mus is None:
             mus, errs = m, e
     return (alloc_s, alloc_runs, min(sample_runs), sample_runs,
-            total_evaluations(problem), mus, errs)
+            total_evaluations(problem), mus, errs, budget)
 
 
 def numpy_model_eval(ls, xi):
@@ -369,10 +463,18 @@ def main():
     device_note = _device_preflight()
 
     problem = build_problem()
-    alloc_s, alloc_runs, sample_s, sample_runs, n_evals, mus, errs = \
-        run_bluest_tpu(problem)
+    alloc_s, alloc_runs, sample_s, sample_runs, n_evals, mus, errs, budget \
+        = run_bluest_tpu(problem)
     n_samples = total_samples(problem)
-    ours = alloc_s + sample_s
+    ipm = ipm_report(problem)
+
+    # flops / roofline accounting for the estimation phase (the sampling
+    # programs execute on the default device; helpers documented above)
+    model_flops, model_bytes = sampling_flops(problem)
+    dev_str, dev_kind = device_info()
+    peaks = _DEVICE_PEAKS.get(dev_kind)
+    achieved_fs = model_flops / max(sample_s, 1e-9)
+    mfu = (achieved_fs / peaks["flops"]) if peaks else None
 
     # warm re-solve at a fresh budget: what a user pays once programs are
     # compiled and the budget ray is cached (separates the compile-cache
@@ -381,24 +483,67 @@ def main():
     problem.setup_solver(K=K, budget=1.1 * float(problem.MOSAP.budget or 1.0))
     alloc_warm_s = time.time() - t0
 
+    # one f64 estimation rep for the record: the headline sampling runs
+    # the MODEL in f32 (estimator sums always accumulate in f64) while
+    # the library default and the priced numpy baseline are f64 -- this
+    # rep states the precision cost instead of leaving the comparison
+    # precision-mismatched (VERDICT r3 item 7)
+    p64 = build_problem(f64=True)
+    p64.setup_solver(K=K, budget=budget)
+    runs64 = []
+    for _ in range(2):
+        t0 = time.time()
+        p64.solve(K=K, budget=budget)
+        runs64.append(time.time() - t0)
+    sample_s_f64 = min(runs64)
+
     base_alloc_s, _, base_alloc_quality = run_baseline_allocation(problem)
     base_sample_s, tier_checks = run_baseline_sampling(problem)
     baseline = base_alloc_s + base_sample_s
 
+    # steady-state headline: rebuild alloc + sampling.  The first
+    # allocation's wall (alloc_cold_s) additionally pays whatever the
+    # persistent compile cache could not supply, which on this remote
+    # pool is an ENVIRONMENT read: a pool rotation makes every cached
+    # executable cold (identical code measured 0.79 s vs 8.56 s in round
+    # 3).  The tell: cold >> rebuild on the same in-process programs.
+    ours = alloc_runs[1] + sample_s
+    environment_read = bool(alloc_runs[0] > 3.0 * max(alloc_runs[1], 0.05)
+                            or device_note is not None)
+
     result = {
-        "metric": "mosap_alloc_plus_%.0esample_estimation_wall" % TARGET_SAMPLES,
+        "metric": ("mosap_alloc_rebuild_plus_%.0esample_estimation_wall"
+                   % TARGET_SAMPLES),
         "value": round(ours, 3),
         "unit": "s",
         "vs_baseline": round(baseline / ours, 2),
+        "alloc_rebuild_s": round(alloc_runs[1], 3),
+        "alloc_warm_s": round(alloc_warm_s, 3),
+        "alloc_cold_s": round(alloc_runs[0], 3),
+        "sample_s": round(sample_s, 3),
+        "evals_per_s": round(n_evals / max(sample_s, 1e-9)),
+        "max_rel_err": float(np.max(errs) / abs(mus[0])),
+        "device": dev_str,
+        "model_dtype": "float32",
+        "mfu": None if mfu is None else round(mfu, 5),
+        "environment_read": environment_read,
         "detail": {
-            "alloc_s": round(alloc_s, 3),
-            "alloc_rebuild_s": round(alloc_runs[1], 3),
-            "alloc_warm_s": round(alloc_warm_s, 3),
-            "sample_s": round(sample_s, 3),
+            "value_cold_semantics": round(alloc_runs[0] + sample_s, 3),
             "sample_runs_s": [round(s, 3) for s in sample_runs],
+            "sample_s_f64": round(sample_s_f64, 3),
+            "sample_f64_runs_s": [round(s, 3) for s in runs64],
             "n_model_evals": n_evals,
             "n_samples": n_samples,
-            "evals_per_s": round(n_evals / max(sample_s, 1e-9)),
+            "model_flops_est": round(model_flops),
+            "achieved_gflops": round(achieved_fs / 1e9, 2),
+            "mfu_basis": (None if peaks is None else
+                          "%s peak %.0f TF/s (bf16 MXU; f32 GEMMs lower "
+                          "to bf16 passes at DEFAULT precision)"
+                          % (dev_kind, peaks["flops"] / 1e12)),
+            "hbm_gb_s_est": (None if peaks is None else round(
+                model_bytes / max(sample_s, 1e-9) / 1e9, 1)),
+            "hbm_peak_gb_s": None if peaks is None else peaks["hbm_gb_s"],
+            "ipm": ipm,
             "baseline_kind": ("reference-architecture PROXY on this host "
                               "(per-sample scipy loop + trust-constr NLP "
                               "at matched solution quality -- see "
@@ -409,7 +554,6 @@ def main():
                                        else round(base_alloc_quality, 4)),
             "baseline_sample_s_priced": round(base_sample_s, 3),
             "baseline_tier_check": tier_checks,
-            "max_rel_err": float(np.max(errs) / abs(mus[0])),
         },
     }
     if device_note is not None:
