@@ -7,7 +7,7 @@ faster in one window and 13% slower in a controlled one).  This harness
 makes perf experiments decidable anyway: it interleaves the two variants
 within one window (ABBA blocks, cancelling linear drift), runs each rep
 in a fresh subprocess (import-time env knobs like BLUEST_TPU_GONDZIO and
-BLUEST_TPU_WOODBURY are baked into the traced program), and reports
+BLUEST_TPU_WOOD_PAD are baked into the traced program), and reports
 PAIRED ratios on the warm-program solve -- the only comparison that has
 been reproducible on this hardware.
 
@@ -52,9 +52,13 @@ def _child(k: int) -> None:
         os.path.abspath(__file__))))
     import bluest_tpu.config  # noqa: F401  (x64 + cache, must be first)
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    import jax.extend.backend as jeb
-    jeb.clear_backends()
+    # AB_KEEP_PLATFORM=1 leaves the default (tunnel) platform live so a
+    # BLUEST_TPU_ALLOC_DEVICE=default variant measures alloc ON the real
+    # accelerator; everything else pins CPU (the alloc default backend)
+    if os.environ.get("AB_KEEP_PLATFORM", "") != "1":
+        jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend as jeb
+        jeb.clear_backends()
 
     import numpy as np
     from bluest_tpu import BLUEProblem
