@@ -1,0 +1,342 @@
+"""Active-set Newton polish of continuous eps-mode allocations.
+
+Role: close the gap between solver tolerance and the ~1e-8 parity target
+(BASELINE.md).  Iterative solvers (IPM ~1e-8 relgap, first-order ~1e-6,
+NLP ~1e-6) leave the last digits of the optimum on the table; polishing
+fixes the point's support and active tolerance constraints and runs
+full Newton on the reduced KKT system
+
+    w_S + sum_n  lambda_n  dV_n/dm_S  = 0        (stationarity)
+    V_n(m) = eps_n^2          for active n       (primal feasibility)
+
+through the library's own variance/gradient/Hessian closures (a code
+path independent of every cone solver's internals -- the same closures
+the KKT certificate uses).  From a solver-accurate starting point this
+converges quadratically to ~machine precision in 2-4 steps, so two
+DIFFERENT solver families polished independently must land on optimal
+values agreeing to ~1e-10 unless one of them was not actually near the
+optimum -- which is exactly what the golden-parity tier asserts
+(tests/test_golden_reference.py, VERDICT r3 item 2).
+
+On massively degenerate optimal faces (the NS K=7 regime) the polished
+POINTS may differ across families -- the face is flat -- but the
+polished cost and variances still agree at the optimum value.
+
+Scope: eps-form only (the golden datasets' mode).  Budget-mode parity
+follows from the eps-form by the homogeneity ray (MOSAP.sdp_solve);
+polishing there would re-derive the same system under a rescale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["polish_eps"]
+
+
+def _mosap_closures(mos):
+    """(variances, grad_n, hess_n, mappings, costs, L) for a MOSAP; a
+    single-output SAP is wrapped with a trivial mapping."""
+    if hasattr(mos, "SAPS"):
+        maps = [np.asarray(mp, dtype=int) for mp in mos.mappings]
+        saps = mos.SAPS
+        return saps, maps, mos.costs, mos.L, mos.n_outputs
+    return [mos], [np.arange(mos.L)], mos.costs, mos.L, 1
+
+
+
+
+def polish_eps(mos, m0, eps, support_rtol: float = 1e-9,
+               active_rtol: float = 1e-3, max_newton: int = 40,
+               tol: float = 1e-12, trace: bool = False) -> dict:
+    """Polish a continuous eps-mode allocation to ~machine precision.
+
+    Three stages, each of which can only improve the point:
+
+    1. **Adaptive clamp + exact rescale.** Solver points carry tail
+       coordinates many orders below the support scale (IPM interior
+       noise, NLP dust).  V is homogeneous of degree -1 in m, so for
+       any clamp threshold the point ``alpha * m_clamped`` with
+       ``alpha = max_n V_n(m_clamped)/eps_n^2`` is EXACTLY feasible;
+       the largest threshold whose rescaled cost does not exceed the
+       others' fixes the true support without any curvature
+       information.
+    2. **Equality-constrained Newton on the clean support** (the KKT
+       system in the module docstring), with a trust-region cap,
+       ratio-test freezing of coordinates the optimum pushes to the
+       bound, and merit backtracking.  From a solver-accurate start on
+       the right support this converges quadratically.
+    3. **One reduced-cost readmission round**: frozen/clamped
+       coordinates with negative reduced cost re-enter and Newton
+       reruns once.  The best feasible point seen anywhere is returned,
+       so polishing can never hand back something worse than stage 1.
+
+    Returns a dict: ``m``, ``cost``, ``variances``, ``stationarity`` /
+    ``feasibility`` / ``complementarity`` (relative residuals at the
+    returned point), ``support``, ``newton_iters``, ``converged``.
+    """
+    saps, maps, w, L, No = _mosap_closures(mos)
+    m_raw = np.maximum(np.asarray(m0, dtype=float).copy(), 0.0)
+    eps = np.atleast_1d(np.asarray(eps, dtype=float))
+    if eps.shape == (1,):
+        eps = np.repeat(eps, No)
+    if eps.shape != (No,):
+        raise ValueError("eps must be scalar or one value per output")
+    epsq = eps ** 2
+    mx = float(m_raw.max())
+    if not (np.isfinite(mx) and mx > 0):
+        raise ValueError("m0 is not a usable starting point")
+    wn = float(np.linalg.norm(w)) + 1e-300
+
+    def variances_at(mm):
+        try:
+            return np.array([saps[n].variance(mm[maps[n]])
+                             for n in range(No)])
+        except (AssertionError, np.linalg.LinAlgError):
+            # e.g. a step left model 0 uncovered: treat as infinitely
+            # infeasible so merit guards reject the point
+            return np.full(No, np.inf)
+
+    def grads_at(mm, outs):
+        G = {}
+        for n in outs:
+            g = np.zeros(L)
+            g[maps[n]] = np.asarray(
+                saps[n].variance_GH(mm[maps[n]], nohess=True)[1])
+            G[n] = g
+        return G
+
+    # ---------------- stage 1: adaptive clamp + rescale ---------------- #
+    def rescaled(threshold):
+        mc = m_raw.copy()
+        mc[mc <= threshold * mx] = 0.0
+        if mc.max() <= 0:
+            return None, np.inf
+        Vc = variances_at(mc)
+        if not np.all(np.isfinite(Vc)):
+            return None, np.inf
+        alpha = float(np.max(Vc / epsq))
+        if not (np.isfinite(alpha) and alpha > 0):
+            return None, np.inf
+        mc *= alpha                 # exact feasibility by homogeneity
+        return mc, float(mc @ w)
+
+    # two passes: find the cheapest rescaled clamp, then take the
+    # LARGEST threshold (sparsest support) within 1e-9 of it -- a
+    # single replace-on-tie pass kept the densest support instead and
+    # handed Newton a junk-tail start (observed: a clean scipy point
+    # polished onto an entirely wrong 54%-more-expensive vertex)
+    cands = []
+    for thr in (1e-2, 1e-3, 1e-4, 1e-6, support_rtol):
+        mc, cc = rescaled(thr)
+        if mc is not None:
+            cands.append((mc, cc))
+    if not cands:                   # pathological input: raw + rescale
+        mc, cc = rescaled(0.0)
+        if mc is None:
+            raise FloatingPointError("variance closure failed on m0")
+        cands.append((mc, cc))
+    cost_min = min(cc for _, cc in cands)
+    m, cost1 = next((mc, cc) for mc, cc in cands
+                    if cc <= cost_min * (1.0 + 1e-9))
+    best = {"m": m.copy(), "cost": float(m @ w),
+            "V": variances_at(m), "stat": np.inf, "feas": 0.0,
+            "comp": np.inf}
+
+    V = best["V"]
+    active = [n for n in range(No)
+              if V[n] >= (1.0 - active_rtol) * epsq[n]]
+    if not active:
+        active = [int(np.argmax(V / epsq))]
+    inS = m > 0
+    iters = 0
+    stat = feas = np.inf
+
+    # ------------- stage 2 (+3): Newton with one readmission ----------- #
+    for _round in range(3):
+        lam = None
+        converged = False
+        for _ in range(max_newton):
+            iters += 1
+            S = np.where(inS)[0]
+            wS = w[S]
+            V = variances_at(m)
+            Gfull = grads_at(m, active)
+            G = np.stack([Gfull[n][S] for n in active])
+            if lam is None or lam.shape != (len(active),):
+                lam, *_ = np.linalg.lstsq(-G.T, wS, rcond=None)
+                lam = np.maximum(lam, 0.0)
+            F1 = wS + G.T @ lam
+            F2 = V[active] - epsq[active]
+            stat = float(np.linalg.norm(F1)) / wn
+            feas = float(np.max(np.abs(F2) / epsq[active]))
+            merit = stat + feas
+            if trace:
+                print("polish it=%d |S|=%d active=%s stat=%.2e "
+                      "feas=%.2e cost=%.10e"
+                      % (iters, S.size, active, stat, feas, float(m @ w)))
+            if feas <= 100 * tol:
+                c_now = float(m @ w)
+                # cost decides; at cost ties (1e-12 relative -- the
+                # noise floor of converged iterates) KKT quality decides
+                cheaper = c_now < best["cost"] * (1 - 1e-12)
+                tied = abs(c_now - best["cost"]) <= 1e-12 * best["cost"]
+                if cheaper or (tied and max(stat, feas)
+                               < max(best["stat"], best["feas"])):
+                    best = {"m": m.copy(), "cost": c_now, "V": V.copy(),
+                            "stat": stat, "feas": feas, "comp": np.inf}
+            if stat <= tol and feas <= tol:
+                converged = True
+                break
+            # output active-set corrections (cheap, inline)
+            drop = [n for i, n in enumerate(active) if lam[i] <= 0
+                    and V[n] < (1.0 - 1e-9) * epsq[n]]
+            add = [n for n in range(No) if n not in active
+                   and V[n] > (1.0 + 10 * tol) * epsq[n]]
+            if drop or add:
+                active = [n for n in active if n not in drop] + add
+                if not active:
+                    active = [int(np.argmax(V / epsq))]
+                lam = None
+                continue
+
+            Hl = {n: np.asarray(saps[n].variance_GH(m[maps[n]])[2])
+                  for n in active}
+            H = np.zeros((S.size, S.size))
+            for i, n in enumerate(active):
+                loc = -np.ones(L, dtype=int)
+                loc[maps[n]] = np.arange(maps[n].size)
+                sel = loc[S]
+                has = np.where(sel >= 0)[0]
+                H[np.ix_(has, has)] += lam[i] * Hl[n][
+                    np.ix_(sel[has], sel[has])]
+            na = len(active)
+            KKT = np.block([[H, G.T], [G, np.zeros((na, na))]])
+            rhs = -np.concatenate([F1, F2])
+            try:
+                step = np.linalg.solve(KKT, rhs)
+            except np.linalg.LinAlgError:
+                step = None
+            if step is None or not np.all(np.isfinite(step)):
+                step, *_ = np.linalg.lstsq(KKT, rhs, rcond=None)
+            dm, dl = step[:S.size], step[S.size:]
+            mS = m[S]
+            alpha = 1.0
+            # trust region: near-singular reduced Hessians produced
+            # ~1e34 raw steps on diffuse supports in an early draft
+            dmax = float(np.max(np.abs(dm)))
+            tr = 10.0 * (float(np.max(mS)) + 1.0)
+            if dmax > tr:
+                alpha = tr / dmax
+            blocking = None
+            neg = np.where(dm < 0)[0]
+            if neg.size:
+                ratios = -mS[neg] / dm[neg]
+                j = int(np.argmin(ratios))
+                if ratios[j] < alpha:
+                    alpha = float(ratios[j])
+                    blocking = int(S[neg[j]])
+            if blocking is not None:
+                # bound-hitting step on the CLEAN support: freeze and
+                # continue (at most |S| such steps).  Stationarity may
+                # transiently worsen, so no stationarity test -- but
+                # FEASIBILITY must survive: an unguarded freeze was
+                # observed wrecking V by 38x and freezing the last
+                # model-0 group (invalid point) on a degenerate ladder.
+                m_try = m.copy()
+                m_try[S] = np.maximum(mS + alpha * dm, 0.0)
+                m_try[blocking] = 0.0
+                Vt = variances_at(m_try)
+                ft = (float(np.max(np.abs(Vt[active] - epsq[active])
+                                   / epsq[active]))
+                      if np.all(np.isfinite(Vt[active])) else np.inf)
+                if not np.isfinite(ft) or ft > max(10.0 * feas, 1e-8):
+                    break           # invalid freeze: best-so-far stands
+                m = m_try
+                inS[blocking] = False
+                lam = None
+                continue
+
+            def kkt_merit(mm, ll):
+                Vt = variances_at(mm)
+                if not np.all(np.isfinite(Vt[active])):
+                    return np.inf
+                Gt = grads_at(mm, active)
+                GtS = np.stack([Gt[n][S] for n in active])
+                st = float(np.linalg.norm(wS + GtS.T @ ll)) / wn
+                fe = float(np.max(np.abs(Vt[active] - epsq[active])
+                                  / epsq[active]))
+                return st + fe
+
+            accepted = False
+            for _bt in range(15):
+                m_try = m.copy()
+                m_try[S] = np.maximum(mS + alpha * dm, 0.0)
+                l_try = lam + alpha * dl
+                if kkt_merit(m_try, l_try) < merit:
+                    accepted = True
+                    break
+                alpha *= 0.5
+            if not accepted:
+                break               # stalled; stage-1/best guard stands
+            m = m_try
+            lam = l_try
+
+        # ----------------- stage 3: readmission round ------------------ #
+        if lam is None or lam.shape != (len(active),):
+            S = np.where(inS)[0]
+            Gfull = grads_at(m, active)
+            Gr = np.stack([Gfull[n][S] for n in active])
+            lam, *_ = np.linalg.lstsq(-Gr.T, w[S], rcond=None)
+            lam = np.maximum(lam, 0.0)
+        else:
+            Gfull = grads_at(m, active)
+        red = w + sum(lam[i] * Gfull[n] for i, n in enumerate(active))
+        comp_thr = 1e-6 * wn    # degenerate zeros flicker below this
+        readmit = np.where(~inS & (red < -comp_thr))[0]
+        if readmit.size == 0:
+            break
+        inS[readmit] = True
+
+    comp = max(0.0, float(-np.min(
+        red[~inS], initial=0.0)) / wn) if (~inS).any() else 0.0
+
+    # endgame selection between the final iterate and the best point
+    # seen: FEASIBLE AND CHEAPER wins outright (the problem is convex
+    # -- a feasible lower-cost point is simply better, whatever its
+    # stationarity residual says about the restricted system it came
+    # from; preferring low-stat here once kept a wrong-support vertex
+    # 54% above the optimum)
+    V = variances_at(m)
+    feas_final = (float(np.max(np.abs(V[active] - epsq[active])
+                               / epsq[active]))
+                  if np.all(np.isfinite(V[active])) else np.inf)
+    c_final = float(m @ w)
+    take_best = best["feas"] <= 100 * tol and (
+        feas_final > 100 * tol
+        or best["cost"] < c_final * (1 - 1e-12)
+        or (abs(best["cost"] - c_final) <= 1e-12 * c_final
+            and max(best["stat"], best["feas"]) < max(stat, feas_final)))
+    if take_best:
+        m, V = best["m"], best["V"]
+        stat, feas = best["stat"], best["feas"]
+    else:
+        feas = feas_final
+    cost = float(m @ w)
+    return {
+        "m": m,
+        "cost": cost,
+        "variances": V,
+        "stationarity": stat,
+        "feasibility": feas,
+        "complementarity": comp,
+        "active_outputs": list(active),
+        "support": np.where(m > 0)[0],
+        "newton_iters": iters,
+        # 1e-10 floor: merit backtracking bottoms out a decade or two
+        # above machine precision on some starts; that is still two
+        # orders past the 1e-8 parity target this module serves
+        "converged": bool(stat <= max(10 * tol, 1e-10)
+                          and feas <= max(10 * tol, 1e-10)
+                          and comp <= 1e-5),
+    }
