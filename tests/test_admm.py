@@ -427,3 +427,95 @@ def test_admm_symmetrizes_like_ipm():
     assert ri.status in ("optimal", "inaccurate")
     assert ra.status in ("optimal", "inaccurate")
     np.testing.assert_allclose(ra.pobj, ri.pobj, rtol=1e-3, atol=1e-6)
+
+
+# ------------------- L = 3301: the IPM's production regime ---------------- #
+
+def _l3301_instance(kind, seed=0):
+    """M=12, K=7 -> L=3301 (the K=7 Hodgkin-Huxley scale).  'generic' is
+    a well-conditioned covariance; 'ladder' the HH-like nested-fidelity
+    near-degenerate regime (adjacent correlations -> 1)."""
+    rng = np.random.default_rng(seed)
+    M, K = 12, 7
+    if kind == "generic":
+        B = rng.standard_normal((M, M))
+        C = B @ B.T + 0.5 * M * np.eye(M)
+    else:
+        v0 = float(np.exp(rng.uniform(0.0, 2.0)))
+        t = v0 * 10.0 ** np.linspace(-7.0, -1.0, M)
+        C = np.full((M, M), v0) + np.diag(t)
+    groups = [[list(cc) for cc in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    flat = [g for gk in groups for g in gk]
+    costs = np.sort(np.exp(rng.uniform(0.0, np.log(1000.0), M)))[::-1]
+    w = np.array([sum(costs[i] for i in g) for g in flat])
+    eps = float(np.sqrt(C[0, 0]) * 0.05)
+    return C, groups, w, eps
+
+
+@pytest.mark.slow
+def test_admm_cross_family_gate_L3301_generic():
+    """Cross-family gate AT the IPM's hardest production scale
+    (VERDICT r3 item 3: the gate used to stop at L~800 while
+    test_stress_large runs the IPM at L=3301).  Through the SAP
+    production path (meps conditioning, row-split diagonal+capacitance
+    linear solves inside the splitting) the first-order family must
+    reproduce the IPM cost.  Measured on this instance: relative cost
+    gap 2.7e-4 at 100k iterations (first-order stall on the nearly
+    degenerate optimal face) -- asserted at 2e-3 so the gate fails on
+    gross IPM errors, not on splitting noise.  The polish pass then
+    pins the IPM point itself to a ~1e-11 KKT residual through the
+    solver-independent variance closures: validation accuracy at
+    production scale even where the splitting alone cannot reach it."""
+    from bluest_tpu.allocation.polish import polish_eps
+
+    C, groups, w, eps = _l3301_instance("generic")
+    s_i = SAP(C, 7, groups, w)
+    mi = s_i.solve(eps=eps, continuous_relaxation=True)
+    assert mi is not None and s_i.n_nlp_fallbacks == 0
+    ci = float(np.asarray(mi, float) @ w)
+
+    s_a = SAP(C, 7, groups, w)
+    ma = s_a.solve(eps=eps, continuous_relaxation=True, solver="admm",
+                   solver_params={"max_iter": 30000})
+    assert ma is not None and s_a.n_nlp_fallbacks == 0
+    ma = np.asarray(ma, float)
+    ca = float(ma @ w)
+    assert s_a._variance_of(ma) <= 1.01 * eps ** 2
+    assert abs(ca - ci) <= 2e-3 * ci, (ca, ci)
+
+    r = polish_eps(s_i, mi, eps, support_rtol=1e-5)
+    assert r["stationarity"] <= 1e-9
+    assert r["feasibility"] <= 1e-9
+    # the polished optimum can only be at or below the solver point
+    assert r["cost"] <= ci * (1 + 1e-6)
+
+
+@pytest.mark.slow
+def test_admm_L3301_degenerate_ladder_boundary_pinned():
+    """The measured first-order frontier, pinned (VERDICT r3 item 3):
+    on the HH-like near-degenerate ladder at L=3301 the splitting stays
+    FEASIBLE but stalls far from optimal cost (measured 147x the IPM
+    cost at 100k iterations with clean residuals -- the scaled-space
+    optimum of a degenerate face, not a convergence bug).  This regime
+    is IPM-only; the assertion documents the boundary so a future ADMM
+    change that silently 'fixes' the gate by loosening it, or a
+    regression that breaks feasibility, both fail loudly."""
+    C, groups, w, eps = _l3301_instance("ladder")
+    s_i = SAP(C, 7, groups, w)
+    mi = s_i.solve(eps=eps, continuous_relaxation=True)
+    assert mi is not None and s_i.n_nlp_fallbacks == 0
+    ci = float(np.asarray(mi, float) @ w)
+
+    s_a = SAP(C, 7, groups, w)
+    ma = s_a.solve(eps=eps, continuous_relaxation=True, solver="admm",
+                   solver_params={"max_iter": 20000})
+    # the dispatch may fall back to scipy if the splitting reports
+    # failure; for the boundary pin we want the raw splitting point
+    if ma is None or s_a.n_nlp_fallbacks:
+        pytest.skip("splitting reported failure outright -- boundary "
+                    "documented by the feasible-but-stalled case only")
+    ma = np.asarray(ma, float)
+    assert s_a._variance_of(ma) <= 1.01 * eps ** 2   # still FEASIBLE
+    ca = float(ma @ w)
+    assert ca >= 3.0 * ci, (ca, ci)   # ...but far off the frontier
