@@ -323,6 +323,31 @@ class MOSAP:
         # (self.eps is only set on full success, so it can go stale when
         # the integer projection fails after a good continuous solve)
 
+        # opt-in Newton polish (solver_params={"polish": True}): drive
+        # the continuous eps-mode point to ~machine-precision KKT through
+        # the variance closures (allocation/polish.py).  Worth up to
+        # ~0.8% of cost on near-degenerate datasets (measured on the
+        # Matern restrictions golden, where the IPM stops on a flat
+        # face).  Opt-in because the golden pins record raw-solver
+        # numbers; eps-form only, and caps are out of polish's scope.
+        if (eps is not None and max_model_samples is None
+                and solver_params and solver_params.get("polish")):
+            from .polish import polish_eps
+            try:
+                r = polish_eps(self, samples, eps)
+            except (FloatingPointError, ValueError):
+                r = None
+            if (r is not None and r["feasibility"] <= 1e-9
+                    and r["cost"] <= float(
+                        np.asarray(samples, float) @ self.costs)
+                    * (1 + 1e-12)):
+                samples = r["m"]
+                self.continuous_solution = samples.copy()
+                self.polish_report = {
+                    k: r[k] for k in ("cost", "stationarity",
+                                      "feasibility", "complementarity",
+                                      "newton_iters", "converged")}
+
         # Complete group sets make the continuous optimum massively
         # degenerate and interior-point solvers return a diffuse point of
         # the optimal face; walk it to a sparse vertex first (the

@@ -118,3 +118,23 @@ def test_polish_degenerate_ladder():
     r = polish_eps(sap, m, eps)
     assert r["stationarity"] <= 1e-9
     assert r["feasibility"] <= 1e-9
+
+
+def test_mosap_solve_polish_option():
+    """solver_params={"polish": True} on the library surface: the
+    continuous point is polished in place (eps mode, no caps), the cost
+    can only improve, and the report is exposed."""
+    C, groups, gcosts, eps = _sap_instance(5)
+    mk = lambda: MOSAP([C], K, [K], groups, [groups], gcosts, [gcosts],
+                       verbose=False)
+    m_raw = mk().solve(eps=eps, continuous_relaxation=True)
+    mos = mk()
+    m_pol = mos.solve(eps=eps, continuous_relaxation=True,
+                      solver_params={"polish": True})
+    assert hasattr(mos, "polish_report")
+    rep = mos.polish_report
+    assert rep["feasibility"] <= 1e-9
+    assert rep["stationarity"] <= 1e-8
+    c_raw = float(np.asarray(m_raw, float) @ gcosts)
+    c_pol = float(np.asarray(m_pol, float) @ gcosts)
+    assert c_pol <= c_raw * (1 + 1e-12)
