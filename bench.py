@@ -55,15 +55,15 @@ def build_problem(verbose=False, f64=False):
     from bluest_tpu.models.diffusion import DiffusionProblem
     # model solves in f32 (QoI error ~1e-8 relative, far below MC noise;
     # estimator sums accumulate in f64) -- 2x on TPU over emulated f64
-    # batch 16384: same-window ABBA A/Bs on the real chip found 4096
-    # faster on a single hot group (0.433 vs 0.547 s / 500k samples) but
-    # 16384 faster over the full solve portfolio -- mid-N groups paid
-    # the combiner's padded-tier waste, which the active-prefix slicing
-    # in kernel_engine._combine has since removed (portfolio: ~18%
-    # faster at this batch; 4096 is now a tie, so keep the larger batch)
+    # batch 8192: round-4 ABBA A/Bs on the real v5e chip
+    # (tools/ab_sample.py, 20M-eval workload, 3 blocks each): 8192 beats
+    # 16384 consistently (B/A 0.972/0.979/0.983) and ties 4096
+    # (0.980/0.998/0.999), so the portfolio default is 8192.  (Round-3
+    # history: 16384 won before the combiner's active-prefix slicing
+    # removed the padded-tier waste that penalized small batches.)
     kw = dict(grids=GRIDS, n_kl=N_KL, sigma=SIGMA, nu=NU,
               multi_output=True, verbose=verbose,
-              device_batch_size=16384,
+              device_batch_size=8192,
               dtype=None if f64 else jnp.float32)
     # the pilot covariance phase is deterministic (fixed seed) and takes
     # minutes; it is NOT part of the timed metric (alloc + estimation),
