@@ -199,6 +199,16 @@ def allocation_device():
     Python-driven iterations are latency-bound, so they run on the host
     CPU backend by default.  Override with BLUEST_TPU_ALLOC_DEVICE=default
     to keep them on the main device.
+
+    Measured on the real v5e chip (round 4, K=5 HH golden, L=792 via
+    tools/ab_profile.py AB_KEEP_PLATFORM=1): the f64 IPM runs 876 ms per
+    iteration on the TPU (emulated f64 + remote dispatch) vs ~130 ms on
+    the host CPU backend, and the fused program's remote compile costs
+    ~13.5 minutes cold -- the CPU default is a 6.7x per-iteration win,
+    not a guess.  This also fixes the operative backend for the IPM
+    perf knobs: BLUEST_TPU_GONDZIO / BLUEST_TPU_WOOD_PAD defaults cite
+    controlled host-backend ABBA data (solvers/sdp.py) because the host
+    backend IS where the IPM runs in production.
     """
     import jax
     if os.environ.get("BLUEST_TPU_ALLOC_DEVICE", "cpu") == "cpu":
