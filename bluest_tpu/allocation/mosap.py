@@ -508,6 +508,7 @@ class MOSAP:
         m = self._direct_eps_solve(eps, e_rows, es, rhs, psis, params,
                                    rescale=(len(es) == 0),
                                    cone_solve=cone_solve)
+        have_a = m is not None
         if m is not None:
             candidates.append(m)
 
@@ -537,7 +538,44 @@ class MOSAP:
 
         if not candidates:
             return None
-        return min(candidates, key=lambda m: float(m @ self.costs))
+
+        def _gross(mm):
+            """Independent first-order screen: a point whose active-set
+            stationarity is O(1) RELATIVE did not come from a converged
+            convex solve -- it is a stalled cone program's iterate whose
+            self-consistent feasibility rescale hides a garbage cost.
+            Observed once on the NS K=7 golden under remote-pool stress:
+            the direct form's isolation worker crashed, the epigraph
+            cross-check (the form the direct one exists to dodge on
+            degenerate sets) returned 'inaccurate', and its rescaled
+            point undercut the true optimum by 38% while passing every
+            self-consistent check.  The 0.3 threshold sits orders above
+            any accepted point's stationarity (~1e-3 on loose-certificate
+            solves) and orders below a stalled iterate's O(1)."""
+            try:
+                cert = self.kkt_certificate(np.asarray(mm, float),
+                                            eps=np.asarray(eps, float))
+            except Exception:
+                return True
+            s = cert.get("stationarity", np.inf)
+            return not (np.isfinite(s) and s <= 0.3)
+
+        win = min(candidates, key=lambda m: float(m @ self.costs))
+        if len(candidates) == 2 and win is candidates[1]:
+            # the epigraph cross-check undercutting the direct form by
+            # >10% on a CONVEX program means one of them is garbage --
+            # screen the winner, keep the direct point if it is
+            if (float(win @ self.costs)
+                    < 0.9 * float(candidates[0] @ self.costs)
+                    and _gross(win)):
+                return candidates[0]
+            return win
+        if not have_a and _gross(win):
+            # epigraph-only path (the direct solve failed outright, e.g.
+            # an isolation-worker infra crash): a gross point here must
+            # fail over to the NLP chain, not masquerade as an optimum
+            return None
+        return win
 
     def _feasibility_rescale(self, m0, eps):
         """m -> alpha*m with alpha = max_n V_n(m)/eps_n^2: the variance is

@@ -386,6 +386,7 @@ class SAP:
         candidates = []
         # (a) direct eps SDP with a meps rescale for conditioning
         m = self._direct_eps_solve(eps, es, rhs, params, cone_solve)
+        have_a = m is not None
         if m is not None:
             if len(es) == 0:
                 m = feasibility_rescale(m)
@@ -411,7 +412,29 @@ class SAP:
                     candidates.append(m)
         if not candidates:
             return None
-        return min(candidates, key=lambda m: float(m @ self.costs))
+
+        def _gross(mm):
+            """Independent first-order screen (see MOSAP.sdp_solve: a
+            stalled epigraph iterate's self-consistent rescale once hid
+            a 38%-low garbage cost under an isolation-worker crash)."""
+            try:
+                cert = self.kkt_certificate(np.asarray(mm, float),
+                                            eps=float(eps))
+            except Exception:
+                return True
+            s = cert.get("stationarity", np.inf)
+            return not (np.isfinite(s) and s <= 0.3)
+
+        win = min(candidates, key=lambda m: float(m @ self.costs))
+        if len(candidates) == 2 and win is candidates[1]:
+            if (float(win @ self.costs)
+                    < 0.9 * float(candidates[0] @ self.costs)
+                    and _gross(win)):
+                return candidates[0]
+            return win
+        if not have_a and _gross(win):
+            return None    # epigraph-only garbage -> NLP fallback chain
+        return win
 
     def _direct_eps_solve(self, eps, es, rhs, params,
                           cone_solve=solve_cone_lp, validate=None):

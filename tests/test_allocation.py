@@ -697,3 +697,62 @@ def test_cleanup_matrices_pipelined_matches_per_output():
             m[mos.mappings[n]])
         ref.append(Xn)
     np.testing.assert_allclose(X, np.vstack(ref), rtol=1e-12, atol=1e-14)
+
+
+def test_eps_race_rejects_stalled_epigraph_point(monkeypatch):
+    """Round-4 hardening: when the direct-eps solve dies (isolation
+    worker infra crash) the dispatch falls to the scaled-budget-epigraph
+    cross-check -- the form the direct one exists to dodge -- and a
+    stalled 'inaccurate' iterate there passes every SELF-consistent
+    check (its feasibility rescale is exact by homogeneity).  Observed
+    once on the NS K=7 golden under pool stress: a 38%-low garbage cost.
+    The independent first-order screen must reject such a point so the
+    scipy NLP chain takes over."""
+    from itertools import combinations
+
+    from bluest_tpu.allocation import sap as sap_mod
+    from bluest_tpu.allocation.sap import SAP
+    from bluest_tpu.solvers import sdp
+
+    rng = np.random.default_rng(3)
+    M, K = 4, 2
+    B = rng.standard_normal((M, M))
+    C = B @ B.T + 0.1 * np.eye(M)
+    groups = [[list(c) for c in combinations(range(M), k)]
+              for k in range(1, K + 1)]
+    flat = [g for gk in groups for g in gk]
+    costs = np.sort(np.exp(rng.uniform(0.0, np.log(200.0), M)))[::-1]
+    gcosts = np.array([sum(costs[i] for i in g) for g in flat])
+    eps = float(np.sqrt(C[0, 0]) * 0.03)
+
+    # true optimum for reference (untouched solver)
+    s_ref = SAP(C, K, groups, gcosts)
+    m_ref = s_ref.solve(eps=eps, continuous_relaxation=True)
+    c_ref = float(np.asarray(m_ref, float) @ gcosts)
+
+    calls = []
+    real = sdp.solve_cone_lp
+
+    def fake(c, Gl, hl, As, Hs, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            # direct-eps: simulated worker-infra failure
+            return sdp.ConeLPResult(np.full(len(c), np.nan), "failed",
+                                    0, np.inf, np.inf, np.inf, np.nan)
+        # epigraph cross-check: a stalled iterate far from stationarity
+        # that still looks 'inaccurate'-acceptable
+        return sdp.ConeLPResult(np.ones(len(c)), "inaccurate", 7,
+                                1e-3, 1e-6, 1e-4, 1.0)
+
+    monkeypatch.setattr(sap_mod, "solve_cone_lp", fake)
+    s = SAP(C, K, groups, gcosts)
+    m = s.solve(eps=eps, continuous_relaxation=True)
+    monkeypatch.setattr(sap_mod, "solve_cone_lp", real)
+    assert len(calls) >= 2          # both cone forms were actually tried
+    # the garbage point must NOT have been accepted: either the NLP
+    # fallback produced a near-optimal point, or the solve failed honestly
+    if m is not None:
+        assert s.n_nlp_fallbacks == 1
+        mv = float(np.asarray(m, float) @ gcosts)
+        assert abs(mv - c_ref) <= 0.05 * c_ref
+        assert s._variance_of(np.asarray(m, float)) <= 1.05 * eps ** 2
