@@ -848,14 +848,35 @@ class MOSAP:
             m0 = self.scipy_solve(budget=B, x0=x0, eps_weights=eps)
             if m0 is None:
                 return None
-            m0 = np.maximum(m0, 0)
-            K = 1.0 / max(m0.max(), 1e-300)
-            try:
-                alpha = max(K * self.SAPS[n].variance(K * m0[self.mappings[n]])
-                            / eps[n] ** 2 for n in range(No))
-            except (AssertionError, np.linalg.LinAlgError):
+            # homogeneity rescale WITH the corrective final-scale
+            # evaluation (_feasibility_rescale).  The bare K-trick alpha
+            # used here before is evaluated at the normalized scale, and
+            # on ill-conditioned PHI the variance evaluation's noise is
+            # NOT scale-invariant -- on the NS K=7 golden the bias was a
+            # factor ~1.8, i.e. this path returned a point that was 81%
+            # ABOVE tolerance (and 38% "cheaper" than the optimum) while
+            # every self-consistent check passed.
+            m1 = self._feasibility_rescale(np.maximum(m0, 0), eps)
+            if m1 is None:
                 return None
-            return alpha * m0
+            # iterate the DIRECT final-scale evaluation to tolerance;
+            # reject honestly if it will not settle (the caller's NLP
+            # chain then reports failure instead of silent infeasibility)
+            ratio = np.inf
+            for _ in range(4):
+                try:
+                    ratio = max(self.SAPS[n].variance(m1[self.mappings[n]])
+                                / eps[n] ** 2 for n in range(No))
+                except (AssertionError, np.linalg.LinAlgError):
+                    return None
+                if not (np.isfinite(ratio) and ratio > 0):
+                    return None
+                if ratio <= 1.0001:
+                    break
+                m1 = ratio * m1
+            if not ratio <= 1.05:
+                return None
+            return m1
 
         if eps_weights is None:
             eps_weights = np.ones(No)
