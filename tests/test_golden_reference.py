@@ -449,3 +449,30 @@ def test_parity_1e8_hh_no_na():
     assert r["cost"] <= raw_cost * (1 + 1e-12)
     assert raw_cost - r["cost"] <= 1e-2 * r["cost"]
     assert np.all(r["variances"] <= (1 + 1e-9) * eps ** 2)
+
+
+@pytest.mark.skipif(not os.environ.get("BLUEST_TPU_RUN_XXL"),
+                    reason="XXL compile (K=7 x 6 outputs, L=3301); "
+                           "set BLUEST_TPU_RUN_XXL=1")
+def test_parity_1e8_navier_stokes_k7():
+    """Fourth golden in the 1e-8 tier, at the paper's largest scale
+    (L=3301, 6 outputs): the polish pins the NS K=7 optimum to
+    machine-precision KKT (measured stat 5.6e-15, feas 8.1e-13, 111 s)
+    and the pinned value sits 5.6e-5 from the published 2,553,327.3 --
+    at the resolution limit of the paper's cvxopt reltol-1e-4 operating
+    point."""
+    costs = np.array([514.2223183391003, 251.11670479549565,
+                      316.3014055537184, 119.7527351628473,
+                      37.42560553633218, 18.103253298467695,
+                      22.869635334918478, 8.697236420727346,
+                      2.9814995092105474, 1.6884537576736363,
+                      1.9949462010013241, 1.0])
+    p = BLUEProblem(12, n_outputs=6, datafile=NS_REF, costs=costs,
+                    verbose=False)
+    eps = 1e-3 * np.sqrt([c[0, 0] for c in p.get_covariances()])
+    m, raw_cost, r = _polish_ipm(p, 7, eps)
+    assert r["stationarity"] <= 1e-8
+    assert r["feasibility"] <= 1e-8
+    assert r["cost"] <= raw_cost * (1 + 1e-12)
+    assert raw_cost - r["cost"] <= 1e-3 * r["cost"]
+    assert r["cost"] == pytest.approx(2_553_327.3, rel=2e-4)
