@@ -217,8 +217,12 @@ _WOOD_PAD = int(os.environ.get("BLUEST_TPU_WOOD_PAD", "0"))
 # Confirmed under the Woodbury path by controlled ABBA A/B on the K=6
 # golden (L=2509, tools/ab_profile.py): its 60 -> 55 deterministic, but
 # per-iteration wall B/A [1.07, 1.26] -- the corrector's extra hsolve +
-# line search still eats the iteration cut.  Kept behind the env knob
-# for hardware where small batched eigh is fast.
+# line search still eats the iteration cut.  Round-4 ABBA at the BENCH
+# shape (K=4 diffusion budget ray, L=385, Woodbury r=201): the
+# corrector cuts ZERO iterations (34 -> 34; its acceptance test never
+# fires on this well-centered path) and costs wall B/A
+# [1.158, 1.158, 1.12].  Kept behind the env knob for hardware where
+# small batched eigh is fast.
 _GONDZIO = int(os.environ.get("BLUEST_TPU_GONDZIO", "0"))
 
 
