@@ -386,12 +386,14 @@ class SAP:
         candidates = []
         # (a) direct eps SDP with a meps rescale for conditioning
         m = self._direct_eps_solve(eps, es, rhs, params, cone_solve)
-        have_a = m is not None
         if m is not None:
             if len(es) == 0:
                 m = feasibility_rescale(m)
             if m is not None:
                 candidates.append(m)
+        # the screen below must treat a rescale failure like a solve
+        # failure: either way the direct family contributed nothing
+        have_a = bool(candidates)
         # (b) scaled budget epigraph (homogeneity) -- no caps only; run as
         # a cross-check/cost-race when (a) failed or its certificate is
         # loose (see MOSAP.sdp_solve: every extra cone program costs a
