@@ -172,6 +172,11 @@ def ipm_report(problem):
     d = c["dims"]
     fpi = ipm_iteration_flops(d)
     wall = d.get("wall_s")
+    # GF/s from the WINNING attempt's wall (excludes a conservative
+    # retry's iterations; still includes trace/compile iff that attempt
+    # was the process-cold one -- the headline cert comes from the warm
+    # rebuild rep, where programs are compiled).  Advisor finding r4.
+    wall_att = d.get("wall_attempt_s", wall)
     rep = {
         "nx": d["nx"], "nb": d["nb"], "n": d["n"], "rank": d["rank"],
         "woodbury": bool(d["woodbury"]),
@@ -180,9 +185,11 @@ def ipm_report(problem):
         "solve_wall_s": None if wall is None else round(wall, 4),
         "device": "host-cpu (allocation backend, f64)",
     }
-    if wall:
+    if d.get("retried"):
+        rep["retried"] = True
+    if wall_att:
         rep["achieved_gflops"] = round(
-            fpi * c["iterations"] / wall / 1e9, 2)
+            fpi * c["iterations"] / wall_att / 1e9, 2)
     return rep
 
 

@@ -13,6 +13,6 @@ from .sampling.host_engine import blue_fn
 from .allocation import SAP, MOSAP, BLUESTError
 from .problem import BLUEProblem
 
-__version__ = "0.3.0"  # keep in sync with pyproject.toml
+__version__ = "0.5.0"  # keep in sync with pyproject.toml
 __all__ = ["blue_fn", "SAP", "MOSAP", "BLUESTError", "BLUEProblem",
            "__version__"]

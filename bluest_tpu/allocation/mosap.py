@@ -337,7 +337,15 @@ class MOSAP:
                 r = polish_eps(self, samples, eps)
             except (FloatingPointError, ValueError):
                 r = None
+            eps_vec = np.broadcast_to(
+                np.atleast_1d(np.asarray(eps, float)),
+                (len(self.mappings),)) if r is not None else None
             if (r is not None and r["feasibility"] <= 1e-9
+                    # belt-and-suspenders: every output's variance must
+                    # be feasible, not just the polish's active set
+                    # (advisor finding, round 4)
+                    and np.all(np.asarray(r["variances"])
+                               <= (1 + 1e-9) * eps_vec ** 2)
                     and r["cost"] <= float(
                         np.asarray(samples, float) @ self.costs)
                     * (1 + 1e-12)):

@@ -88,6 +88,12 @@ def polish_eps(mos, m0, eps, support_rtol: float = 1e-9,
         raise ValueError("m0 is not a usable starting point")
     wn = float(np.linalg.norm(w)) + 1e-300
 
+    def viol_all(V):
+        """One-sided feasibility violation over ALL outputs (relative)."""
+        if not np.all(np.isfinite(V)):
+            return np.inf
+        return float(np.max(np.maximum(V - epsq, 0.0) / epsq))
+
     def variances_at(mm):
         try:
             return np.array([saps[n].variance(mm[maps[n]])
@@ -169,7 +175,15 @@ def polish_eps(mos, m0, eps, support_rtol: float = 1e-9,
             F1 = wS + G.T @ lam
             F2 = V[active] - epsq[active]
             stat = float(np.linalg.norm(F1)) / wn
-            feas = float(np.max(np.abs(F2) / epsq[active]))
+            # KKT feasibility = two-sided residual on the ACTIVE
+            # equalities PLUS one-sided violation over ALL outputs: a
+            # Newton step can push an INACTIVE output's variance above
+            # eps^2 before the add-correction fires next iteration, and
+            # recording that point as "best" on the active residual
+            # alone would let polish return a variance-infeasible point
+            # (advisor finding, round 4).
+            feas = max(float(np.max(np.abs(F2) / epsq[active])),
+                       viol_all(V))
             merit = stat + feas
             if trace:
                 print("polish it=%d |S|=%d active=%s stat=%.2e "
@@ -305,10 +319,29 @@ def polish_eps(mos, m0, eps, support_rtol: float = 1e-9,
     # from; preferring low-stat here once kept a wrong-support vertex
     # 54% above the optimum)
     V = variances_at(m)
-    feas_final = (float(np.max(np.abs(V[active] - epsq[active])
-                               / epsq[active]))
+    feas_final = (max(float(np.max(np.abs(V[active] - epsq[active])
+                                   / epsq[active])), viol_all(V))
                   if np.all(np.isfinite(V[active])) else np.inf)
     c_final = float(m @ w)
+    # stat at the RETURNED final iterate: when the Newton loop exits
+    # right after ACCEPTING a step (max_newton exhausted, or a break
+    # after m = m_try), the loop-carried `stat` describes the PRE-step
+    # iterate.  Recompute with the current multipliers (falling back to
+    # least-squares ones) so the report matches the returned point
+    # (advisor finding, round 4).
+    if np.isfinite(feas_final):
+        try:
+            S = np.where(inS)[0]
+            Gf_fin = grads_at(m, active)
+            G_fin = np.stack([Gf_fin[n][S] for n in active])
+            if lam is not None and lam.shape == (len(active),):
+                lam_fin = lam
+            else:
+                lam_fin, *_ = np.linalg.lstsq(-G_fin.T, w[S], rcond=None)
+                lam_fin = np.maximum(lam_fin, 0.0)
+            stat = float(np.linalg.norm(w[S] + G_fin.T @ lam_fin)) / wn
+        except (AssertionError, np.linalg.LinAlgError):
+            pass                    # keep the loop-carried stat
     take_best = best["feas"] <= 100 * tol and (
         feas_final > 100 * tol
         or best["cost"] < c_final * (1 - 1e-12)

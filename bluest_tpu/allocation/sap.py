@@ -436,6 +436,21 @@ class SAP:
             return win
         if not have_a and _gross(win):
             return None    # epigraph-only garbage -> NLP fallback chain
+        if have_a and len(candidates) == 1:
+            # Lone direct-path winner: its validation is the same
+            # self-consistent variance evaluation that once masked a
+            # 38%-low garbage point, and sdp.py's round-4 widening
+            # accepts "inaccurate" with dres up to 1e5*feastol.  Screen
+            # exactly the newly widened decade (advisor finding, round
+            # 4): a stalled iterate there must also pass the
+            # independent first-order check or fall through to NLP.
+            feastol = params.get("feastol", 1e-8)
+            cert = next((c for c in reversed(self.certificates)
+                         if c.get("form") == "direct-eps"), None)
+            if (cert is not None and cert.get("status") == "inaccurate"
+                    and cert.get("dres", 0.0) > 1e4 * feastol
+                    and _gross(win)):
+                return None
         return win
 
     def _direct_eps_solve(self, eps, es, rhs, params,

@@ -1134,6 +1134,9 @@ def solve_cone_lp(c: np.ndarray,
     import time as _time
     _t0 = _time.perf_counter()
     res, infra = _attempt(step_frac)
+    _t_first = _time.perf_counter() - _t0
+    dims_rec["wall_attempt_s"] = _t_first
+    dims_rec["retried"] = False
     if res.status == "failed" and not infra and step_frac > 0.92:
         # A 0.99 fraction-to-boundary can wedge the iterate off-center
         # near the PSD boundary on generic (non-MLBLUE-shaped) cone
@@ -1144,7 +1147,10 @@ def solve_cone_lp(c: np.ndarray,
         # traced scalar, so this reuses the SAME compiled program, and
         # MLBLUE production instances never return "failed" (stress
         # corpus + goldens gate on it), so their path is untouched.
+        _t1 = _time.perf_counter()
         res2, _ = _attempt(0.85)
+        _t_second = _time.perf_counter() - _t1
+        dims_rec["retried"] = True
         rank = {"optimal": 0, "inaccurate": 1, "infeasible": 2,
                 "unbounded": 2, "max_iter": 3, "failed": 4}
 
@@ -1160,8 +1166,12 @@ def solve_cone_lp(c: np.ndarray,
         if rank.get(res2.status, 4) < rank.get(res.status, 4) or (
                 res2.status == res.status and _worst(res2) < _worst(res)):
             res = res2
+            dims_rec["wall_attempt_s"] = _t_second
     # total solve wall (incl. trace/compile on a cold program + any
     # conservative retry); every attempt's result shares dims_rec, so
-    # this reaches the certificate no matter which attempt won
+    # this reaches the certificate no matter which attempt won.
+    # wall_attempt_s isolates the WINNING attempt's dispatch (still
+    # includes trace/compile when that attempt was the cold one) so
+    # flops accounting does not divide by retry time (bench.ipm_report).
     dims_rec["wall_s"] = _time.perf_counter() - _t0
     return res

@@ -426,11 +426,14 @@ def test_parity_1e8_matern():
     # never beat the pinned optimum (measured: scipy lands ~2.75x ABOVE)
     from bluest_tpu.allocation.polish import polish_eps
     p2 = BLUEProblem(7, datafile=MAT_REF, verbose=False)
+    from bluest_tpu import BLUESTError
     try:
         p2.setup_solver(K=3, eps=eps, continuous_relaxation=True,
                         solver="scipy")
-    except Exception:
-        return                     # honest failure: nothing to compare
+    except BLUESTError:
+        return        # honest solve failure: nothing to compare.  Any
+        # OTHER exception (a crash/regression in the scipy path) must
+        # fail the test, not silently pass it (advisor finding, r4)
     m2 = np.asarray(p2.MOSAP.continuous_solution, float)
     r2 = polish_eps(p2.MOSAP, m2, eps)
     if r2["feasibility"] <= 1e-8:
