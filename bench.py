@@ -181,8 +181,11 @@ def ipm_report(problem):
         "nx": d["nx"], "nb": d["nb"], "n": d["n"], "rank": d["rank"],
         "woodbury": bool(d["woodbury"]),
         "iterations": int(c["iterations"]),
+        "warm_start": bool(d.get("warm_start", False)),
         "flops_per_iter_est": round(fpi),
         "solve_wall_s": None if wall is None else round(wall, 4),
+        "ms_per_iter": (None if not wall_att or not c["iterations"] else
+                        round(1e3 * wall_att / c["iterations"], 2)),
         "device": "host-cpu (allocation backend, f64)",
     }
     if d.get("retried"):
@@ -483,13 +486,6 @@ def main():
     achieved_fs = model_flops / max(sample_s, 1e-9)
     mfu = (achieved_fs / peaks["flops"]) if peaks else None
 
-    # warm re-solve at a fresh budget: what a user pays once programs are
-    # compiled and the budget ray is cached (separates the compile-cache
-    # tax from the steady-state allocation cost)
-    t0 = time.time()
-    problem.setup_solver(K=K, budget=1.1 * float(problem.MOSAP.budget or 1.0))
-    alloc_warm_s = time.time() - t0
-
     # one f64 estimation rep for the record: the headline sampling runs
     # the MODEL in f32 (estimator sums always accumulate in f64) while
     # the library default and the priced numpy baseline are f64 -- this
@@ -508,6 +504,44 @@ def main():
     base_sample_s, tier_checks = run_baseline_sampling(problem)
     baseline = base_alloc_s + base_sample_s
 
+    # warm re-solve at a fresh budget: what a user pays once programs are
+    # compiled and the budget ray is cached (separates the compile-cache
+    # tax from the steady-state allocation cost).  Runs AFTER the
+    # baseline pricing so the baselines price the HEADLINE allocation
+    # (this re-solve replaces MOSAP_output).
+    t0 = time.time()
+    problem.setup_solver(K=K, budget=1.1 * float(problem.MOSAP.budget or 1.0))
+    alloc_warm_s = time.time() - t0
+
+    # saturated-throughput tier (VERDICT r4 item 1b): the headline
+    # workload (~1.2M evals over ~14 group programs) is fixed-overhead
+    # bound (~100 ms of dispatch/fetch across the portfolio), so its
+    # evals/s reads ~2x under the engine's steady rate.  Re-solve at
+    # ~20x the budget and time the estimation phase once more so the
+    # saturated operating point is a RECORDED number, not a comment.
+    sat = None
+    if not quick:
+        problem.setup_solver(K=K, budget=20.0 * budget)
+        n_evals_sat = total_evaluations(problem)
+        sat_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            problem.solve(K=K, budget=20.0 * budget)
+            sat_runs.append(time.time() - t0)
+        sat_s = min(sat_runs)
+        sat_flops, sat_bytes = sampling_flops(problem)
+        sat = {
+            "n_model_evals": n_evals_sat,
+            "sample_s": round(sat_s, 3),
+            "runs_s": [round(s, 3) for s in sat_runs],
+            "evals_per_s": round(n_evals_sat / max(sat_s, 1e-9)),
+            "achieved_gflops": round(
+                sat_flops / max(sat_s, 1e-9) / 1e9, 2),
+            "mfu": (None if peaks is None else round(
+                sat_flops / max(sat_s, 1e-9) / peaks["flops"], 5)),
+            "hbm_gb_s_est": round(sat_bytes / max(sat_s, 1e-9) / 1e9, 1),
+        }
+
     # steady-state headline: rebuild alloc + sampling.  The first
     # allocation's wall (alloc_cold_s) additionally pays whatever the
     # persistent compile cache could not supply, which on this remote
@@ -517,6 +551,30 @@ def main():
     ours = alloc_runs[1] + sample_s
     environment_read = bool(alloc_runs[0] > 3.0 * max(alloc_runs[1], 0.05)
                             or device_note is not None)
+
+    # slow-WINDOW detection (VERDICT r4 item 4): the cold>>rebuild tell
+    # above only catches cache-cold pool rotations; a uniformly slow
+    # remote-pool window (driver's r4 run: IPM 19.6 ms/it vs the same
+    # code's 11.5-13 in healthy windows) shipped environment_read=false.
+    # Anchor the two volatile rates against expected values measured on
+    # healthy windows (full config only -- anchors are shape-specific)
+    # and flag when either is >1.35x off.
+    _IPM_MS_PER_ITER_ANCHOR = 15.0        # nx=385 Woodbury, host backend
+    _SAT_EVALS_PER_S_ANCHOR = {"TPU v5 lite": 13.0e6}
+    drift = {}
+    if not quick and ipm and ipm.get("ms_per_iter"):
+        r = ipm["ms_per_iter"] / _IPM_MS_PER_ITER_ANCHOR
+        drift["ipm_ms_per_iter_vs_anchor"] = round(r, 2)
+        if r > 1.35:
+            drift["slow_allocation_pool"] = True
+    if sat is not None and dev_kind in _SAT_EVALS_PER_S_ANCHOR:
+        r = _SAT_EVALS_PER_S_ANCHOR[dev_kind] / max(sat["evals_per_s"], 1)
+        drift["sat_evals_per_s_vs_anchor"] = round(1.0 / r, 2)
+        if r > 1.35:
+            drift["slow_sampling_device"] = True
+    environment_read = bool(environment_read
+                            or drift.get("slow_allocation_pool")
+                            or drift.get("slow_sampling_device"))
 
     result = {
         "metric": ("mosap_alloc_rebuild_plus_%.0esample_estimation_wall"
@@ -550,6 +608,8 @@ def main():
             "hbm_gb_s_est": (None if peaks is None else round(
                 model_bytes / max(sample_s, 1e-9) / 1e9, 1)),
             "hbm_peak_gb_s": None if peaks is None else peaks["hbm_gb_s"],
+            "saturated_tier": sat,
+            "drift": drift or None,
             "ipm": ipm,
             "baseline_kind": ("reference-architecture PROXY on this host "
                               "(per-sample scipy loop + trust-constr NLP "

@@ -22,6 +22,7 @@ pattern, reference blue_models.py:121-130).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -184,7 +185,11 @@ class KernelEngineV2:
         return min(p4 * B, n_pad)
 
     def _combine(self, outs, base, N, n_pad: int, act: int):
-        """outs: (k, S*n_pad, No[, d]) device arrays -> SampleSums.
+        """outs: tuple of k (S*n_pad, No[, d]) device arrays (or an
+        already stacked (k, ...) array) -> SampleSums.  The stack happens
+        INSIDE the jitted program: a host-level jnp.stack was one more
+        dispatched program per bucket (~1 ms of tunnel latency each
+        across the portfolio's ~14 groups -- VERDICT r5 item 1a).
         Contracts only each shard's first ``act`` rows (see _act_rows);
         row r of shard s maps to global index base + s*n_pad + r."""
         key = (n_pad, act)
@@ -193,6 +198,8 @@ class KernelEngineV2:
 
             @jax.jit
             def combine(outs, base, N):
+                if isinstance(outs, (tuple, list)):
+                    outs = jnp.stack(outs)
                 if outs.ndim == 3:
                     outs = outs[..., None]
                 k = outs.shape[0]
@@ -243,11 +250,14 @@ class KernelEngineV2:
         def warm_combiner(arg):
             k, n_pad, act = arg
             total = n_pad * self.n_sample_shards
-            # jnp.stack of the k sweep outputs is its own compiled op --
-            # warm it with the exact solve-path shapes
-            dummy = jnp.stack([jnp.zeros((total,) + out_shape, out_dtype)
-                               for _ in range(k)])
+            # the hot path hands the combiner a TUPLE of sweep outputs
+            # (stack fused in-program); collect runs dispatch the
+            # stacked-array signature instead -- warm what will run
+            dummy = tuple(jnp.zeros((total,) + out_shape, out_dtype)
+                          for _ in range(k))
             part = self._combine(dummy, 0, 1, n_pad, act)
+            if collect:
+                part = self._combine(jnp.stack(dummy), 0, 1, n_pad, act)
             # multi-bucket accumulation adds (sample_sums) and the
             # problem-level non-finite top-up adds are tiny per-shape
             # programs too; on remote-dispatch setups each costs a
@@ -327,7 +337,14 @@ class KernelEngineV2:
                 else:
                     out = res
                 outs_list.append(out)
-            outs = jnp.stack(outs_list)
+            # collect runs still materialize the stacked array (the
+            # snapshot fetch wants one gather); the hot path hands the
+            # tuple straight to the combiner, which stacks in-program
+            # (BLUEST_TPU_FUSE_STACK=0 restores the dispatched stack --
+            # the A/B handle for tools/ab_sample.py)
+            fuse = os.environ.get("BLUEST_TPU_FUSE_STACK", "1") != "0"
+            outs = (tuple(outs_list) if fuse and not collect
+                    else jnp.stack(outs_list))
             act = self._act_rows(n_pad, base, N)
             part = self._combine(outs, base, N, n_pad, act)
             acc = part if acc is None else tuple(

@@ -29,6 +29,10 @@ def _program(seed=0, M=5, K=2):
 
 
 def test_worker_matches_in_process(monkeypatch):
+    # pin the cold start: the second identical solve would otherwise
+    # warm-start from the first's cached iterate (a different, shorter
+    # trajectory), which is not what this transparency test compares
+    monkeypatch.setenv("BLUEST_TPU_IPM_WARM", "0")
     c, Gl, hl, As, Hs = _program()
     r_iso = solve_cone_lp(c, Gl, hl, As, Hs)
     monkeypatch.setenv("BLUEST_TPU_IPM_ISOLATE", "0")
@@ -39,7 +43,8 @@ def test_worker_matches_in_process(monkeypatch):
     assert r_iso.iterations == r_dir.iterations
 
 
-def test_worker_restarts_after_kill():
+def test_worker_restarts_after_kill(monkeypatch):
+    monkeypatch.setenv("BLUEST_TPU_IPM_WARM", "0")   # identical re-solve
     c, Gl, hl, As, Hs = _program(seed=3)
     r1 = solve_cone_lp(c, Gl, hl, As, Hs)
     assert r1.status in ("optimal", "inaccurate")

@@ -327,3 +327,66 @@ def test_tau_collapse_discriminates_unbounded_from_infeasible():
     r3 = solve_cone_lp(np.array([1.0]), np.array([[1.0], [-1.0]]),
                        np.array([-1.0, 0.0]))
     assert r3.status == "infeasible", r3.status
+
+
+def _random_mlblue_like(seed, L=40, No=2, n=4):
+    rng = np.random.default_rng(seed)
+    c = rng.random(L) + 0.5
+    Gl = np.vstack([-np.eye(L), -rng.random((No, L))])
+    hl = np.concatenate([np.zeros(L), -np.ones(No)])
+    v = rng.standard_normal((No, L, n))
+    As = -v[..., None] * v[..., None, :]
+    Hs = np.tile(np.eye(n), (No, 1, 1)) * 5.0
+    return c, Gl, hl, As, Hs
+
+
+def test_warm_start_equivalent_and_faster():
+    """Re-solving the identical cone program warm-starts from the cached
+    HSD iterate (VERDICT r5 item 3): the returned point must agree with
+    the cold solve to solver precision, in strictly fewer iterations."""
+    from bluest_tpu.solvers import sdp as sdpmod
+    c, Gl, hl, As, Hs = _random_mlblue_like(7)
+    with sdpmod._WARM_LOCK:
+        sdpmod._WARM_CACHE.clear()
+    r_cold = solve_cone_lp(c, Gl, hl, As, Hs)
+    assert r_cold.status in ("optimal", "inaccurate")
+    assert r_cold.dims["warm_start"] is False
+    r_warm = solve_cone_lp(c, Gl, hl, As, Hs)
+    assert r_warm.status in ("optimal", "inaccurate")
+    assert r_warm.dims["warm_start"] is True
+    assert r_warm.iterations < r_cold.iterations
+    scale = float(np.max(np.abs(r_cold.x))) + 1e-300
+    assert np.max(np.abs(r_warm.x - r_cold.x)) / scale < 1e-6
+    assert abs(r_warm.pobj - r_cold.pobj) <= 1e-8 * abs(r_cold.pobj)
+
+
+def test_warm_start_no_cross_seeding():
+    """Two different instances of the SAME shape must not share warm
+    iterates (the cache key is a content hash, not a shape key)."""
+    from bluest_tpu.solvers import sdp as sdpmod
+    cA, GlA, hlA, AsA, HsA = _random_mlblue_like(11)
+    cB, GlB, hlB, AsB, HsB = _random_mlblue_like(12)
+    with sdpmod._WARM_LOCK:
+        sdpmod._WARM_CACHE.clear()
+    rA = solve_cone_lp(cA, GlA, hlA, AsA, HsA)
+    assert rA.status in ("optimal", "inaccurate")
+    rB = solve_cone_lp(cB, GlB, hlB, AsB, HsB)
+    assert rB.status in ("optimal", "inaccurate")
+    assert rB.dims["warm_start"] is False      # different content hash
+
+
+def test_warm_start_disabled_by_env(monkeypatch):
+    """BLUEST_TPU_IPM_WARM=0 must force every solve down the historical
+    cold path (bit-exact wlam = 0 program)."""
+    from bluest_tpu.solvers import sdp as sdpmod
+    c, Gl, hl, As, Hs = _random_mlblue_like(13)
+    with sdpmod._WARM_LOCK:
+        sdpmod._WARM_CACHE.clear()
+    monkeypatch.setenv("BLUEST_TPU_IPM_WARM", "0")
+    r1 = solve_cone_lp(c, Gl, hl, As, Hs)
+    r2 = solve_cone_lp(c, Gl, hl, As, Hs)
+    assert r1.dims["warm_start"] is False
+    assert r2.dims["warm_start"] is False
+    assert r1.iterations == r2.iterations
+    with sdpmod._WARM_LOCK:
+        assert not sdpmod._WARM_CACHE
