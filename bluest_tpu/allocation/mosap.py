@@ -325,16 +325,19 @@ class MOSAP:
 
         # opt-in Newton polish (solver_params={"polish": True}): drive
         # the continuous eps-mode point to ~machine-precision KKT through
-        # the variance closures (allocation/polish.py).  Worth up to
-        # ~0.8% of cost on near-degenerate datasets (measured on the
-        # Matern restrictions golden, where the IPM stops on a flat
-        # face).  Opt-in because the golden pins record raw-solver
-        # numbers; eps-form only, and caps are out of polish's scope.
-        if (eps is not None and max_model_samples is None
+        # the variance closures (allocation/polish.py), with the
+        # coverage rows and any per-model caps in the KKT system.
+        # Opt-in because the golden pins record raw-solver
+        # numbers; eps-form only.  Per-model caps join the KKT system as
+        # linear rows (round 5; the capped Matern study's 1e-8 pin).
+        if (eps is not None
                 and solver_params and solver_params.get("polish")):
             from .polish import polish_eps
+            es_p, rhs_p = self.get_max_sample_constraints(
+                max_model_samples)
             try:
-                r = polish_eps(self, samples, eps)
+                r = polish_eps(self, samples, eps, es=es_p or None,
+                               rhs=rhs_p or None)
             except (FloatingPointError, ValueError):
                 r = None
             eps_vec = np.broadcast_to(
@@ -343,9 +346,11 @@ class MOSAP:
             if (r is not None and r["feasibility"] <= 1e-9
                     # belt-and-suspenders: every output's variance must
                     # be feasible, not just the polish's active set
-                    # (advisor finding, round 4)
+                    # (advisor finding, round 4) -- and under caps,
+                    # every cap row must hold
                     and np.all(np.asarray(r["variances"])
                                <= (1 + 1e-9) * eps_vec ** 2)
+                    and caps_satisfied(r["m"], es_p, rhs_p)
                     and r["cost"] <= float(
                         np.asarray(samples, float) @ self.costs)
                     * (1 + 1e-12)):

@@ -138,3 +138,61 @@ def test_mosap_solve_polish_option():
     c_raw = float(np.asarray(m_raw, float) @ gcosts)
     c_pol = float(np.asarray(m_pol, float) @ gcosts)
     assert c_pol <= c_raw * (1 + 1e-12)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_polish_with_binding_cap(seed):
+    """Caps join the KKT system as linear rows (VERDICT r5 item 2): a
+    cap binding at the optimum must be held exactly by the polished
+    point, two solver families must polish to the same capped optimum,
+    and capping can only cost more than the free optimum."""
+    C, groups, gcosts, eps = _sap_instance(21 + seed)
+    sap0 = SAP(C, K, groups, gcosts)
+    m_free = np.asarray(sap0.solve(eps=eps, continuous_relaxation=True),
+                        float)
+    r_free = polish_eps(sap0, m_free, eps)
+    # cap the busiest low-fidelity model at half its free usage:
+    # guaranteed binding (and large enough to survive the library's
+    # integer rounding of cap rhs values)
+    usages = [float(sap0.ES[i] @ m_free) for i in range(sap0.N)]
+    i_cap = 1 + int(np.argmax(usages[1:]))
+    assert usages[i_cap] >= 4.0, "instance unusable for a binding cap"
+    caps = np.full(sap0.N, np.inf)
+    caps[i_cap] = max(0.5 * usages[i_cap], 2.0)
+    rows = []
+    for s_ in ("sdp", "scipy"):
+        sap = SAP(C, K, groups, gcosts)
+        m = sap.solve(eps=eps, continuous_relaxation=True, solver=s_,
+                      max_model_samples=caps)
+        es, rhs = sap.get_max_sample_constraints(caps)
+        r = polish_eps(sap, np.asarray(m, float), eps, es=es, rhs=rhs)
+        assert r["converged"], s_
+        assert r["stationarity"] <= 1e-10, s_
+        assert r["feasibility"] <= 1e-10, s_
+        # the cap row is exactly tight and reported active
+        assert 0 in r["active_caps"], s_
+        assert float(es[0] @ r["m"]) == pytest.approx(rhs[0], rel=1e-9)
+        assert np.all(r["variances"] <= (1 + 1e-9) * eps ** 2), s_
+        # restricting the feasible set cannot help
+        assert r["cost"] >= r_free["cost"] * (1 - 1e-10), s_
+        rows.append(r)
+    # cross-family identity at the capped optimum
+    assert abs(rows[0]["cost"] - rows[1]["cost"]) <= 1e-9 * rows[0]["cost"]
+
+
+def test_polish_respects_coverage_row():
+    """The model-0 coverage constraint e.m >= 1 is part of the
+    formulation (reference sap.py's own row); at large eps it binds and
+    a coverage-blind polish walks to e.m < 1 'saving' cost on an
+    infeasible point (observed on the Matern golden: e.m = 0.53, -0.7%
+    cost).  The polish must keep it feasible and report it active."""
+    C, groups, gcosts, _ = _sap_instance(31)
+    sap = SAP(C, K, groups, gcosts)
+    eps = 0.9 * float(np.sqrt(C[0, 0]))       # large eps: coverage binds
+    m = sap.solve(eps=eps, continuous_relaxation=True)
+    r = polish_eps(sap, np.asarray(m, float), eps)
+    assert float(sap.e @ r["m"]) >= 1.0 - 1e-9
+    assert r["feasibility"] <= 1e-8
+    assert r["stationarity"] <= 1e-8
+    if float(sap.e @ r["m"]) <= 1.0 + 1e-6:
+        assert r["active_coverage"] == [0]
