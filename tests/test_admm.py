@@ -519,3 +519,50 @@ def test_admm_L3301_degenerate_ladder_boundary_pinned():
     assert s_a._variance_of(ma) <= 1.01 * eps ** 2   # still FEASIBLE
     ca = float(ma @ w)
     assert ca >= 3.0 * ci, (ca, ci)   # ...but far off the frontier
+
+
+def test_admm_ipm_polished_identity_near_degenerate():
+    """Two-family 1e-8+ parity NEAR THE HARD REGIME (VERDICT r4 item 6):
+    IPM and ADMM raw points, polished independently through the variance
+    closures, must land on the identical optimum on near-degenerate
+    correlation ladders -- the golden-adjacent regime where the
+    cross-family tier used to hold only on generic instances.
+
+    Measured: rho = 0.99 seeds 0-2 pin to <= 1e-12 identity; rho = 0.999
+    seed 2 pins to 6.5e-16.  (rho = 0.999 seeds 0-1 land on DIFFERENT
+    supports of a face flat to ~1e-6 -- support-restricted KKT points
+    whose costs differ by ~7e-7; that face ambiguity, not solver error,
+    is the documented boundary of the identity, matching the
+    first-order-family note in test_golden_reference.py.)"""
+    from bluest_tpu.allocation.sap import SAP
+    from bluest_tpu.allocation.polish import polish_eps
+
+    def instance(rho, seed, M=5, K=2):
+        rng = np.random.default_rng(seed)
+        s = np.linspace(1.0, 0.3, M)
+        R = np.array([[rho ** abs(i - j) for j in range(M)]
+                      for i in range(M)])
+        np.fill_diagonal(R, 1.0)
+        C = R * np.outer(s, s)
+        groups = [[list(cc) for cc in combinations(range(M), k)]
+                  for k in range(1, K + 1)]
+        flat = [g for gk in groups for g in gk]
+        costs = np.sort(np.exp(rng.uniform(0, np.log(50.0), M)))[::-1]
+        w = np.array([sum(costs[i] for i in g) for g in flat])
+        eps = float(np.sqrt(C[0, 0]) * 0.05)
+        return C, groups, w, eps
+
+    for rho, seed in ((0.99, 0), (0.99, 1), (0.999, 2)):
+        C, groups, w, eps = instance(rho, seed)
+        polished = {}
+        for solver in ("sdp", "admm"):
+            sap = SAP(C, 2, groups, w)
+            m = sap.solve(eps=eps, continuous_relaxation=True,
+                          solver=solver)
+            r = polish_eps(sap, np.asarray(m, float), eps)
+            assert r["converged"], (rho, seed, solver)
+            assert r["stationarity"] <= 1e-10, (rho, seed, solver)
+            assert r["feasibility"] <= 1e-10, (rho, seed, solver)
+            polished[solver] = r["cost"]
+        assert (abs(polished["sdp"] - polished["admm"])
+                <= 1e-10 * polished["sdp"]), (rho, seed, polished)
