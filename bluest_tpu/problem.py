@@ -784,6 +784,39 @@ class BLUEProblem:
             return sumse, sumsc, cost, sumsd1, sumsd2
         return sumse, sumsc, cost
 
+    def _dispatch_all(self, group_list, n_list):
+        """Dispatched list [(key_ls, device_sums, t0) | None] for a
+        portfolio of groups.  On the factored kernel-engine path this
+        uses the PORTFOLIO fan-out (kernel_engine.portfolio_sums): one
+        multi-request sweep per (model, tier) serves every group, so the
+        solve portfolio dispatches ~#models programs instead of
+        ~sum(len(group)) (VERDICT r5 item 1a).  Keys are allocated per
+        group in list order -- the same streams as per-group dispatch,
+        so the sums are bit-identical (BLUEST_TPU_PORTFOLIO_SWEEP=0
+        restores the per-group path; equivalence-tested)."""
+        use_portfolio = (self._has_factored_jax_model()
+                         and self.params["samplefile"] is None
+                         and os.environ.get(
+                             "BLUEST_TPU_PORTFOLIO_SWEEP", "1") != "0")
+        if not use_portfolio:
+            return [self._device_dispatch(g, int(n)) if n > 0 else None
+                    for g, n in zip(group_list, n_list)]
+        t0 = time()
+        reqs, metas = [], []
+        for g, n in zip(group_list, n_list):
+            if int(n) <= 0:
+                metas.append(None)
+                continue
+            key_ls = tuple(int(l) for l in g)
+            key = jax.random.fold_in(self._ensure_base_key(),
+                                     self._call_counter)
+            self._call_counter += 1
+            reqs.append((key_ls, key, int(n)))
+            metas.append((key_ls, len(reqs) - 1))
+        sums_list = self._kernel_engine().portfolio_sums(reqs)
+        return [None if m is None else (m[0], sums_list[m[1]], t0)
+                for m in metas]
+
     def _blue_fn_device(self, ls, N, compute_mlmc_differences=False):
         key_ls, sums, t0 = self._device_dispatch(ls, N)
         return self._device_finalize(key_ls, int(N), sums, t0,
@@ -828,8 +861,7 @@ class BLUEProblem:
             return [self.blue_fn(g, int(n))[0] if n > 0
                     else None for g, n in zip(group_list, n_list)]
         t0 = time()
-        disp = [self._device_dispatch(g, int(n)) if n > 0 else None
-                for g, n in zip(group_list, n_list)]
+        disp = self._dispatch_all(group_list, n_list)
         host_sums = self._batch_fetch_sums(disp)
         self._attribute_batch_wall(disp, n_list, time() - t0)
         out = []
@@ -1123,10 +1155,8 @@ class BLUEProblem:
             dispatched = []
             host_sums = []
             if pipelined:
-                for ls, N in zip(flattened_groups, sample_list):
-                    dispatched.append(
-                        self._device_dispatch(ls, int(N)) if N > 0
-                        else None)
+                dispatched = self._dispatch_all(flattened_groups,
+                                                sample_list)
                 # one batched fetch for every group's sums (see
                 # _batch_fetch_sums -- sequential per-group fetches
                 # made the estimation wall latency-bound)

@@ -197,11 +197,41 @@ def _wood_factor(d0, W, jitter=1e-14):
             W = jnp.pad(W, ((0, 0), (0, r_pad - r)))
             r = r_pad
     Wd = W / d0[:, None]
-    C = jnp.eye(r, dtype=W.dtype) + W.T @ Wd
-    return d0, W, Wd, _chol_factor(C, jitter=jitter)
+    # mixed-precision experiment (VERDICT r4 item 5): the capacitance
+    # GEMM and the apply-path matvecs are the per-iteration flops; with
+    # BLUEST_TPU_IPM_GEMM_DTYPE=f32 they run in f32 (on TPU: real MXU
+    # passes instead of emulated f64) while the Cholesky, the refinement
+    # matvec and every residual stay f64 -- classic mixed-precision
+    # iterative refinement, the existing _WOOD_REFINE loop is the
+    # accuracy anchor.  The GEMM uses the SYMMETRIC split V = D^{-1/2} W
+    # (C = I + V^T V), which halves the exponent range f32 must absorb
+    # (d0 spans ~mu..1/mu late in the solve).  Default f64 = the
+    # long-validated path, bit-exact (V^T V == W^T Wd analytically; the
+    # f64 path keeps the historical W^T Wd product).
+    if _GEMM_DTYPE_NAME == "f64":
+        C = jnp.eye(r, dtype=W.dtype) + W.T @ Wd
+        Vg = None
+    else:
+        V = W / jnp.sqrt(d0)[:, None]
+        Vg = _gemm_cast(V)
+        C = jnp.eye(r, dtype=W.dtype) + (Vg.T @ Vg).astype(W.dtype)
+    return d0, W, Wd, _chol_factor(C, jitter=jitter), Vg
 
 
 _WOOD_REFINE = int(os.environ.get("BLUEST_TPU_WOOD_REFINE", "4"))
+# Mixed-precision GEMM dtype for the Woodbury capacitance/apply path
+# ("f64" default = bit-exact historical behavior; "f32" runs the hot
+# GEMMs in f32 with f64 iterative refinement -- the on-chip allocation
+# experiment of VERDICT r4 item 5).
+_GEMM_DTYPE_NAME = os.environ.get("BLUEST_TPU_IPM_GEMM_DTYPE", "f64")
+
+
+def _gemm_cast(x):
+    if _GEMM_DTYPE_NAME == "f32":
+        return x.astype(jnp.float32)
+    if _GEMM_DTYPE_NAME == "bf16":
+        return x.astype(jnp.bfloat16)
+    return x
 # Zero-pad the Woodbury low-rank factor to a multiple of this (0 = off);
 # purely a GEMM-shape experiment knob, mathematically a no-op.  Measured
 # on the K=7 HH golden (L=3301, r 531 -> 640, tools/ab_profile.py, 3 ABBA
@@ -229,15 +259,27 @@ _GONDZIO = int(os.environ.get("BLUEST_TPU_GONDZIO", "0"))
 
 
 def _wood_apply(fac, RHS):
-    d0, W, Wd, Cfac = fac
+    d0, W, Wd, Cfac, Vg = fac
     one_d = RHS.ndim == 1
     B = RHS[:, None] if one_d else RHS
+    f64 = W.dtype
+    sq = None if Vg is None else jnp.sqrt(d0)[:, None]
 
     def solve(b):
-        t = b / d0[:, None]
-        return t - Wd @ _chol_apply(Cfac, W.T @ t)
+        if Vg is None:              # f64 path: historical, bit-exact
+            t = b / d0[:, None]
+            return t - Wd @ _chol_apply(Cfac, W.T @ t)
+        # mixed-precision approximate solve via the symmetric split
+        # x = D^{-1/2}(bh - V C^{-1} V^T bh), bh = D^{-1/2} b: the V
+        # matvecs run in the GEMM dtype; the refinement below corrects
+        # against the EXACT f64 matvec
+        bh = b / sq
+        u = (Vg.T @ _gemm_cast(bh)).astype(f64)
+        y = _chol_apply(Cfac, u)
+        return (bh - (Vg @ _gemm_cast(y)).astype(f64)) / sq
 
     def matvec(x):
+        # exact residual matvec: always f64 (the accuracy anchor)
         return d0[:, None] * x + W @ (W.T @ x)
 
     X = solve(B)

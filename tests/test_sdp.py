@@ -390,3 +390,35 @@ def test_warm_start_disabled_by_env(monkeypatch):
     assert r1.iterations == r2.iterations
     with sdpmod._WARM_LOCK:
         assert not sdpmod._WARM_CACHE
+
+
+def test_mixed_precision_woodbury_boundary(monkeypatch):
+    """Mixed-precision experiment record (VERDICT r4 item 5): with
+    BLUEST_TPU_IPM_GEMM_DTYPE=f32 the capacitance GEMM + apply matvecs
+    run in f32 under f64 iterative refinement (symmetric D^{-1/2} split).
+    Measured boundary: residuals refine to ~1e-13 while diag(d0) spans
+    <= ~1e4, degrade at 1e8, and DIVERGE at the IPM endgame's ~1e12 span
+    -- so f32 is fundamentally insufficient for the late-IPM normal
+    matrix and the knob stays an off-by-default diagnostic (the f64
+    default is bit-exact the historical path; see test_wood_factor_
+    matches_dense).  This test pins both sides of that boundary so a
+    future 'just flip it on' is caught."""
+    import jax.numpy as jnp
+    from bluest_tpu.solvers import sdp as sdpmod
+    monkeypatch.setattr(sdpmod, "_GEMM_DTYPE_NAME", "f32")
+    rng = np.random.default_rng(0)
+    nx, r, k = 400, 60, 3
+    W = rng.standard_normal((nx, r))
+    B = rng.standard_normal((nx, k))
+    H_of = lambda d0: np.diag(d0) + W @ W.T
+
+    def resid(span):
+        d0 = 10.0 ** rng.uniform(-span / 2, span / 2, nx)
+        fac = sdpmod._wood_factor(jnp.asarray(d0), jnp.asarray(W))
+        X = np.asarray(sdpmod._wood_apply(fac, jnp.asarray(B)))
+        return float(np.linalg.norm(H_of(d0) @ X - B)
+                     / np.linalg.norm(B))
+
+    assert resid(4) <= 1e-9          # benign spans: refinement converges
+    assert resid(12) > 1e-2          # endgame spans: diverges (measured
+    #                                  ~1e6 -- NOT production-usable)

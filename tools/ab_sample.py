@@ -45,7 +45,7 @@ FIXED_BUDGET = 1.0e8  # ~2e7 coupled evals on the bench hierarchy (~20x
                       # across all variants by construction)
 
 
-def _child(batch: int, reps: int, k: int) -> None:
+def _child(batch: int, reps: int, k: int, budget: float) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import bluest_tpu.config as cfg  # noqa: F401  (x64 + cache first)
@@ -78,13 +78,13 @@ def _child(batch: int, reps: int, k: int) -> None:
         problem.blue_fn([l], 1, verbose=False)
     for kk in range(2, min(M, k) + 1):
         problem.blue_fn(list(range(kk)), 1, verbose=False)
-    problem.setup_solver(K=k, budget=FIXED_BUDGET)
+    problem.setup_solver(K=k, budget=budget)
 
     walls = []
     mus = errs = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        m, e, _cost = problem.solve(K=k, budget=FIXED_BUDGET)
+        m, e, _cost = problem.solve(K=k, budget=budget)
         walls.append(time.perf_counter() - t0)
         if mus is None:
             mus, errs = m, e
@@ -101,13 +101,14 @@ def _child(batch: int, reps: int, k: int) -> None:
 
 
 def _run_variant(name: str, batch: int, env_spec: str, reps: int, k: int,
-                 child_timeout: float) -> dict:
+                 child_timeout: float, budget: float) -> dict:
     env = dict(os.environ)
     for kv in filter(None, (s.strip() for s in env_spec.split(","))):
         key, _, val = kv.partition("=")
         env[key] = val
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
-           "--batch", str(batch), "--reps", str(reps), "--k", str(k)]
+           "--batch", str(batch), "--reps", str(reps), "--k", str(k),
+           "--budget", str(budget)]
     try:
         r = subprocess.run(cmd, env=env, capture_output=True, text=True,
                            timeout=child_timeout,
@@ -144,6 +145,10 @@ def main() -> None:
     ap.add_argument("--env-a", default="", help="extra env for A, KEY=VAL[,..]")
     ap.add_argument("--env-b", default="", help="extra env for B")
     ap.add_argument("--batch", type=int, default=16384, help=argparse.SUPPRESS)
+    ap.add_argument("--budget", type=float, default=FIXED_BUDGET,
+                    help="allocation budget per child (default ~2e7 evals; "
+                         "use ~6e6 for the bench's overhead-bound 1.2M-eval "
+                         "workload when A/Bing dispatch-path changes)")
     ap.add_argument("--reps", type=int, default=3,
                     help="timed estimation runs per child (best-of)")
     ap.add_argument("--k", type=int, default=4, help="coupling order")
@@ -155,7 +160,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child:
-        _child(args.batch, args.reps, args.k)
+        _child(args.batch, args.reps, args.k, args.budget)
         return
 
     print("sampling A/B on the bench flagship, K=%d, %d ABBA blocks "
@@ -168,7 +173,7 @@ def main() -> None:
                                   ("B", args.b, args.env_b)):
             print("warmup %s (discarded; compiles cached on disk)" % name)
             _run_variant(name, batch, spec, 1, args.k,
-                         4 * args.child_timeout)
+                         4 * args.child_timeout, args.budget)
     recs_a, recs_b = [], []
     for blk in range(args.pairs):
         order = (("A", args.a, args.env_a, recs_a),
@@ -178,7 +183,7 @@ def main() -> None:
         print("block %d/%d" % (blk + 1, args.pairs))
         for name, batch, spec, sink in order:
             sink.append(_run_variant(name, batch, spec, args.reps, args.k,
-                                     args.child_timeout))
+                                     args.child_timeout, args.budget))
 
     import statistics as st
     med_a = st.median(r["sample_s"] for r in recs_a)
