@@ -608,6 +608,11 @@ def main():
             "hbm_gb_s_est": (None if peaks is None else round(
                 model_bytes / max(sample_s, 1e-9) / 1e9, 1)),
             "hbm_peak_gb_s": None if peaks is None else peaks["hbm_gb_s"],
+            "sampling_path": {
+                "portfolio_sweep": os.environ.get(
+                    "BLUEST_TPU_PORTFOLIO_SWEEP", "0") == "1",
+                "pallas_model_kernel": bool(problem._pallas_enabled()),
+            },
             "saturated_tier": sat,
             "drift": drift or None,
             "ipm": ipm,

@@ -266,6 +266,43 @@ class DiffusionProblem(BLUEProblem):
         dt = self.dtype or jnp.float64
         return jax.random.normal(key, (self.n_kl,), dt)  # shared across group
 
+    def _pallas_enabled(self) -> bool:
+        """Fused Pallas model kernel (ops/pallas_diffusion.py): OPT-IN
+        (BLUEST_TPU_PALLAS=1) on the TPU backend for the f32 fast path;
+        the f64 / CPU paths keep the XLA cyclic-reduction form.
+
+        Opt-in, not default (round-5 measurement): the kernel is
+        correct (same f32 accuracy class as the XLA form) and its
+        device-time ceiling is far higher (the XLA path runs at 1.5% of
+        the HBM roofline), but end-to-end ABBA runs on the tunnel v5e
+        could not demonstrate a steady-state win -- back-to-back solve
+        reps under the new dispatch paths showed a rep-2+ slowdown
+        pattern the flaky window did not allow attributing (suspect:
+        deallocation backlog / heap pressure on the remote runtime).
+        Flip the default only with a clean-window ABBA
+        (tools/ab_sample.py --env-b BLUEST_TPU_PALLAS=0)."""
+        import os
+        if os.environ.get("BLUEST_TPU_PALLAS", "0") != "1":
+            return False
+        if self.dtype != jnp.float32:
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:
+            return False
+
+    def evaluate_model_jax_batched(self, l, xis):
+        """Natively-batched evaluation hook (kernel_engine): the fused
+        Pallas kernel when enabled, else the vmapped per-sample form."""
+        if self._pallas_enabled():
+            from ..ops.pallas_diffusion import diffusion_outputs_pallas
+            mask = (jnp.arange(self.n_kl) < self.n_modes[l])
+            out = diffusion_outputs_pallas(
+                xis * mask, self.grids[l], self.sigma, self.nu)
+            return out if self.multi_output else out[:, :1]
+        return jax.vmap(lambda t: jnp.asarray(
+            self.evaluate_model_jax(l, t)))(xis)
+
     def evaluate_model_jax(self, l, xi):
         import jax.numpy as _jnp
         mask = (_jnp.arange(self.n_kl) < self.n_modes[l])

@@ -527,7 +527,11 @@ class BLUEProblem:
                 self.sample_input_jax, self.evaluate_model_jax, self.M,
                 self.n_outputs,
                 batch_size=int(self.params["device_batch_size"]),
-                mesh=self.mesh)
+                mesh=self.mesh,
+                # optional natively-batched model (e.g. a fused Pallas
+                # kernel, models/diffusion.py): fn(l, thetas) -> (B, No)
+                eval_model_batched_fn=getattr(
+                    self, "evaluate_model_jax_batched", None))
             # compile all model kernels concurrently up front (XLA releases
             # the GIL; on remote-compile TPU setups this roughly halves the
             # cold start, and the persistent cache removes it on reruns).
@@ -787,17 +791,21 @@ class BLUEProblem:
     def _dispatch_all(self, group_list, n_list):
         """Dispatched list [(key_ls, device_sums, t0) | None] for a
         portfolio of groups.  On the factored kernel-engine path this
-        uses the PORTFOLIO fan-out (kernel_engine.portfolio_sums): one
-        multi-request sweep per (model, tier) serves every group, so the
-        solve portfolio dispatches ~#models programs instead of
+        can use the PORTFOLIO fan-out (kernel_engine.portfolio_sums):
+        one multi-request sweep per (model, tier) serves every group, so
+        the solve portfolio dispatches ~#models programs instead of
         ~sum(len(group)) (VERDICT r5 item 1a).  Keys are allocated per
         group in list order -- the same streams as per-group dispatch,
-        so the sums are bit-identical (BLUEST_TPU_PORTFOLIO_SWEEP=0
-        restores the per-group path; equivalence-tested)."""
+        so the sums are bit-identical (equivalence-tested).  OPT-IN via
+        BLUEST_TPU_PORTFOLIO_SWEEP=1: round-5 ABBA runs could not
+        demonstrate a steady-state win on the tunnel v5e (rep-2+
+        slowdown pattern, unattributed in a flaky window -- suspect
+        remote-runtime heap pressure from the 8-lane slabs), so the
+        long-validated per-group path stays the default."""
         use_portfolio = (self._has_factored_jax_model()
                          and self.params["samplefile"] is None
                          and os.environ.get(
-                             "BLUEST_TPU_PORTFOLIO_SWEEP", "1") != "0")
+                             "BLUEST_TPU_PORTFOLIO_SWEEP", "0") != "0")
         if not use_portfolio:
             return [self._device_dispatch(g, int(n)) if n > 0 else None
                     for g, n in zip(group_list, n_list)]

@@ -37,9 +37,14 @@ class KernelEngineV2:
     def __init__(self, sample_input_fn: Callable, eval_model_fn: Callable,
                  n_models: int, No: int, batch_size: int = 16384,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 max_bucket: int = 1 << 19):
+                 max_bucket: int = 1 << 19,
+                 eval_model_batched_fn: Optional[Callable] = None):
         self.sample_input_fn = sample_input_fn
         self.eval_model_fn = eval_model_fn
+        # optional natively-batched model path (e.g. a fused Pallas
+        # kernel): fn(l, thetas (B, ...)) -> (B,) + out_shape.  Used in
+        # the sweep bodies instead of vmap(eval_model_fn) when given.
+        self.eval_model_batched_fn = eval_model_batched_fn
         self.n_models = n_models
         self.No = No
         self.batch = int(batch_size)
@@ -108,6 +113,7 @@ class KernelEngineV2:
         n_chunks = n_pad // B
         sample_input = self.sample_input_fn
         eval_model = self.eval_model_fn
+        eval_batched = self.eval_model_batched_fn
         out_shape, out_dtype, theta_dim = self._out_struct()
 
         def shard_body(key, base, N, shard_offset):
@@ -124,8 +130,12 @@ class KernelEngineV2:
                 idx = base + shard_offset + c * B + jnp.arange(B)
                 keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
                 theta = jax.vmap(sample_input)(keys)
-                out = jax.vmap(lambda t: jnp.asarray(
-                    eval_model(l, t)))(theta)
+                if eval_batched is not None:
+                    out = jnp.asarray(eval_batched(l, theta)).astype(
+                        out_dtype)
+                else:
+                    out = jax.vmap(lambda t: jnp.asarray(
+                        eval_model(l, t)))(theta)
                 start = jnp.asarray(c * B)
                 zero = jnp.zeros((), start.dtype)
                 ob = jax.lax.dynamic_update_slice(
@@ -187,6 +197,7 @@ class KernelEngineV2:
         R = self._MULTI_R
         sample_input = self.sample_input_fn
         eval_model = self.eval_model_fn
+        eval_batched = self.eval_model_batched_fn
         out_shape, out_dtype, _ = self._out_struct()
 
         def shard_body(keys, bases, Ns, shard_offset):
@@ -206,8 +217,12 @@ class KernelEngineV2:
                 ks = jax.vmap(
                     lambda i: jax.random.fold_in(keys[r], i))(idx)
                 theta = jax.vmap(sample_input)(ks)
-                out = jax.vmap(lambda th: jnp.asarray(
-                    eval_model(l, th)))(theta)
+                if eval_batched is not None:
+                    out = jnp.asarray(eval_batched(l, theta)).astype(
+                        out_dtype)
+                else:
+                    out = jax.vmap(lambda th: jnp.asarray(
+                        eval_model(l, th)))(theta)
                 zero = jnp.zeros((), jnp.int32)
                 starts = (r.astype(jnp.int32),
                           (j * B).astype(jnp.int32))
@@ -342,7 +357,7 @@ class KernelEngineV2:
         sizes = [k for k in group_sizes if k <= self.n_models]
 
         R = self._MULTI_R
-        legacy = os.environ.get("BLUEST_TPU_PORTFOLIO_SWEEP", "1") == "0"
+        legacy = os.environ.get("BLUEST_TPU_PORTFOLIO_SWEEP", "0") == "0"
 
         def warm_sweep(arg):
             l, n_pad, kind = arg
@@ -442,7 +457,7 @@ class KernelEngineV2:
                         np.zeros((0,) + tuple(th_shape.shape)))
             return sums
         if not collect and os.environ.get(
-                "BLUEST_TPU_PORTFOLIO_SWEEP", "1") != "0":
+                "BLUEST_TPU_PORTFOLIO_SWEEP", "0") != "0":
             # hot path: the multi-request sweep machinery (one request);
             # this keeps top-ups/pilot calls on the SAME compiled
             # programs the portfolio fan-out uses
